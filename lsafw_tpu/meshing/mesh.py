@@ -99,6 +99,21 @@ _FACET_VERTICES: dict[CellType, tuple[tuple[int, ...], ...]] = {
 }
 
 
+# Local vertex numbering of the edges of each cell type.  For 2D cells
+# edges coincide with facets (same ordering), so P2 dofmaps can share
+# the facet arrays; tetrahedra/hexahedra get their own edge sets.
+_EDGE_VERTICES: dict[CellType, tuple[tuple[int, int], ...]] = {
+    CellType.TRIANGLE: ((1, 2), (0, 2), (0, 1)),
+    CellType.QUADRILATERAL: ((0, 1), (1, 3), (2, 3), (0, 2)),
+    CellType.TETRAHEDRON: ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)),
+    CellType.HEXAHEDRON: (
+        (0, 1), (2, 3), (4, 5), (6, 7),
+        (0, 2), (1, 3), (4, 6), (5, 7),
+        (0, 4), (1, 5), (2, 6), (3, 7),
+    ),
+}
+
+
 @dataclass
 class Mesh:
     """An unstructured mesh as static host arrays.
@@ -179,6 +194,30 @@ class Mesh:
     @property
     def cell_to_facets(self) -> np.ndarray:
         return self._facet_data[2]
+
+    @cached_property
+    def _edge_data(self) -> tuple[np.ndarray, np.ndarray]:
+        """(edges, cell_to_edges): unique vertex-sorted edges + per-cell map.
+
+        Used by quadratic dofmaps (one DOF per edge).  For 2D cells this
+        equals the facet arrays; for 3D cells edges are distinct entities.
+        """
+        if self.tdim == 2:
+            return self.facets, self.cell_to_facets
+        local = np.asarray(_EDGE_VERTICES[self.cell_type], dtype=np.int64)
+        nepc = local.shape[0]
+        all_edges = self.cells[:, local.reshape(-1)].reshape(-1, 2)
+        key = np.sort(all_edges, axis=1)
+        uniq, inverse = np.unique(key, axis=0, return_inverse=True)
+        return uniq.astype(np.int32), inverse.reshape(self.num_cells, nepc).astype(np.int32)
+
+    @property
+    def edges(self) -> np.ndarray:
+        return self._edge_data[0]
+
+    @property
+    def cell_to_edges(self) -> np.ndarray:
+        return self._edge_data[1]
 
     @cached_property
     def boundary_facets(self) -> np.ndarray:

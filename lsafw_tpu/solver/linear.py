@@ -1,0 +1,264 @@
+"""Jit-compiled Krylov linear solvers.
+
+TPU-native counterpart of PETSc KSP reached through ``LinearSolver``
+(``Solver/linear.py:27-362``) and the ``KSPType`` enum
+(``Solver/utils.py:96-128``): CG, restarted GMRES and BiCGStab as
+``lax.while_loop`` algorithms over a user matvec closure.  GMRES keeps
+its Krylov basis as a (restart+1, n) matrix so orthogonalization is a
+single (m, n) x (n,) matmul per step — MXU work, with all reductions
+fused by XLA (the analog of PETSc's MPI allreduce dot products,
+SURVEY.md section 2.3).
+
+Solvers are dtype-generic (f32/f64) and return a :class:`SolveResult`
+carrying the iteration count and final residual for observability
+(parity: KSP residual-history monitors, ``Solver/linear.py:280-304``).
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Matvec = Callable[[jnp.ndarray], jnp.ndarray]
+
+
+class KSPType(Enum):
+    """Solver types (parity: ``Solver/utils.py:96-128``; the subset
+    that is TPU-meaningful — direct LU lives in
+    :mod:`lsafw_tpu.solver.direct`)."""
+
+    CG = "cg"
+    GMRES = "gmres"
+    BICGSTAB = "bcgs"
+    PREONLY = "preonly"
+
+    @classmethod
+    def from_string(cls, value: str) -> "KSPType":
+        return cls(value.lower().strip())
+
+
+class SolveResult(NamedTuple):
+    x: jnp.ndarray
+    iterations: jnp.ndarray  # int32 scalar
+    residual: jnp.ndarray  # final |r| / |b|
+    converged: jnp.ndarray  # bool scalar
+
+
+def _identity(x):
+    return x
+
+
+# ---------------------------------------------------------------------------
+# CG
+# ---------------------------------------------------------------------------
+
+
+def cg(
+    matvec: Matvec,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    *,
+    tol: float = 1e-10,
+    maxiter: int = 1000,
+    M: Matvec | None = None,
+) -> SolveResult:
+    """Preconditioned conjugate gradients (parity: ``cg_solve``,
+    ``Solver/linear.py:170-192``)."""
+    M = M or _identity
+    x = jnp.zeros_like(b) if x0 is None else x0
+    bnorm = jnp.linalg.norm(b)
+    bnorm = jnp.where(bnorm == 0, 1.0, bnorm)
+
+    r = b - matvec(x)
+    z = M(r)
+    p = z
+    rz = jnp.vdot(r, z)
+
+    def cond(st):
+        x, r, z, p, rz, k = st
+        return (jnp.linalg.norm(r) / bnorm > tol) & (k < maxiter)
+
+    def body(st):
+        x, r, z, p, rz, k = st
+        Ap = matvec(p)
+        alpha = rz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = jnp.vdot(r, z)
+        p = z + (rz_new / rz) * p
+        return (x, r, z, p, rz_new, k + 1)
+
+    x, r, _, _, _, k = lax.while_loop(cond, body, (x, r, z, p, rz, jnp.int32(0)))
+    res = jnp.linalg.norm(r) / bnorm
+    return SolveResult(x, k, res, res <= tol)
+
+
+# ---------------------------------------------------------------------------
+# GMRES(restart)
+# ---------------------------------------------------------------------------
+
+
+def gmres(
+    matvec: Matvec,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    *,
+    tol: float = 1e-10,
+    restart: int = 30,
+    maxiter: int = 1000,
+    M: Matvec | None = None,
+) -> SolveResult:
+    """Left-preconditioned restarted GMRES (parity: ``gmres_solve``,
+    ``Solver/linear.py:194-218``; restart default matches PETSc's 30).
+
+    One restart cycle = ``restart`` Arnoldi steps with CGS2
+    reorthogonalization expressed as dense (m+1, n) matmuls, then a
+    small on-device least-squares solve.  Convergence is checked on the
+    true residual at each cycle boundary.
+    """
+    M = M or _identity
+    n = b.shape[0]
+    dtype = b.dtype
+    x = jnp.zeros_like(b) if x0 is None else x0
+    Mb = M(b)
+    bnorm = jnp.linalg.norm(Mb)
+    bnorm = jnp.where(bnorm == 0, 1.0, bnorm)
+    m = restart
+    max_cycles = -(-maxiter // m)
+    eps_floor = jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-30, dtype)
+
+    def arnoldi_cycle(x):
+        r = M(b - matvec(x))
+        beta = jnp.linalg.norm(r)
+        V = jnp.zeros((m + 1, n), dtype=dtype)
+        V = V.at[0].set(r / jnp.maximum(beta, eps_floor))
+        H = jnp.zeros((m + 1, m), dtype=dtype)
+
+        def step(j, carry):
+            V, H = carry
+            w = M(matvec(V[j]))
+            mask = (jnp.arange(m + 1) <= j).astype(dtype)
+            # classical Gram-Schmidt, twice (CGS2): two dense matmuls
+            h1 = (V @ w) * mask
+            w = w - V.T @ h1
+            h2 = (V @ w) * mask
+            w = w - V.T @ h2
+            h = h1 + h2
+            hj1 = jnp.linalg.norm(w)
+            V = V.at[j + 1].set(w / jnp.maximum(hj1, eps_floor))
+            H = H.at[:, j].set(h)
+            H = H.at[j + 1, j].set(hj1)
+            return (V, H)
+
+        V, H = lax.fori_loop(0, m, step, (V, H))
+        # least squares: min || beta e1 - H y ||  via QR of (m+1, m) H
+        g = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta)
+        Q, R = jnp.linalg.qr(H, mode="reduced")
+        rhs = Q.T @ g
+        # guard zero diagonal (breakdown / exact solution mid-cycle)
+        diag = jnp.diagonal(R)
+        safe = jnp.where(jnp.abs(diag) > eps_floor, diag, 1.0)
+        Rsafe = R + jnp.diag(safe - diag)
+        y = jax.scipy.linalg.solve_triangular(Rsafe, rhs, lower=False)
+        return x + V[:m].T @ y
+
+    def cond(st):
+        x, k, res = st
+        return (res > tol) & (k < max_cycles)
+
+    def body(st):
+        x, k, _ = st
+        x = arnoldi_cycle(x)
+        res = jnp.linalg.norm(M(b - matvec(x))) / bnorm
+        return (x, k + 1, res)
+
+    res0 = jnp.linalg.norm(M(b - matvec(x))) / bnorm
+    x, k, res = lax.while_loop(cond, body, (x, jnp.int32(0), res0))
+    return SolveResult(x, k * m, res, res <= tol)
+
+
+# ---------------------------------------------------------------------------
+# BiCGStab
+# ---------------------------------------------------------------------------
+
+
+def bicgstab(
+    matvec: Matvec,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    *,
+    tol: float = 1e-10,
+    maxiter: int = 1000,
+    M: Matvec | None = None,
+) -> SolveResult:
+    """Preconditioned BiCGStab (parity: KSPType.BCGS, ``Solver/utils.py:105``)."""
+    M = M or _identity
+    x = jnp.zeros_like(b) if x0 is None else x0
+    bnorm = jnp.linalg.norm(b)
+    bnorm = jnp.where(bnorm == 0, 1.0, bnorm)
+    r = b - matvec(x)
+    rhat = r
+    rho = alpha = omega = jnp.asarray(1.0, b.dtype)
+    v = p = jnp.zeros_like(b)
+
+    def cond(st):
+        x, r, rho, alpha, omega, v, p, k = st
+        return (jnp.linalg.norm(r) / bnorm > tol) & (k < maxiter)
+
+    def body(st):
+        x, r, rho, alpha, omega, v, p, k = st
+        rho_new = jnp.vdot(rhat, r)
+        beta = (rho_new / rho) * (alpha / omega)
+        p = r + beta * (p - omega * v)
+        phat = M(p)
+        v = matvec(phat)
+        alpha = rho_new / jnp.vdot(rhat, v)
+        s = r - alpha * v
+        shat = M(s)
+        t = matvec(shat)
+        omega = jnp.vdot(t, s) / jnp.vdot(t, t)
+        x = x + alpha * phat + omega * shat
+        r = s - omega * t
+        return (x, r, rho_new, alpha, omega, v, p, k + 1)
+
+    x, r, *_, k = lax.while_loop(cond, body, (x, r, rho, alpha, omega, v, p, jnp.int32(0)))
+    res = jnp.linalg.norm(r) / bnorm
+    return SolveResult(x, k, res, res <= tol)
+
+
+# ---------------------------------------------------------------------------
+# Unified front-end (parity: LinearSolver.solve, Solver/linear.py:38-87)
+# ---------------------------------------------------------------------------
+
+
+def solve(
+    matvec: Matvec,
+    b: jnp.ndarray,
+    *,
+    ksp_type: KSPType | str = KSPType.GMRES,
+    x0: jnp.ndarray | None = None,
+    tol: float = 1e-10,
+    maxiter: int = 1000,
+    restart: int = 30,
+    M: Matvec | None = None,
+) -> SolveResult:
+    ksp_type = KSPType.from_string(ksp_type) if isinstance(ksp_type, str) else ksp_type
+    if ksp_type is KSPType.CG:
+        return cg(matvec, b, x0, tol=tol, maxiter=maxiter, M=M)
+    if ksp_type is KSPType.GMRES:
+        return gmres(matvec, b, x0, tol=tol, maxiter=maxiter, restart=restart, M=M)
+    if ksp_type is KSPType.BICGSTAB:
+        return bicgstab(matvec, b, x0, tol=tol, maxiter=maxiter, M=M)
+    if ksp_type is KSPType.PREONLY:
+        if M is None:
+            raise ValueError("PREONLY requires a preconditioner.")
+        x = M(b)
+        r = jnp.linalg.norm(b - matvec(x)) / jnp.maximum(jnp.linalg.norm(b), 1e-300)
+        return SolveResult(x, jnp.int32(1), r, r < 1.0)
+    raise ValueError(ksp_type)

@@ -1,0 +1,103 @@
+"""Device-resident preconditioners.
+
+TPU-native subset of the reference's PETSc PC zoo
+(``PreconditionerType``, ``Solver/utils.py:66-94``): pointwise Jacobi
+and batched dense block-Jacobi (both pure gather/solve array code that
+jits onto the VPU/MXU).  Sequential triangular ILU/ICC sweeps do not
+map to the TPU's execution model; their role (strong smoothing for
+inner Krylov solves) is covered by block-Jacobi with large blocks and
+by the direct factorization in :mod:`lsafw_tpu.solver.direct`.
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from lsafw_tpu.ops.sparse import CSRMatrix
+
+
+class PreconditionerType(Enum):
+    """(parity: ``Solver/utils.py:66-94``; unsupported PETSc types map
+    to the closest TPU-native equivalent at call sites)."""
+
+    NONE = "none"
+    JACOBI = "jacobi"
+    BLOCK_JACOBI = "bjacobi"
+    LU = "lu"
+
+    @classmethod
+    def from_string(cls, value: str) -> "PreconditionerType":
+        return cls(value.lower().strip())
+
+
+def jacobi(A: CSRMatrix) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Pointwise Jacobi M^-1 = diag(A)^-1."""
+    d = A.diagonal()
+    inv = jnp.where(jnp.abs(d) > 0, 1.0 / jnp.where(d == 0, 1.0, d), 1.0)
+
+    def apply(x):
+        return inv * x
+
+    return apply
+
+
+def block_jacobi(A: CSRMatrix, block_size: int = 64) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Dense block-Jacobi over contiguous DOF blocks.
+
+    Extracts the (nb, bs, bs) block diagonal on the host, inverts it in
+    a single batched ``jnp.linalg.inv`` (MXU batched solve), and applies
+    as a batched matmul — the TPU-shaped analog of PETSc's bjacobi+ILU
+    sub-solves.
+    """
+    n = A.shape[0]
+    bs = block_size
+    nb = -(-n // bs)
+    npad = nb * bs
+    # host extraction of the block diagonal
+    S = A.to_scipy().tocoo()
+    rows, cols, vals = S.row, S.col, S.data
+    same = rows // bs == cols // bs
+    rows, cols, vals = rows[same], cols[same], vals[same]
+    blocks = np.zeros((nb, bs, bs), dtype=vals.dtype)
+    blocks[rows // bs, rows % bs, cols % bs] = vals
+    # unit diagonal on padding rows and on zero-diagonal rows (the
+    # pressure block of saddle-point operators has an empty diagonal;
+    # treating those rows as identity keeps the preconditioner
+    # nonsingular — the analog of PETSc's zero-pivot shift)
+    diag = np.zeros(npad, dtype=vals.dtype)
+    diag[:n] = np.asarray(A.diagonal())
+    zero_rows = np.nonzero(diag == 0)[0]
+    blocks[zero_rows // bs, zero_rows % bs, :] = 0.0
+    blocks[:, :, :][zero_rows // bs, :, zero_rows % bs] = 0.0
+    blocks[zero_rows // bs, zero_rows % bs, zero_rows % bs] = 1.0
+    try:
+        inv_blocks = np.linalg.inv(blocks)
+    except np.linalg.LinAlgError:
+        inv_blocks = np.stack([np.linalg.pinv(b_) for b_ in blocks])
+    inv = jnp.asarray(inv_blocks)
+
+    def apply(x):
+        xp = jnp.pad(x, (0, npad - n)).reshape(nb, bs)
+        y = jnp.einsum("bij,bj->bi", inv, xp)
+        return y.reshape(-1)[:n]
+
+    return apply
+
+
+def make_preconditioner(
+    A: CSRMatrix, pc_type: PreconditionerType | str, **kw
+) -> Callable[[jnp.ndarray], jnp.ndarray] | None:
+    pc_type = (
+        PreconditionerType.from_string(pc_type) if isinstance(pc_type, str) else pc_type
+    )
+    if pc_type is PreconditionerType.NONE:
+        return None
+    if pc_type is PreconditionerType.JACOBI:
+        return jacobi(A)
+    if pc_type is PreconditionerType.BLOCK_JACOBI:
+        return block_jacobi(A, kw.get("block_size", 64))
+    raise ValueError(f"Unsupported preconditioner: {pc_type}")
