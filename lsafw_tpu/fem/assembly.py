@@ -90,6 +90,12 @@ class _ContextBase:
             self._jit_cache[key] = factory()
         return self._jit_cache[key]
 
+    def _warm(self) -> None:
+        """Evaluate the cached reference tensors eagerly.  They must not
+        be first computed inside a jit trace (the cached value would be
+        a leaked tracer)."""
+        _ = (self.M0, self.K0, self.metric)
+
     # --- static reference tensors (precontracted over quadrature) ---
     @cached_property
     def M0(self) -> jnp.ndarray:
@@ -149,7 +155,7 @@ class AssemblyContext(_ContextBase):
         pattern = build_sparsity(
             spaces.mixed_cell_dofs, shape=(spaces.num_dofs, spaces.num_dofs)
         )
-        return cls(
+        ctx = cls(
             rule=rule,
             w=jnp.asarray(rule.weights),
             phi_u=jnp.asarray(tab_u.phi),
@@ -163,6 +169,9 @@ class AssemblyContext(_ContextBase):
             cell_nodes_u=jnp.asarray(spaces.velocity.cell_nodes),
             mixed_cell_dofs=jnp.asarray(spaces.mixed_cell_dofs),
         )
+        ctx._warm()
+        _ = (ctx.M0_p, ctx.B0)
+        return ctx
 
     @property
     def gdim(self) -> int:
@@ -194,7 +203,7 @@ class SpaceContext(_ContextBase):
         tab = space.element.tabulate(rule.points)
         detJ, Jinv = affine_geometry(mesh)
         pattern = build_sparsity(space.cell_dofs, shape=(space.num_dofs, space.num_dofs))
-        return cls(
+        ctx = cls(
             rule=rule,
             w=jnp.asarray(rule.weights),
             phi_u=jnp.asarray(tab.phi),
@@ -205,6 +214,8 @@ class SpaceContext(_ContextBase):
             space=space,
             cell_dofs=jnp.asarray(space.cell_dofs),
         )
+        ctx._warm()
+        return ctx
 
     @property
     def gdim(self) -> int:

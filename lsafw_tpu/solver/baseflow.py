@@ -1,0 +1,138 @@
+"""Baseflow (steady Navier-Stokes) driver.
+
+Counterpart of ``Solver/baseflow.py``: Stokes solve as the Newton
+initial guess, optional Reynolds ramp 1.0 -> Re, damped Newton per
+step, plus the diagnostics (recirculation length, nondimensional drag)
+used to validate cylinder baseflows
+(``Solver/baseflow.py:63-213``, ``.examples/analyze_baseflow.py``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lsafw_tpu.fem.assembly import AssemblyContext
+from lsafw_tpu.fem.bcs import BoundaryConditions
+from lsafw_tpu.fem.facets import build_facet_context, traction_force
+from lsafw_tpu.meshing.mesh import Mesh
+from lsafw_tpu.models.navier_stokes import (
+    StationaryNavierStokesAssembler,
+    StokesAssembler,
+)
+from lsafw_tpu.solver.direct import direct_solve
+from lsafw_tpu.solver.newton import NewtonResult, NewtonSolver
+from lsafw_tpu.utils.logging import get_logger, timed
+
+logger = get_logger(__name__)
+
+
+class BaseFlowSolver:
+    """Solves for the base (stationary) flow
+    (parity: ``BaseFlowSolver``, ``Solver/baseflow.py:63-154``)."""
+
+    def __init__(
+        self,
+        ctx: AssemblyContext,
+        mesh: Mesh,
+        bcs: BoundaryConditions,
+        *,
+        re: float,
+    ) -> None:
+        self._ctx = ctx
+        self._mesh = mesh
+        self._bcs = bcs
+        self._re = re
+        self._initial_guess: np.ndarray | None = None
+        self._ns_assembler: StationaryNavierStokesAssembler | None = None
+
+    def _solve_stokes_flow(self) -> np.ndarray:
+        """Stokes flow as Newton initial guess
+        (``Solver/baseflow.py:81-90``)."""
+        logger.info("Solving Stokes flow as Newton initial guess.")
+        A, b = StokesAssembler(self._ctx, self._mesh, self._bcs, re=self._re).get_matrix_forms()
+        return direct_solve(A, np.asarray(b))
+
+    def solve(
+        self,
+        *,
+        ramp: bool = False,
+        steps: int = 3,
+        max_it: int = 50,
+        tol: float = 1e-6,
+        damping_factor: float = 1.0,
+        linear_solver: str = "lu",
+        cache=None,
+        key: str | None = None,
+    ) -> np.ndarray:
+        """Steady NS solve with optional Reynolds ramp
+        (parity: ``solve``, ``Solver/baseflow.py:92-154``)."""
+        if cache is not None and key is not None:
+            cached = cache.load_array(key)
+            if cached is not None:
+                self._initial_guess = cached
+                return cached
+        if self._initial_guess is None:
+            self._initial_guess = self._solve_stokes_flow()
+
+        re_ramp = (
+            np.linspace(1.0, self._re, steps).tolist()
+            if (ramp and steps > 1)
+            else [self._re]
+        )
+        if self._ns_assembler is None:
+            self._ns_assembler = StationaryNavierStokesAssembler(
+                self._ctx, self._mesh, self._bcs
+            )
+        newton = NewtonSolver(
+            self._ns_assembler, damping=damping_factor, linear_solver=linear_solver
+        )
+        sol = self._initial_guess
+        result: NewtonResult | None = None
+        for re in re_ramp:
+            logger.info("Solving stationary Navier-Stokes at Re=%.2f", re)
+            with timed(logger, f"Newton at Re={re:.1f}"):
+                result = newton.solve(sol, re, max_it=max_it, tol=tol)
+            sol = result.w
+        if result is not None and not result.converged:
+            logger.warning("Final Newton residual %.3e > tol %.1e", result.residual_norm, tol)
+
+        if cache is not None and key is not None:
+            cache.save_array(key, sol)
+        return sol
+
+
+def compute_recirculation_length(
+    ctx: AssemblyContext,
+    baseflow: np.ndarray,
+    *,
+    restrict_to_centreline: bool = False,
+    centreline_tol: float = 1e-6,
+) -> float:
+    """Max x with u_x < 0 (parity: ``compute_recirculation_length``,
+    ``Solver/baseflow.py:157-185``)."""
+    spaces = ctx.spaces
+    u, _ = spaces.split(baseflow)
+    coords = spaces.velocity.node_coords
+    mask = u[:, 0] < 0.0
+    if restrict_to_centreline:
+        mask &= np.abs(coords[:, 1]) <= centreline_tol
+    if not mask.any():
+        raise RuntimeError("No negative u_x found; no recirculation detected.")
+    return float(coords[mask, 0].max())
+
+
+def compute_drag(
+    ctx: AssemblyContext,
+    mesh: Mesh,
+    baseflow: np.ndarray,
+    *,
+    re: float,
+    cylinder_marker: int,
+) -> float:
+    """Nondimensional drag |Fx| over the tagged boundary
+    (parity: ``compute_drag``, ``Solver/baseflow.py:188-213``)."""
+    import jax.numpy as jnp
+
+    fc = build_facet_context(ctx, mesh, cylinder_marker)
+    fx = traction_force(fc, ctx, jnp.asarray(baseflow), re, direction=0)
+    return abs(float(fx))

@@ -1,0 +1,127 @@
+"""Damped Newton for stationary Navier-Stokes.
+
+TPU-native counterpart of the reference's SNES Newton
+(``Solver/nonlinear2.py:40-153``: newtonls + basic line search with
+damping, GMRES+LU inner solve).  The state ``w`` always satisfies the
+Dirichlet data exactly, so the update solves J(w) dw = -F(w) with
+identity BC rows and F[bc] = 0 (the lifting semantics of
+``Solver/nonlinear2.py:84-107``).
+
+Inner solves: direct LU (the reference's MUMPS role) or any jitted
+Krylov method from :mod:`lsafw_tpu.solver.linear` with a block-Jacobi
+preconditioner.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from lsafw_tpu.models.navier_stokes import StationaryNavierStokesAssembler
+from lsafw_tpu.ops.sparse import spmv
+from lsafw_tpu.solver.direct import SparseLU
+from lsafw_tpu.solver.linear import KSPType, solve as ksp_solve
+from lsafw_tpu.solver.precond import block_jacobi
+from lsafw_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+@dataclass
+class NewtonResult:
+    w: np.ndarray
+    iterations: int
+    residual_norm: float
+    converged: bool
+    history: list[float]
+
+
+class NewtonSolver:
+    """Newton with adjustable damping (parity: ``NewtonSolver``,
+    ``Solver/nonlinear2.py:40-78``)."""
+
+    def __init__(
+        self,
+        assembler: StationaryNavierStokesAssembler,
+        *,
+        damping: float = 1.0,
+        linear_solver: str = "lu",
+        linear_tol: float = 1e-10,
+    ) -> None:
+        self._asm = assembler
+        self._damping = damping
+        self._linear_solver = linear_solver
+        self._linear_tol = linear_tol
+
+    def _masked_residual(self, w: jnp.ndarray, re: float) -> jnp.ndarray:
+        F = self._asm.residual(w, re)
+        return jnp.where(self._asm.bc_mask, 0.0, F)
+
+    def solve(
+        self,
+        w0: np.ndarray | jnp.ndarray,
+        re: float,
+        *,
+        max_it: int = 50,
+        tol: float = 1e-6,
+    ) -> NewtonResult:
+        """Iterate to the steady state (parity: ``solve``,
+        ``Solver/nonlinear2.py:78-153`` incl. divergence -> warning +
+        partial result instead of raising)."""
+        asm = self._asm
+        # enforce Dirichlet data on the initial state
+        w = jnp.asarray(np.where(asm.bcs.dirichlet_mask, asm.bcs.dirichlet_values, np.asarray(w0)))
+        history: list[float] = []
+        converged = False
+        it = 0
+        for it in range(1, max_it + 1):
+            F = self._masked_residual(w, re)
+            rnorm = float(jnp.linalg.norm(F))
+            history.append(rnorm)
+            if rnorm < tol:
+                converged = True
+                break
+            J = asm.jacobian(w, re)
+            if self._linear_solver == "lu":
+                dw = jnp.asarray(SparseLU(J).solve(-np.asarray(F)))
+            else:
+                M = block_jacobi(J, block_size=64)
+                res = ksp_solve(
+                    lambda v: spmv(J, v),
+                    -F,
+                    ksp_type=KSPType.from_string(self._linear_solver),
+                    tol=self._linear_tol,
+                    maxiter=5000,
+                    M=M,
+                )
+                if not bool(res.converged):
+                    logger.warning(
+                        "Inner %s solve stalled (res=%.2e) at Newton it %d",
+                        self._linear_solver, float(res.residual), it,
+                    )
+                dw = res.x
+            if not np.isfinite(np.asarray(dw)).all():
+                logger.warning("Newton update is not finite; aborting at it %d", it)
+                break
+            w = w + self._damping * dw
+            logger.debug("Newton it %d: |F| = %.3e", it, rnorm)
+        else:
+            it = max_it
+        rfinal = float(jnp.linalg.norm(self._masked_residual(w, re)))
+        if rfinal < tol:
+            converged = True
+        if not converged:
+            logger.warning(
+                "Newton did not converge in %d iterations (|F| = %.3e); "
+                "returning partial result", it, rfinal,
+            )
+        return NewtonResult(
+            w=np.asarray(w),
+            iterations=it,
+            residual_norm=rfinal,
+            converged=converged,
+            history=history,
+        )
