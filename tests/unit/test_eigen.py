@@ -1,0 +1,140 @@
+"""Eigensolver unit tests (model: reference tests/unit/Solver/test_eigen.py:
+analytically-known small matrices, shift-invert behavior, singular-M)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from lsafw_tpu.ops.sparse import CSRMatrix
+from lsafw_tpu.solver.eigen import (
+    EigenSolver,
+    EigensolverConfig,
+    EpsProblemType,
+    EpsWhich,
+    STType,
+    eigen_residuals,
+    krylov_schur,
+)
+
+
+def _csr(dense):
+    return CSRMatrix.from_scipy(sp.csr_matrix(np.asarray(dense, dtype=np.float64)))
+
+
+def test_diagonal_matrix_largest():
+    """(model: reference test_eigen.py:35-39 diagonal case)"""
+    d = np.arange(1.0, 21.0)
+    A = _csr(np.diag(d))
+    es = EigenSolver(A, None, EigensolverConfig(num_eig=3, atol=1e-10, ncv=12))
+    es.set_which_eigenpairs(EpsWhich.LARGEST_MAGNITUDE)
+    pairs = es.solve()
+    got = sorted([p[0].real for p in pairs], reverse=True)
+    assert np.allclose(got, [20.0, 19.0, 18.0], atol=1e-8)
+    res = eigen_residuals(A, None, pairs)
+    assert (res < 1e-7).all()
+
+
+def test_complex_pair_2x2():
+    """Rotation-like block has complex pair 1 +/- 2i
+    (model: reference test_eigen.py:142-172)."""
+    A = _csr([[1.0, 2.0], [-2.0, 1.0]])
+    es = EigenSolver(A, None, EigensolverConfig(num_eig=2, atol=1e-10, ncv=None or 2))
+    # ncv must exceed nev; use direct krylov_schur with full space
+    from lsafw_tpu.ops.sparse import spmv_pair
+
+    res = krylov_schur(
+        lambda v: spmv_pair(A, v[0], v[1]), 2, nev=1, ncv=None, tol=1e-12
+    )
+    lam = res.eigenvalues[0]
+    assert np.isclose(abs(lam.real), 1.0, atol=1e-8)
+    assert np.isclose(abs(lam.imag), 2.0, atol=1e-8)
+
+
+def test_generalized_spd_vs_numpy():
+    """(model: reference test_eigen.py:242-252 random SPD vs eigvalsh)"""
+    rng = np.random.default_rng(3)
+    n = 40
+    Q = rng.standard_normal((n, n))
+    Aa = Q @ Q.T + n * np.eye(n)
+    Mm = np.diag(rng.uniform(1.0, 2.0, n))
+    A, M = _csr(Aa), _csr(Mm)
+    import scipy.linalg as sla
+
+    ref = np.sort(sla.eigh(Aa, Mm, eigvals_only=True))
+    es = EigenSolver(A, M, EigensolverConfig(num_eig=4, problem_type=EpsProblemType.GHEP, atol=1e-10, ncv=20))
+    es.set_st_type(STType.SINVERT)
+    es.set_target(ref[0] - 0.1)
+    pairs = es.solve()
+    got = np.sort([p[0].real for p in pairs])
+    assert np.allclose(got, ref[:4], rtol=1e-8)
+    assert (eigen_residuals(A, M, pairs) < 1e-6).all()
+
+
+def test_shift_invert_near_target():
+    """(model: reference test_eigen.py:255-269)"""
+    d = np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0])
+    A = _csr(np.diag(d))
+    M = _csr(np.eye(8))
+    es = EigenSolver(A, M, EigensolverConfig(num_eig=2, atol=1e-10, ncv=6))
+    es.set_st_type(STType.SINVERT)
+    es.set_target(4.2)
+    pairs = es.solve()
+    vals = sorted(p[0].real for p in pairs)
+    assert np.allclose(vals, [4.0, 5.0], atol=1e-8)
+
+
+def test_sinvert_requires_target():
+    A = _csr(np.eye(4))
+    es = EigenSolver(A, None, EigensolverConfig(num_eig=1, ncv=3))
+    es.set_st_type(STType.SINVERT)
+    with pytest.raises(ValueError):
+        es.solve()
+
+
+def test_shape_validation():
+    A = _csr(np.eye(4))
+    M = _csr(np.eye(5))
+    with pytest.raises(ValueError):
+        EigenSolver(A, M)
+
+
+def test_hermitian_warning(caplog):
+    """(model: reference test_eigen.py:188-199 log-capture warnings)"""
+    import logging
+
+    A = _csr([[1.0, 2.0], [0.0, 1.0]])
+    with caplog.at_level(logging.WARNING, logger="lsafw_tpu"):
+        EigenSolver(A, None, check_hermitian=True)
+    assert any("not numerically symmetric" in r.message for r in caplog.records)
+
+
+def test_singular_mass_shift_invert():
+    """Singular M (saddle-point analog): shift-invert still isolates the
+    finite spectrum (model: reference test_eigen.py:272-281, but the
+    TPU design makes singular M well-posed instead of an error)."""
+    Aa = np.diag([1.0, 2.0, 3.0, 4.0])
+    Mm = np.diag([1.0, 1.0, 1.0, 0.0])  # last row: infinite eigenvalue
+    A, M = _csr(Aa), _csr(Mm)
+    es = EigenSolver(A, M, EigensolverConfig(num_eig=2, atol=1e-10, ncv=3))
+    es.set_st_type(STType.SINVERT)
+    es.set_target(0.9)
+    pairs = es.solve()
+    vals = sorted(p[0].real for p in pairs)
+    assert np.allclose(vals, [1.0, 2.0], atol=1e-8)
+
+
+def test_membrane_small():
+    """Coarse membrane EVP against the analytic spectrum."""
+    from lsafw_tpu.meshing.mesh import rectangle_mesh
+    from lsafw_tpu.models.membrane import analytic_eigenvalues, assemble_membrane_evp
+
+    mesh = rectangle_mesh((0, 0), (2.0, 4.0), 8, 16)
+    K, M, _ = assemble_membrane_evp(mesh)
+    es = EigenSolver(K, M, EigensolverConfig(num_eig=5, atol=1e-10, ncv=30))
+    es.set_st_type(STType.SINVERT)
+    es.set_target(2.0)
+    pairs = es.solve()
+    got = np.sort([p[0].real for p in pairs])
+    exact = analytic_eigenvalues(2.0, 4.0, 5)
+    rel = np.abs(got - exact) / exact
+    assert rel.max() < 2e-3, rel
