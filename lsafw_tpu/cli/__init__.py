@@ -1,0 +1,252 @@
+"""Unified command-line interface.
+
+One coherent CLI replacing the reference's three drifted per-package
+CLIs (``Meshing/cli.py``, ``FEM/cli.py``, ``Solver/cli.py`` — whose
+stale imports/signatures are catalogued in SURVEY.md section 2.4); every
+subcommand here calls the same library APIs the tests exercise.
+
+Subcommands:
+  mesh        generate/import a mesh, tag boundaries, export (Meshing/cli.py:156)
+  baseflow    steady NS solve + diagnostics + export (Solver/cli.py:57)
+  assemble    baseflow + linearized eigensystem -> .mtx (FEM/cli.py:122, Solver/cli.py:96)
+  eigen       shift-invert eigensolve on (A, M) (Solver/cli.py:158)
+  sensitivity adjoint d sigma/d Re + wavemaker (reference .examples/sensitivity.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from lsafw_tpu.utils.logging import get_logger, setup_logging
+
+logger = get_logger(__name__)
+
+
+def _build_case(args):
+    """Shared mesh -> spaces -> bcs construction for solver commands."""
+    from lsafw_tpu.config import (
+        load_bc_config,
+        load_cylinder_flow_config,
+        load_facet_config,
+        load_step_flow_config,
+    )
+    from lsafw_tpu.fem.assembly import AssemblyContext
+    from lsafw_tpu.fem.bcs import define_bcs
+    from lsafw_tpu.fem.spaces import define_spaces
+    from lsafw_tpu.meshing import generate_mesh, mark_boundary_facets
+    from lsafw_tpu.meshing.mesh import Shape
+
+    shape = Shape.from_string(args.shape)
+    kw = {}
+    if args.geometry_config:
+        if shape is Shape.CYLINDER_FLOW:
+            kw["config"] = load_cylinder_flow_config(args.geometry_config)
+        elif shape is Shape.STEP_FLOW:
+            kw["config"] = load_step_flow_config(args.geometry_config)
+    if args.n:
+        kw.update(dict(zip(("nx", "ny", "nz"), args.n)))
+        if shape is Shape.UNIT_INTERVAL:
+            kw = {"n": args.n[0]}
+    mesh = generate_mesh(shape, **kw)
+    if args.facet_config:
+        mark_boundary_facets(mesh, load_facet_config(args.facet_config))
+    spaces = define_spaces(mesh, args.space_type)
+    bcs = None
+    if args.bc_config:
+        bcs = define_bcs(mesh, spaces, load_bc_config(args.bc_config))
+    ctx = AssemblyContext.build(spaces)
+    return mesh, spaces, bcs, ctx
+
+
+def _add_case_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--shape", default="cylinder_flow")
+    p.add_argument("--n", type=int, nargs="*", default=None, help="structured mesh divisions")
+    p.add_argument("--geometry-config", type=Path, default=None)
+    p.add_argument("--facet-config", type=Path, default=None)
+    p.add_argument("--bc-config", type=Path, default=None)
+    p.add_argument("--space-type", default="taylor_hood")
+
+
+def _cmd_mesh(args) -> int:
+    from lsafw_tpu.utils.cache import CacheStore
+
+    mesh, spaces, bcs, ctx = _build_case(args)
+    print(mesh.summary())
+    if args.outdir:
+        CacheStore(args.outdir).save_mesh(args.key or "mesh", mesh)
+    return 0
+
+
+def _cmd_baseflow(args) -> int:
+    from lsafw_tpu.io import export_function
+    from lsafw_tpu.solver.baseflow import BaseFlowSolver, compute_recirculation_length
+
+    mesh, spaces, bcs, ctx = _build_case(args)
+    if bcs is None:
+        raise SystemExit("baseflow requires --bc-config")
+    solver = BaseFlowSolver(ctx, mesh, bcs, re=args.re)
+    w = solver.solve(ramp=args.ramp, steps=args.steps, tol=args.tol, max_it=args.max_it,
+                     damping_factor=args.damping)
+    try:
+        L = compute_recirculation_length(ctx, w)
+        logger.info("Recirculation length: %.4f", L)
+    except RuntimeError:
+        pass
+    if args.outdir:
+        export_function(w, spaces, args.outdir, name=args.key or "baseflow")
+    return 0
+
+
+def _cmd_assemble(args) -> int:
+    from lsafw_tpu.config import load_bc_config
+    from lsafw_tpu.fem.bcs import define_bcs
+    from lsafw_tpu.io import export_function, export_matrix
+    from lsafw_tpu.models.navier_stokes import LinearizedNavierStokesAssembler
+    from lsafw_tpu.solver.baseflow import BaseFlowSolver
+
+    mesh, spaces, bcs, ctx = _build_case(args)
+    if bcs is None:
+        raise SystemExit("assemble requires --bc-config")
+    w = BaseFlowSolver(ctx, mesh, bcs, re=args.re).solve(
+        ramp=args.ramp, steps=args.steps, tol=args.tol, max_it=args.max_it
+    )
+    pert_bcs = (
+        define_bcs(mesh, spaces, load_bc_config(args.perturbation_bc_config))
+        if args.perturbation_bc_config
+        else bcs.homogeneous()
+    )
+    asm = LinearizedNavierStokesAssembler(w, ctx, args.re, pert_bcs, mesh)
+    A, M = asm.assemble_eigensystem()
+    out = Path(args.outdir or ".")
+    export_matrix(A, out / "A.mtx")
+    export_matrix(M, out / "M.mtx")
+    export_function(w, spaces, out, name="baseflow")
+    logger.info("Assembled eigensystem exported to %s (n=%d)", out, A.shape[0])
+    return 0
+
+
+def _cmd_eigen(args) -> int:
+    from lsafw_tpu.io import export_eigenvector, import_matrix
+    from lsafw_tpu.solver.eigen import EigenSolver, EigensolverConfig, STType
+
+    A = import_matrix(Path(args.matdir) / "A.mtx")
+    M = import_matrix(Path(args.matdir) / "M.mtx")
+    cfg = EigensolverConfig(num_eig=args.num_eig, atol=args.atol, ncv=args.ncv)
+    es = EigenSolver(A, M, cfg, check_hermitian=args.check_hermitian)
+    if args.target is not None:
+        es.set_st_type(STType.SINVERT)
+        es.set_target(complex(args.target))
+    pairs = es.solve()
+    for i, (lam, vec) in enumerate(pairs):
+        logger.info("sigma[%d] = %.6e %+.6e j", i, lam.real, lam.imag)
+        if args.outdir:
+            export_eigenvector(vec, Path(args.outdir) / f"eigvec_{i}.npz")
+    if args.outdir:
+        (Path(args.outdir) / "eigenvalues.json").write_text(
+            json.dumps([[p[0].real, p[0].imag] for p in pairs])
+        )
+    return 0
+
+
+def _cmd_sensitivity(args) -> int:
+    from lsafw_tpu.io import export_function
+    from lsafw_tpu.sensitivity import EigenSensitivitySolver
+    from lsafw_tpu.solver.baseflow import BaseFlowSolver
+
+    mesh, spaces, bcs, ctx = _build_case(args)
+    if bcs is None:
+        raise SystemExit("sensitivity requires --bc-config")
+    w = BaseFlowSolver(ctx, mesh, bcs, re=args.re).solve(
+        ramp=args.ramp, steps=args.steps, tol=args.tol, max_it=args.max_it
+    )
+    sens = EigenSensitivitySolver(
+        ctx, mesh, bcs, w, args.re,
+        target=complex(args.target) if args.target else None,
+    )
+    d_sigma = sens.evaluate()
+    logger.info("d sigma / d Re = %.6e %+.6e j", d_sigma.real, d_sigma.imag)
+    if args.wavemaker and args.outdir:
+        sw = sens.compute_wavemaker()
+        export_function(sw, spaces, args.outdir, name="wavemaker")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="lsafw_tpu", description="TPU-native global linear stability analysis"
+    )
+    parser.add_argument("-v", "--verbose", action="store_true")
+    parser.add_argument(
+        "--platform",
+        choices=("auto", "cpu", "tpu"),
+        default="auto",
+        help="pin the JAX default device (cpu is useful for small problems "
+        "where per-kernel compile latency dominates)",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_mesh = sub.add_parser("mesh", help="generate and tag a mesh")
+    _add_case_args(p_mesh)
+    p_mesh.add_argument("--outdir", type=Path, default=None)
+    p_mesh.add_argument("--key", default=None)
+    p_mesh.set_defaults(fn=_cmd_mesh)
+
+    def _solver_args(p):
+        _add_case_args(p)
+        p.add_argument("--re", type=float, required=True)
+        p.add_argument("--ramp", action="store_true")
+        p.add_argument("--steps", type=int, default=3)
+        p.add_argument("--tol", type=float, default=1e-8)
+        p.add_argument("--max-it", type=int, default=50)
+        p.add_argument("--damping", type=float, default=1.0)
+        p.add_argument("--outdir", type=Path, default=None)
+        p.add_argument("--key", default=None)
+
+    p_bf = sub.add_parser("baseflow", help="steady Navier-Stokes solve")
+    _solver_args(p_bf)
+    p_bf.set_defaults(fn=_cmd_baseflow)
+
+    p_asm = sub.add_parser("assemble", help="assemble linearized eigensystem")
+    _solver_args(p_asm)
+    p_asm.add_argument("--perturbation-bc-config", type=Path, default=None)
+    p_asm.set_defaults(fn=_cmd_assemble)
+
+    p_eig = sub.add_parser("eigen", help="solve eigenproblem from .mtx matrices")
+    p_eig.add_argument("--matdir", type=Path, required=True)
+    p_eig.add_argument("--target", default=None)
+    p_eig.add_argument("--num-eig", type=int, default=5)
+    p_eig.add_argument("--atol", type=float, default=1e-8)
+    p_eig.add_argument("--ncv", type=int, default=80)
+    p_eig.add_argument("--check-hermitian", action="store_true")
+    p_eig.add_argument("--outdir", type=Path, default=None)
+    p_eig.set_defaults(fn=_cmd_eigen)
+
+    p_sens = sub.add_parser("sensitivity", help="adjoint eigenvalue sensitivity")
+    _solver_args(p_sens)
+    p_sens.add_argument("--target", default=None)
+    p_sens.add_argument("--wavemaker", action="store_true")
+    p_sens.set_defaults(fn=_cmd_sensitivity)
+
+    args = parser.parse_args(argv)
+    setup_logging(verbose=args.verbose)
+    # x64 must be on before any tracing: stability analysis needs 1e-8
+    # eigenvalue accuracy (f64 is emulated but correct on TPU)
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    if args.platform != "auto":
+        jax.config.update("jax_default_device", jax.devices(args.platform)[0])
+    try:
+        return args.fn(args)
+    except Exception as exc:  # fail-fast with exit 1 (parity: Solver/cli.py:348)
+        logger.error("%s", exc)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
