@@ -32,6 +32,7 @@ from lsafw_tpu.fem.spaces import FunctionSpace, FunctionSpaces  # noqa: F401
 from lsafw_tpu.meshing.mesh import Mesh
 from lsafw_tpu.ops.sparse import (
     CSRMatrix,
+    PatternDev,
     SparsityPattern,
     assemble_csr_data,
     build_sparsity,
@@ -67,7 +68,13 @@ def affine_geometry(mesh: Mesh) -> tuple[np.ndarray, np.ndarray]:
 class _ContextBase:
     """Shared tabulation/geometry data.  ``phi_u``/``dphi_u`` name the
     *primary* basis (velocity for mixed problems, the single basis for
-    scalar/vector problems) so element kernels work on both contexts."""
+    scalar/vector problems) so element kernels work on both contexts.
+
+    Contexts are registered as pytrees and MUST be passed through jit
+    boundaries as *arguments* — closing over a context embeds its (large)
+    arrays as compile-time constants, which makes TPU compilation take
+    minutes (see ops.sparse module docstring).
+    """
 
     rule: QuadratureRule
     w: jnp.ndarray  # (nq,)
@@ -76,25 +83,45 @@ class _ContextBase:
     detJ: jnp.ndarray  # (nc,)
     Jinv: jnp.ndarray  # (nc, tdim, gdim)
     pattern: SparsityPattern
-    _jit_cache: dict = field(default_factory=dict, repr=False)
+    pattern_dev: PatternDev = None  # type: ignore[assignment]
+
+    # names of array fields that become pytree leaves (subclasses extend)
+    _LEAF_FIELDS = ("w", "phi_u", "dphi_u", "detJ", "Jinv", "pattern_dev")
+    # cached reference tensors included as leaves (computed at build)
+    _LEAF_CACHED = ("M0", "K0", "metric")
+    _AUX_FIELDS = ("rule", "pattern")
 
     @property
     def nu_el(self) -> int:
         return int(self.phi_u.shape[1])
-
-    def jitted(self, key: str, factory):
-        """Compile-once cache for assembler closures over this context
-        (one XLA executable per (context, kernel), shared by all
-        assembler instances)."""
-        if key not in self._jit_cache:
-            self._jit_cache[key] = factory()
-        return self._jit_cache[key]
 
     def _warm(self) -> None:
         """Evaluate the cached reference tensors eagerly.  They must not
         be first computed inside a jit trace (the cached value would be
         a leaked tracer)."""
         _ = (self.M0, self.K0, self.metric)
+        if self.pattern_dev is None:
+            object.__setattr__(self, "pattern_dev", self.pattern.dev)
+
+    # --- pytree protocol (registered on subclasses) ---
+    def tree_flatten(self):
+        leaves = tuple(getattr(self, n) for n in self._LEAF_FIELDS) + tuple(
+            getattr(self, n) for n in self._LEAF_CACHED
+        )
+        aux = tuple(getattr(self, n) for n in self._AUX_FIELDS)
+        return leaves, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        obj = cls.__new__(cls)
+        nf = len(cls._LEAF_FIELDS)
+        for name, val in zip(cls._LEAF_FIELDS, leaves[:nf]):
+            object.__setattr__(obj, name, val)
+        for name, val in zip(cls._LEAF_CACHED, leaves[nf:]):
+            obj.__dict__[name] = val  # pre-populate cached_property slots
+        for name, val in zip(cls._AUX_FIELDS, aux):
+            object.__setattr__(obj, name, val)
+        return obj
 
     # --- static reference tensors (precontracted over quadrature) ---
     @cached_property
@@ -134,8 +161,7 @@ class AssemblyContext(_ContextBase):
     velocity-pressure space: tabulations, geometry factors, reference
     tensors and the shared mixed sparsity pattern.
 
-    Device-resident jnp members are constants under jit; numpy members
-    are compile-time structure.
+    A pytree: pass it as a jit argument (see base class).
     """
 
     spaces: FunctionSpaces = None  # type: ignore[assignment]
@@ -143,6 +169,12 @@ class AssemblyContext(_ContextBase):
     dphi_p: jnp.ndarray = None  # (nq, np_el, tdim)
     cell_nodes_u: jnp.ndarray = None  # (nc, nu_el) int32
     mixed_cell_dofs: jnp.ndarray = None  # (nc, ndofs_el) int32
+
+    _LEAF_FIELDS = _ContextBase._LEAF_FIELDS + (
+        "phi_p", "dphi_p", "cell_nodes_u", "mixed_cell_dofs",
+    )
+    _LEAF_CACHED = _ContextBase._LEAF_CACHED + ("M0_p", "B0")
+    _AUX_FIELDS = _ContextBase._AUX_FIELDS + ("spaces",)
 
     @classmethod
     def build(cls, spaces: FunctionSpaces, quad_degree: int | None = None) -> "AssemblyContext":
@@ -186,6 +218,9 @@ class AssemblyContext(_ContextBase):
         return self.nu_el * self.gdim + self.np_el
 
 
+jax.tree_util.register_pytree_node_class(AssemblyContext)
+
+
 @dataclass
 class SpaceContext(_ContextBase):
     """Assembly context for a single (scalar or blocked-vector) space —
@@ -194,6 +229,9 @@ class SpaceContext(_ContextBase):
 
     space: FunctionSpace = None  # type: ignore[assignment]
     cell_dofs: jnp.ndarray = None  # (nc, ndofs_el*bs) int32
+
+    _LEAF_FIELDS = _ContextBase._LEAF_FIELDS + ("cell_dofs",)
+    _AUX_FIELDS = _ContextBase._AUX_FIELDS + ("space",)
 
     @classmethod
     def build(cls, space: FunctionSpace, quad_degree: int | None = None) -> "SpaceContext":
@@ -222,7 +260,11 @@ class SpaceContext(_ContextBase):
         return self.space.mesh.gdim
 
     def scatter(self, element_mats: jnp.ndarray) -> CSRMatrix:
-        return CSRMatrix(self.pattern, assemble_csr_data(self.pattern, element_mats))
+        return CSRMatrix(
+            self.pattern,
+            assemble_csr_data(self.pattern_dev, element_mats),
+            self.pattern_dev,
+        )
 
     def scatter_vec(self, element_vecs: jnp.ndarray) -> jnp.ndarray:
         return jax.ops.segment_sum(
@@ -230,6 +272,9 @@ class SpaceContext(_ContextBase):
             self.cell_dofs.reshape(-1),
             num_segments=self.space.num_dofs,
         )
+
+
+jax.tree_util.register_pytree_node_class(SpaceContext)
 
 
 # ---------------------------------------------------------------------------
@@ -327,7 +372,9 @@ def compose_mixed(
 
 def scatter_matrix(ctx: AssemblyContext, element_mats: jnp.ndarray) -> CSRMatrix:
     """Element matrices -> global CSR on the shared mixed pattern."""
-    return CSRMatrix(ctx.pattern, assemble_csr_data(ctx.pattern, element_mats))
+    return CSRMatrix(
+        ctx.pattern, assemble_csr_data(ctx.pattern_dev, element_mats), ctx.pattern_dev
+    )
 
 
 def scatter_vector(ctx: AssemblyContext, element_vecs: jnp.ndarray) -> jnp.ndarray:
@@ -352,7 +399,7 @@ def gather_velocity_nodes(ctx: AssemblyContext, w_mixed: jnp.ndarray) -> jnp.nda
 
 
 def dirichlet_matrix_data(
-    pattern: SparsityPattern,
+    pattern: SparsityPattern | PatternDev,
     data: jnp.ndarray,
     bc_mask: jnp.ndarray,
     diag_value: float = 1.0,
@@ -366,13 +413,11 @@ def dirichlet_matrix_data(
     spurious sigma=1 Dirichlet modes into harmless infinite eigenvalues
     (cf. filtering at ``tests/benchmark/vibrating_membrane.py:169-173``).
     """
-    row_ids = jnp.asarray(pattern.row_ids)
-    col_ids = jnp.asarray(pattern.indices.astype(np.int32))
-    kill = bc_mask[row_ids] | bc_mask[col_ids]
+    dev = pattern.dev if isinstance(pattern, SparsityPattern) else pattern
+    kill = bc_mask[dev.row_ids] | bc_mask[dev.indices]
     data = jnp.where(kill, 0.0, data)
-    diag_slots = jnp.asarray(pattern.diag_slots)
-    new_diag = jnp.where(bc_mask, diag_value, data[diag_slots])
-    return data.at[diag_slots].set(new_diag)
+    new_diag = jnp.where(bc_mask, diag_value, data[dev.diag_slots])
+    return data.at[dev.diag_slots].set(new_diag)
 
 
 def dirichlet_lift(

@@ -25,9 +25,12 @@ from lsafw_tpu.meshing.tags import facets_with_marker
 from lsafw_tpu.ops.sparse import SparsityPattern
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclass
 class FacetContext:
-    """Precomputed boundary-integral data for one facet set (marker)."""
+    """Precomputed boundary-integral data for one facet set (marker).
+
+    A pytree (pass as a jit argument, like the assembly contexts)."""
 
     marker: int
     facet_ids: np.ndarray  # (nf,)
@@ -39,7 +42,23 @@ class FacetContext:
     gphi_u: jnp.ndarray  # (nf, nqf, nu_el, gdim) physical gradients
     phi_p: jnp.ndarray  # (nf, nqf, np_el)
     cell_dofs: jnp.ndarray  # (nf, ndofs_el) mixed dofs of parent cells
-    slots: np.ndarray  # (nf * ndofs_el**2,) nnz slots into the mixed pattern
+    slots: jnp.ndarray  # (nf * ndofs_el**2,) nnz slots into the mixed pattern
+
+    _LEAVES = (
+        "facet_ids", "parent_cells", "w", "detJf", "normals", "phi_u",
+        "gphi_u", "phi_p", "cell_dofs", "slots",
+    )
+
+    def tree_flatten(self):
+        return tuple(getattr(self, n) for n in self._LEAVES), (self.marker,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        obj = cls.__new__(cls)
+        obj.marker = aux[0]
+        for n, v in zip(cls._LEAVES, leaves):
+            object.__setattr__(obj, n, v)
+        return obj
 
 
 def build_facet_context(
@@ -106,7 +125,7 @@ def build_facet_context(
         gphi_u=jnp.asarray(gphi_u),
         phi_p=jnp.asarray(phi_p),
         cell_dofs=jnp.asarray(cell_dofs),
-        slots=slots,
+        slots=jnp.asarray(slots),
     )
 
 
@@ -121,14 +140,12 @@ def _pair_slots(pattern: SparsityPattern, cell_dofs: np.ndarray) -> np.ndarray:
     nf, nd = cell_dofs.shape
     rows = np.broadcast_to(cell_dofs[:, :, None], (nf, nd, nd)).ravel().astype(np.int64)
     cols = np.broadcast_to(cell_dofs[:, None, :], (nf, nd, nd)).ravel().astype(np.int64)
-    lo = pattern.indptr[rows]
-    hi = pattern.indptr[rows + 1]
-    # binary search within each row's column slice
-    slots = np.empty(rows.size, dtype=np.int64)
-    for k in range(rows.size):  # boundary-sized loop; host preprocessing
-        sl = np.searchsorted(pattern.indices[lo[k] : hi[k]], cols[k])
-        slots[k] = lo[k] + sl
-    if not (pattern.indices[slots] == cols).all():
+    # (row, col) pairs form one globally sorted key over the CSR layout
+    m1 = pattern.shape[1] + 1
+    key = pattern.row_ids.astype(np.int64) * m1 + pattern.indices
+    want = rows * m1 + cols
+    slots = np.searchsorted(key, want)
+    if not (key[np.minimum(slots, key.size - 1)] == want).all():
         raise RuntimeError("Facet dof pair missing from sparsity pattern.")
     return slots.astype(np.int32)
 
@@ -192,8 +209,9 @@ def traction_force(
     ``Solver/baseflow.py:188-213``)."""
     nu = ctx.spaces.velocity.num_dofs
     g = ctx.gdim
-    u_nodes = w_mixed[:nu].reshape(-1, g)[np.asarray(ctx.spaces.velocity.cell_nodes)[fc.parent_cells]]
-    p_nodes = w_mixed[nu:][np.asarray(ctx.spaces.pressure.cell_nodes)[fc.parent_cells]]
+    parents = np.asarray(fc.parent_cells)
+    u_nodes = w_mixed[:nu].reshape(-1, g)[np.asarray(ctx.spaces.velocity.cell_nodes)[parents]]
+    p_nodes = w_mixed[nu:][np.asarray(ctx.spaces.pressure.cell_nodes)[parents]]
     gradu = jnp.einsum("fid,fqie->fqde", u_nodes, fc.gphi_u)
     pq = jnp.einsum("fqk,fk->fq", fc.phi_p, p_nodes)
     sym = 0.5 * (gradu + jnp.swapaxes(gradu, -1, -2))
@@ -216,7 +234,7 @@ def _scatter_vv_block(fc: FacetContext, ctx: AssemblyContext, vv: jnp.ndarray) -
     full = jnp.zeros((nf, ctx.ndofs_el, ctx.ndofs_el), dtype=vv.dtype)
     full = full.at[:, :nud, :nud].set(vv)
     return jax.ops.segment_sum(
-        full.reshape(-1), jnp.asarray(fc.slots), num_segments=ctx.pattern.nnz
+        full.reshape(-1), fc.slots, num_segments=ctx.pattern.nnz
     )
 
 

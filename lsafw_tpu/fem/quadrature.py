@@ -19,7 +19,7 @@ import numpy as np
 from lsafw_tpu.meshing.mesh import CellType
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class QuadratureRule:
     points: np.ndarray  # (nq, tdim)
     weights: np.ndarray  # (nq,)

@@ -40,7 +40,7 @@ class FunctionSpaceType(Enum):
         return cls(value.lower().strip().replace(" ", "_"))
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class FunctionSpace:
     """A (possibly blocked) Lagrange-type space over a mesh.
 
@@ -192,7 +192,7 @@ def make_vector_space(mesh: Mesh, family: ElementFamily | str, bs: int | None = 
     )
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class FunctionSpaces:
     """Velocity/pressure/mixed container (parity: ``FEM/spaces.py:27-59``).
 

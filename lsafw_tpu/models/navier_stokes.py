@@ -8,6 +8,10 @@ is replaced by the *analytic* linearization (convection + shear around
 the current state), assembled by the very same kernels that build the
 eigensystem operator — one code path for Newton and stability analysis.
 
+All hot entry points are module-level jitted functions taking the
+assembly context (a pytree) as an argument — the TPU compilation
+contract of :mod:`lsafw_tpu.ops.sparse`.
+
 Sign conventions follow the reference exactly:
   residual form  F(w) = -(u.grad)u.v - (1/Re) grad u : grad v
                         + p div v + q div u + f.v  (+ boundary terms)
@@ -48,11 +52,11 @@ from lsafw_tpu.fem.facets import (
     viscous_outlet_matrix_data,
 )
 from lsafw_tpu.meshing.mesh import Mesh
-from lsafw_tpu.ops.sparse import CSRMatrix
+from lsafw_tpu.ops.sparse import CSRMatrix, assemble_csr_data, spmv
 
 
 # ---------------------------------------------------------------------------
-# Element-level composites (jit-friendly pure functions)
+# Element-level composites (pure functions of the context pytree)
 # ---------------------------------------------------------------------------
 
 
@@ -132,6 +136,71 @@ def ns_residual_elements(
 
 
 # ---------------------------------------------------------------------------
+# Module-level jitted assembly entry points (ctx is an argument pytree)
+# ---------------------------------------------------------------------------
+
+
+def _mat(ctx: AssemblyContext, data: jnp.ndarray) -> CSRMatrix:
+    return CSRMatrix(ctx.pattern, data, ctx.pattern_dev)
+
+
+@jax.jit
+def _jit_stokes_system(ctx, re, mask, bc_values, f, neumann_v, neumann_p):
+    A0 = scatter_matrix(ctx, stokes_elements(ctx, re))
+    b = jnp.zeros(A0.shape[0], dtype=A0.dtype)
+    if f is not None:
+        wdet = ctx.w[None, :] * ctx.detJ[:, None]
+        r_v = jnp.einsum("cq,qi,d->cid", wdet, ctx.phi_u, f)
+        nc = r_v.shape[0]
+        el = jnp.zeros((nc, ctx.ndofs_el), dtype=A0.dtype)
+        el = el.at[:, : ctx.nu_el * ctx.gdim].set(r_v.reshape(nc, -1))
+        b = b + scatter_vector(ctx, el)
+    for fc, g in neumann_v:
+        b = b + neumann_velocity_load(fc, ctx, g)
+    for fc, h in neumann_p:
+        b = b + neumann_pressure_load(fc, ctx, h)
+    b = dirichlet_lift(A0, b, mask, bc_values)
+    data_bc = dirichlet_matrix_data(ctx.pattern_dev, A0.data, mask, 1.0)
+    return data_bc, b
+
+
+@jax.jit
+def _jit_ns_residual(ctx, w, re, f, outlets, robin):
+    r = scatter_vector(ctx, ns_residual_elements(ctx, w, re, f))
+    for fc in outlets:
+        data = viscous_outlet_matrix_data(fc, ctx, 1.0)
+        r = r + (1.0 / re) * spmv(_mat(ctx, data), w)
+    for fc, alpha, g in robin:
+        data = robin_matrix_data(fc, ctx, alpha)
+        r = r + spmv(_mat(ctx, data), w) + alpha * neumann_velocity_load(fc, ctx, g)
+    return r
+
+
+@jax.jit
+def _jit_ns_jacobian_data(ctx, w, re, mask, outlets, robin):
+    data = assemble_csr_data(ctx.pattern_dev, linearized_ns_elements(ctx, w, re))
+    for fc in outlets:
+        data = data + (1.0 / re) * viscous_outlet_matrix_data(fc, ctx, 1.0)
+    for fc, alpha, _ in robin:
+        data = data + robin_matrix_data(fc, ctx, alpha)
+    return dirichlet_matrix_data(ctx.pattern_dev, data, mask, 1.0)
+
+
+@jax.jit
+def _jit_linearized_data(ctx, w, re, mask, outlets):
+    data = assemble_csr_data(ctx.pattern_dev, linearized_ns_elements(ctx, w, re))
+    for fc in outlets:
+        data = data + (1.0 / re) * viscous_outlet_matrix_data(fc, ctx, 1.0)
+    return dirichlet_matrix_data(ctx.pattern_dev, data, mask, 1.0)
+
+
+@jax.jit
+def _jit_mass_data(ctx, mask, diag):
+    data = assemble_csr_data(ctx.pattern_dev, mass_elements(ctx))
+    return dirichlet_matrix_data(ctx.pattern_dev, data, mask, diag)
+
+
+# ---------------------------------------------------------------------------
 # Assemblers
 # ---------------------------------------------------------------------------
 
@@ -170,10 +239,10 @@ class _NSBase:
     def bc_values(self) -> jnp.ndarray:
         return jnp.asarray(self.bcs.dirichlet_values)
 
-    def _outlet_contexts(self) -> list[FacetContext]:
-        return [
+    def _outlet_contexts(self) -> tuple[FacetContext, ...]:
+        return tuple(
             build_facet_context(self.ctx, self.mesh, m) for m in self.bcs.outlet_markers
-        ]
+        )
 
 
 class StokesAssembler(_NSBase):
@@ -191,47 +260,31 @@ class StokesAssembler(_NSBase):
     ) -> None:
         super().__init__(ctx=spaces_ctx, mesh=mesh, bcs=bcs)
         self.re = re
-        self.f = f
-        self._neumann_ctxs = [
-            (build_facet_context(self.ctx, mesh, m), g) for m, g in bcs.velocity_neumann
-        ]
-        self._neumann_p_ctxs = [
-            (build_facet_context(self.ctx, mesh, m), h) for m, h in bcs.pressure_neumann
-        ]
+        self.f = jnp.asarray(f) if f is not None else None
+        self._neumann_v = tuple(
+            (build_facet_context(self.ctx, mesh, m), jnp.asarray(g))
+            for m, g in bcs.velocity_neumann
+        )
+        self._neumann_p = tuple(
+            (build_facet_context(self.ctx, mesh, m), jnp.asarray(h))
+            for m, h in bcs.pressure_neumann
+        )
 
     def get_matrix_forms(self) -> tuple[CSRMatrix, jnp.ndarray]:
         """Assemble (A_bc, b_lifted) ready for a linear solve."""
-        ctx = self.ctx
-        assemble = ctx.jitted(
-            "stokes", lambda: jax.jit(lambda re: scatter_matrix(ctx, stokes_elements(ctx, re)))
+        data, b = _jit_stokes_system(
+            self.ctx, self.re, self.bc_mask, self.bc_values, self.f,
+            self._neumann_v, self._neumann_p,
         )
-        A0 = assemble(self.re)
-        b = jnp.zeros(ctx.spaces.num_dofs, dtype=A0.dtype)
-        if self.f is not None:
-            fvec = jnp.asarray(self.f)
-            wdet = ctx.w[None, :] * ctx.detJ[:, None]
-            r_v = jnp.einsum("cq,qi,d->cid", wdet, ctx.phi_u, fvec)
-            nc = r_v.shape[0]
-            el = jnp.zeros((nc, ctx.ndofs_el), dtype=A0.dtype)
-            el = el.at[:, : ctx.nu_el * ctx.gdim].set(r_v.reshape(nc, -1))
-            b = b + scatter_vector(ctx, el)
-        for fc, g in self._neumann_ctxs:
-            b = b + neumann_velocity_load(fc, ctx, g)
-        for fc, h in self._neumann_p_ctxs:
-            b = b + neumann_pressure_load(fc, ctx, h)
-        b = dirichlet_lift(A0, b, self.bc_mask, self.bc_values)
-        A_bc = CSRMatrix(
-            ctx.pattern, dirichlet_matrix_data(ctx.pattern, A0.data, self.bc_mask, 1.0)
-        )
-        return A_bc, b
+        return CSRMatrix(self.ctx.pattern, data), b
 
 
 class StationaryNavierStokesAssembler(_NSBase):
     """Residual + analytic Jacobian of stationary NS
     (parity: ``StationaryNavierStokesAssembler``, ``FEM/operators.py:287-396``).
 
-    ``re`` is a *traced* argument of the jitted residual/Jacobian so a
-    Reynolds ramp reuses one compiled executable.
+    ``re`` is a *traced* argument so a Reynolds ramp reuses one compiled
+    executable.
     """
 
     def __init__(
@@ -245,56 +298,22 @@ class StationaryNavierStokesAssembler(_NSBase):
         super().__init__(ctx=spaces_ctx, mesh=mesh, bcs=bcs)
         self.f = jnp.asarray(f) if f is not None else None
         self._outlets = self._outlet_contexts()
-        self._robin = [
-            (build_facet_context(self.ctx, mesh, m), a, g) for m, a, g in bcs.robin
-        ]
-        ctx = self.ctx
-        outlets = self._outlets
-        robin = self._robin
-        fvec = self.f
+        self._robin = tuple(
+            (build_facet_context(self.ctx, mesh, m), a, jnp.asarray(g))
+            for m, a, g in bcs.robin
+        )
 
-        def _residual(w, re):
-            r = scatter_vector(ctx, ns_residual_elements(ctx, w, re, fvec))
-            # boundary terms of the residual: for w satisfying Dirichlet
-            # data, outlet/robin matrices act on w directly
-            for fc in outlets:
-                data = viscous_outlet_matrix_data(fc, ctx, 1.0)  # 1/re applied below
-                r = r + (1.0 / re) * spmv_data(ctx, data, w)
-            for fc, alpha, g in robin:
-                data = robin_matrix_data(fc, ctx, alpha)
-                r = r + spmv_data(ctx, data, w) + alpha * neumann_velocity_load(fc, ctx, g)
-            return r
+    def residual(self, w, re) -> jnp.ndarray:
+        return _jit_ns_residual(self.ctx, w, re, self.f, self._outlets, self._robin)
 
-        def _jacobian_data(w, re):
-            data = assemble_jac_elements(w, re)
-            for fc in outlets:
-                data = data + (1.0 / re) * viscous_outlet_matrix_data(fc, ctx, 1.0)
-            for fc, alpha, _ in robin:
-                data = data + robin_matrix_data(fc, ctx, alpha)
-            return data
-
-        def assemble_jac_elements(w, re):
-            from lsafw_tpu.ops.sparse import assemble_csr_data
-
-            return assemble_csr_data(ctx.pattern, linearized_ns_elements(ctx, w, re))
-
-        self.residual = jax.jit(_residual)
-        self.jacobian_data = jax.jit(_jacobian_data)
+    def jacobian_data(self, w, re) -> jnp.ndarray:
+        return _jit_ns_jacobian_data(
+            self.ctx, w, re, self.bc_mask, self._outlets, self._robin
+        )
 
     def jacobian(self, w: jnp.ndarray, re) -> CSRMatrix:
         """Assembled Jacobian with Dirichlet rows/cols eliminated."""
-        data = self.jacobian_data(w, re)
-        return CSRMatrix(
-            self.ctx.pattern,
-            dirichlet_matrix_data(self.ctx.pattern, data, self.bc_mask, 1.0),
-        )
-
-
-def spmv_data(ctx: AssemblyContext, data: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """SpMV with raw nnz data on the shared mixed pattern."""
-    from lsafw_tpu.ops.sparse import spmv
-
-    return spmv(CSRMatrix(ctx.pattern, data), x)
+        return CSRMatrix(self.ctx.pattern, self.jacobian_data(w, re))
 
 
 class LinearizedNavierStokesAssembler(_NSBase):
@@ -327,32 +346,14 @@ class LinearizedNavierStokesAssembler(_NSBase):
         self._outlets = self._outlet_contexts()
 
     def assemble_linear_operator(self) -> CSRMatrix:
-        ctx = self.ctx
-        outlets = self._outlets
-
-        def _assemble(w, re, mask):
-            from lsafw_tpu.ops.sparse import assemble_csr_data
-
-            data = assemble_csr_data(ctx.pattern, linearized_ns_elements(ctx, w, re))
-            for fc in outlets:
-                data = data + (1.0 / re) * viscous_outlet_matrix_data(fc, ctx, 1.0)
-            return dirichlet_matrix_data(ctx.pattern, data, mask, 1.0)
-
-        if not hasattr(self, "_lin_jit"):
-            self._lin_jit = jax.jit(_assemble)
-        return CSRMatrix(ctx.pattern, self._lin_jit(self.base_flow, self.re, self.bc_mask))
+        data = _jit_linearized_data(
+            self.ctx, self.base_flow, self.re, self.bc_mask, self._outlets
+        )
+        return CSRMatrix(self.ctx.pattern, data)
 
     def assemble_mass_matrix(self) -> CSRMatrix:
-        ctx = self.ctx
-
-        def _assemble(mask, diag):
-            from lsafw_tpu.ops.sparse import assemble_csr_data
-
-            data = assemble_csr_data(ctx.pattern, mass_elements(ctx))
-            return dirichlet_matrix_data(ctx.pattern, data, mask, diag)
-
-        fn = ctx.jitted("mass_ns", lambda: jax.jit(_assemble))
-        return CSRMatrix(ctx.pattern, fn(self.bc_mask, self.mass_diag))
+        data = _jit_mass_data(self.ctx, self.bc_mask, self.mass_diag)
+        return CSRMatrix(self.ctx.pattern, data)
 
     def assemble_eigensystem(self) -> tuple[CSRMatrix, CSRMatrix]:
         """(A, M) on the shared pattern (``FEM/operators.py:511-527``)."""

@@ -9,24 +9,40 @@ TPU-native replacement for the PETSc Mat/Vec layer the reference wraps
   * device SpMV uses an ELL (padded-row) layout: one gather + one
     multiply + one row reduction, which XLA vectorizes on the VPU and
     which is the memory-bandwidth-optimal access pattern for
-    bounded-degree FEM matrices (a Pallas kernel variant lives in
-    :mod:`lsafw_tpu.ops.kernels`);
+    bounded-degree FEM matrices;
   * host-side conversions to scipy CSR support direct factorization
     and MatrixMarket IO (parity: ``FEM/utils.py:616-659`` export).
 
-All structure arrays are static numpy; only ``data`` is a traced jnp
-array, so assembly and solves jit cleanly.
+TPU compilation contract: large index arrays must reach jitted code as
+*arguments*, never as closed-over constants (embedded constants make
+XLA program serialization/compilation take minutes at FEM sizes).  The
+structure therefore materializes once as a :class:`PatternDev` bundle
+of device arrays, and :class:`CSRMatrix` is a pytree whose leaves are
+``(data, dev)`` — pass the matrix itself through jit and everything
+stays a runtime buffer.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
 from functools import cached_property
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
+
+
+class PatternDev(NamedTuple):
+    """Device-resident structure arrays of a sparsity pattern."""
+
+    slots: jnp.ndarray  # (num_coo_entries,) int32: COO entry -> nnz slot
+    row_ids: jnp.ndarray  # (nnz,) int32
+    indices: jnp.ndarray  # (nnz,) int32 column ids
+    diag_slots: jnp.ndarray  # (n,) int32
+    ell_map: jnp.ndarray  # (n, w) int32 into nnz, -1 = pad
+    ell_cols: jnp.ndarray  # (n, w) int32, 0 on pads
 
 
 @dataclass(frozen=True, eq=False)
@@ -61,18 +77,24 @@ class SparsityPattern:
 
     @cached_property
     def diag_slots(self) -> np.ndarray:
-        """(n,) nnz slot of each diagonal entry (requires square pattern
-        containing the diagonal, which FEM cell patterns always do)."""
+        """(n,) nnz slot of each diagonal entry (vectorized per-row
+        binary search: (row, col) pairs form one globally sorted key)."""
         n = self.shape[0]
-        out = np.full(n, -1, dtype=np.int64)
-        for r in range(n):
-            lo, hi = self.indptr[r], self.indptr[r + 1]
-            k = np.searchsorted(self.indices[lo:hi], r)
-            if k < hi - lo and self.indices[lo + k] == r:
-                out[r] = lo + k
-        if (out < 0).any():
+        rows = np.arange(n, dtype=np.int64)
+        key = self.row_ids.astype(np.int64) * (self.shape[1] + 1) + self.indices
+        want = rows * (self.shape[1] + 1) + rows
+        out = np.searchsorted(key, want)
+        if not ((out < self.nnz) & (key[np.minimum(out, self.nnz - 1)] == want)).all():
             raise ValueError("Sparsity pattern is missing diagonal entries.")
         return out
+
+    @cached_property
+    def has_full_diagonal(self) -> bool:
+        try:
+            _ = self.diag_slots
+            return True
+        except ValueError:
+            return False
 
     @cached_property
     def ell(self) -> tuple[np.ndarray, np.ndarray, int]:
@@ -87,6 +109,25 @@ class SparsityPattern:
         ell_cols = np.zeros((n, w), dtype=np.int32)
         ell_cols[self.row_ids, col_in_row] = self.indices
         return ell_map, ell_cols, w
+
+    @cached_property
+    def dev(self) -> PatternDev:
+        """Device bundle.  Materialized eagerly (never first-touch this
+        inside a jit trace); pass it (or a CSRMatrix) as a jit argument."""
+        ell_map, ell_cols, _ = self.ell
+        diag = (
+            self.diag_slots.astype(np.int32)
+            if self.has_full_diagonal
+            else np.zeros(self.shape[0], dtype=np.int32)  # sentinel; see diagonal()
+        )
+        return PatternDev(
+            slots=jnp.asarray(self.slots),
+            row_ids=jnp.asarray(self.row_ids),
+            indices=jnp.asarray(self.indices.astype(np.int32)),
+            diag_slots=jnp.asarray(diag),
+            ell_map=jnp.asarray(ell_map),
+            ell_cols=jnp.asarray(ell_cols),
+        )
 
 
 def build_sparsity(
@@ -111,6 +152,15 @@ def build_sparsity(
         n = int(rows_per_cell.max()) + 1
         m = int(cols_per_cell.max()) + 1
         shape = (n, m)
+
+    # native C++ builder (bucketed counting sort, ~10x the numpy path)
+    from lsafw_tpu.ops.native import build_pattern_native
+
+    native = build_pattern_native(rows_per_cell, cols_per_cell, shape[0])
+    if native is not None:
+        indptr, indices, slots = native
+        return SparsityPattern(shape=shape, indptr=indptr, indices=indices, slots=slots)
+
     rows = np.broadcast_to(rows_per_cell[:, :, None], (nc, a, b)).ravel()
     cols = np.broadcast_to(cols_per_cell[:, None, :], (nc, a, b)).ravel()
     keys = rows * shape[1] + cols
@@ -133,20 +183,31 @@ def build_sparsity(
 class CSRMatrix:
     """A sparse matrix with static structure and traced data.
 
-    The jit-visible leaf is ``data``; the pattern rides along as static
-    aux data (identical patterns share one compiled kernel).
+    Pytree leaves are ``(data, dev)`` so jitted callees receive the
+    structure arrays as runtime buffers; the host-side pattern rides
+    along as static aux data.
     """
 
     pattern: SparsityPattern
     data: jnp.ndarray
+    dev: PatternDev = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.dev is None:
+            self.dev = self.pattern.dev
 
     # --- pytree protocol ---
     def tree_flatten(self):
-        return (self.data,), self.pattern
+        return (self.data, self.dev), self.pattern
 
     @classmethod
     def tree_unflatten(cls, pattern, leaves):
-        return cls(pattern=pattern, data=leaves[0])
+        data, dev = leaves
+        obj = cls.__new__(cls)
+        obj.pattern = pattern
+        obj.data = data
+        obj.dev = dev
+        return obj
 
     # --- properties ---
     @property
@@ -160,21 +221,21 @@ class CSRMatrix:
     # --- algebra (parity: iPETScMatrix arithmetic, FEM/utils.py:226-330) ---
     def __add__(self, other: "CSRMatrix") -> "CSRMatrix":
         self._check_same_pattern(other)
-        return CSRMatrix(self.pattern, self.data + other.data)
+        return CSRMatrix(self.pattern, self.data + other.data, self.dev)
 
     def __sub__(self, other: "CSRMatrix") -> "CSRMatrix":
         self._check_same_pattern(other)
-        return CSRMatrix(self.pattern, self.data - other.data)
+        return CSRMatrix(self.pattern, self.data - other.data, self.dev)
 
     def __mul__(self, alpha) -> "CSRMatrix":
-        return CSRMatrix(self.pattern, self.data * alpha)
+        return CSRMatrix(self.pattern, self.data * alpha, self.dev)
 
     __rmul__ = __mul__
 
     def axpy(self, alpha, other: "CSRMatrix") -> "CSRMatrix":
         """self + alpha * other (parity: ``iPETScMatrix.axpy``)."""
         self._check_same_pattern(other)
-        return CSRMatrix(self.pattern, self.data + alpha * other.data)
+        return CSRMatrix(self.pattern, self.data + alpha * other.data, self.dev)
 
     def _check_same_pattern(self, other: "CSRMatrix") -> None:
         if other.pattern is not self.pattern:
@@ -184,7 +245,9 @@ class CSRMatrix:
             )
 
     def diagonal(self) -> jnp.ndarray:
-        return self.data[self.pattern.diag_slots]
+        if not self.pattern.has_full_diagonal:
+            raise ValueError("Matrix pattern has no stored diagonal.")
+        return self.data[self.dev.diag_slots]
 
     # --- matvec ---
     def __matmul__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -193,10 +256,9 @@ class CSRMatrix:
     def matvec_t(self, x: jnp.ndarray) -> jnp.ndarray:
         """Transpose matvec A^T x without materializing A^T: scatter-add
         the column contributions (adjoint of the ELL gather)."""
-        pat = self.pattern
-        contrib = self.data * x[jnp.asarray(pat.row_ids)]
+        contrib = self.data * x[self.dev.row_ids]
         return jax.ops.segment_sum(
-            contrib, jnp.asarray(pat.indices.astype(np.int32)), num_segments=pat.shape[1]
+            contrib, self.dev.indices, num_segments=self.pattern.shape[1]
         )
 
     # --- host interop ---
@@ -225,36 +287,36 @@ class CSRMatrix:
 
 
 def assemble_csr_data(
-    pattern: SparsityPattern, element_values: jnp.ndarray
+    pattern: SparsityPattern | PatternDev, element_values: jnp.ndarray
 ) -> jnp.ndarray:
     """Scatter flattened per-cell element matrices into nnz data.
 
     ``element_values``: (num_cells, a, b) or already-flat (num_entries,).
     This is the single jit-compatible scatter primitive the whole FEM
     layer reduces to (replaces dolfinx's C++ assembly insertion loop,
-    ``FEM/operators.py:483-486``).
+    ``FEM/operators.py:483-486``).  Under jit, pass the pattern's
+    :class:`PatternDev` (or a context pytree carrying it) as an argument.
     """
-    flat = element_values.reshape(-1)
-    return jax.ops.segment_sum(
-        flat, jnp.asarray(pattern.slots), num_segments=pattern.nnz
+    dev = pattern.dev if isinstance(pattern, SparsityPattern) else pattern
+    nnz = (
+        pattern.nnz
+        if isinstance(pattern, SparsityPattern)
+        else int(dev.indices.shape[0])
     )
+    flat = element_values.reshape(-1)
+    return jax.ops.segment_sum(flat, dev.slots, num_segments=nnz)
 
 
 def spmv(A: CSRMatrix, x: jnp.ndarray) -> jnp.ndarray:
     """ELL-layout sparse matrix-vector product y = A x."""
-    ell_map, ell_cols, _ = A.pattern.ell
-    data_ell = jnp.where(
-        jnp.asarray(ell_map) >= 0, A.data[jnp.asarray(ell_map)], 0.0
-    )
-    return (data_ell * x[jnp.asarray(ell_cols)]).sum(axis=1)
+    data_ell = jnp.where(A.dev.ell_map >= 0, A.data[A.dev.ell_map], 0.0)
+    return (data_ell * x[A.dev.ell_cols]).sum(axis=1)
 
 
 def spmv_pair(A: CSRMatrix, xr: jnp.ndarray, xi: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Real-matrix complex SpMV over an (re, im) pair: two fused gathers
     (the TPU-native form of the reference's real-build complex emulation,
     ``FEM/utils.py:911-1244``)."""
-    ell_map, ell_cols, _ = A.pattern.ell
-    m = jnp.asarray(ell_map)
-    c = jnp.asarray(ell_cols)
-    data_ell = jnp.where(m >= 0, A.data[m], 0.0)
+    data_ell = jnp.where(A.dev.ell_map >= 0, A.data[A.dev.ell_map], 0.0)
+    c = A.dev.ell_cols
     return (data_ell * xr[c]).sum(axis=1), (data_ell * xi[c]).sum(axis=1)

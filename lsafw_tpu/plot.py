@@ -1,0 +1,154 @@
+"""Host-side visualization.
+
+Counterpart of the reference's plotting surface (``Meshing/plot.py``
+PyVista mesh renders, ``FEM/plot.py`` sparsity spy + mixed-function
+plots, ``Elasticity/plot.py`` mode shapes), using matplotlib only (the
+image carries no VTK).  All functions accept an optional ``path`` to
+save instead of show — the headless-friendly default.
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+from pathlib import Path
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+import matplotlib.tri as mtri  # noqa: E402
+
+from lsafw_tpu.fem.spaces import FunctionSpaces  # noqa: E402
+from lsafw_tpu.meshing.mesh import Mesh  # noqa: E402
+from lsafw_tpu.ops.sparse import CSRMatrix  # noqa: E402
+
+
+class PlotMode(Enum):
+    """(parity: ``Meshing/plot.py:27`` / ``FEM/plot.py`` PlotMode)."""
+
+    STATIC = "static"
+    INTERACTIVE = "interactive"  # falls back to static file output
+
+
+def _finish(fig, path: Path | str | None):
+    if path is not None:
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        fig.savefig(path, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+        return path
+    return fig
+
+
+def plot_mesh(mesh: Mesh, *, show_tags: bool = True, path=None, title=None):
+    """Triangle mesh render with tagged boundary facets colored
+    (parity: ``plot_mesh``, ``Meshing/plot.py:34``)."""
+    if mesh.tdim != 2:
+        raise NotImplementedError("plot_mesh renders 2D meshes.")
+    fig, ax = plt.subplots(figsize=(9, 6))
+    ax.triplot(
+        mesh.vertices[:, 0], mesh.vertices[:, 1], mesh.cells,
+        lw=0.3, color="0.6",
+    )
+    if show_tags and mesh.facet_tags is not None:
+        tagged = np.nonzero(mesh.facet_tags)[0]
+        markers = mesh.facet_tags[tagged]
+        cmap = plt.get_cmap("tab10")
+        for m in np.unique(markers):
+            fs = mesh.facets[tagged[markers == m]]
+            segs = mesh.vertices[fs]
+            for s in segs:
+                ax.plot(s[:, 0], s[:, 1], color=cmap(int(m) % 10), lw=1.8)
+            ax.plot([], [], color=cmap(int(m) % 10), label=f"marker {m}")
+        ax.legend(loc="upper right", fontsize=8)
+    ax.set_aspect("equal")
+    ax.set_title(title or mesh.summary())
+    return _finish(fig, path)
+
+
+def spy(mat: CSRMatrix, *, path=None, title=None, markersize: float = 0.2):
+    """Sparsity plot (parity: ``spy``, ``FEM/plot.py:55``)."""
+    fig, ax = plt.subplots(figsize=(6, 6))
+    s = mat.to_scipy().tocoo()
+    ax.plot(s.col, s.row, ",", markersize=markersize)
+    ax.invert_yaxis()
+    ax.set_aspect("equal")
+    ax.set_title(title or f"nnz = {s.nnz}")
+    return _finish(fig, path)
+
+
+def plot_mixed_function(
+    w: np.ndarray,
+    spaces: FunctionSpaces,
+    mode: PlotMode = PlotMode.STATIC,
+    *,
+    scale: float = 1.0,
+    title: str | None = None,
+    path=None,
+):
+    """Velocity streamlines/quiver over pressure contours
+    (parity: ``plot_mixed_function``, ``FEM/plot.py:130-441``)."""
+    mesh = spaces.velocity.mesh
+    if mesh.tdim != 2:
+        raise NotImplementedError("plot_mixed_function renders 2D fields.")
+    u, p = spaces.split(np.real(np.asarray(w)))
+    nv = mesh.num_vertices
+    tri = mtri.Triangulation(mesh.vertices[:, 0], mesh.vertices[:, 1], mesh.cells)
+    fig, axes = plt.subplots(2, 1, figsize=(9, 8))
+    tc = axes[0].tripcolor(tri, np.linalg.norm(u[:nv], axis=1), shading="gouraud")
+    fig.colorbar(tc, ax=axes[0], label="|u|")
+    step = max(1, nv // 1500)
+    axes[0].quiver(
+        mesh.vertices[::step, 0], mesh.vertices[::step, 1],
+        u[:nv:step, 0], u[:nv:step, 1], scale=None if scale == 1.0 else 1.0 / scale,
+        width=0.002,
+    )
+    axes[0].set_aspect("equal")
+    axes[0].set_title(title or "velocity")
+    pc = axes[1].tripcolor(tri, p[:nv] if p.size >= nv else np.resize(p, nv), shading="gouraud")
+    fig.colorbar(pc, ax=axes[1], label="p")
+    axes[1].set_aspect("equal")
+    axes[1].set_title("pressure")
+    return _finish(fig, path)
+
+
+def plot_displacement(
+    v: np.ndarray,
+    space,
+    *,
+    scale: float = 1.0,
+    part: str = "real",
+    title: str | None = None,
+    path=None,
+):
+    """Deformed mode shape (parity: ``plot_displacement``,
+    ``Elasticity/plot.py:50``; 2D tri / 3D surface reduced to plan view)."""
+    mesh = space.mesh
+    comp = {"real": np.real, "imag": np.imag, "abs": np.abs}[part]
+    d = comp(np.asarray(v)).reshape(space.num_nodes, space.bs)
+    nv = mesh.num_vertices
+    coords = mesh.vertices[:, :2] + scale * d[:nv, :2]
+    fig, ax = plt.subplots(figsize=(8, 6))
+    if mesh.tdim == 2:
+        ax.triplot(coords[:, 0], coords[:, 1], mesh.cells, lw=0.4)
+    else:
+        mag = np.linalg.norm(d[:nv], axis=1)
+        sc = ax.scatter(mesh.vertices[:, 0], mesh.vertices[:, 1], c=mag, s=4)
+        fig.colorbar(sc, ax=ax, label="|d|")
+    ax.set_aspect("equal")
+    ax.set_title(title or f"mode shape ({part}, scale={scale:g})")
+    return _finish(fig, path)
+
+
+def plot_residuals(history, *, path=None, title: str | None = None):
+    """Semilog residual history (parity: ``plot_residuals``,
+    ``Solver/linear.py:328`` / ``Solver/nonlinear.py:154``)."""
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.semilogy(np.arange(1, len(history) + 1), history, "o-")
+    ax.set_xlabel("iteration")
+    ax.set_ylabel("residual norm")
+    ax.grid(True, which="both", alpha=0.3)
+    ax.set_title(title or "convergence history")
+    return _finish(fig, path)

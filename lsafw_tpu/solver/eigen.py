@@ -27,6 +27,7 @@ from __future__ import annotations
 import logging
 import time
 from dataclasses import dataclass, field
+from functools import partial
 from enum import Enum
 from typing import Callable
 
@@ -130,40 +131,17 @@ class ShiftInvertOperator:
                 C = (As - self.sigma * sp.identity(self._n, format="csc")).tocsc()
             self._lu = SparseLU(C)
         elif method == "gmres":
-            from lsafw_tpu.solver.precond import block_jacobi
-            from lsafw_tpu.solver.linear import gmres as _gmres
+            from lsafw_tpu.solver.precond import block_jacobi_array
 
-            sr, si = self.sigma.real, self.sigma.imag
+            sr = self.sigma.real
             if M is not None:
                 C = A.axpy(-sr, M)
-                Mdata = M.data
             else:
-                diag_slots = jnp.asarray(A.pattern.diag_slots)
-                C = CSRMatrix(A.pattern, A.data.at[diag_slots].add(-sr))
-                Mdata = None
-            pc = block_jacobi(C, block_size=64)
-            pattern = A.pattern
-
-            def matvec2n(z):
-                xr, xi = z[: self._n], z[self._n :]
-                Cr, Ci = spmv_pair(C, xr, xi)
-                if Mdata is not None:
-                    Mm = CSRMatrix(pattern, Mdata)
-                    Sxr, Sxi = spmv_pair(Mm, xr, xi)
-                else:
-                    Sxr, Sxi = xr, xi
-                return jnp.concatenate([Cr + si * Sxi, Ci - si * Sxr])
-
-            def pc2n(z):
-                return jnp.concatenate([pc(z[: self._n]), pc(z[self._n :])])
-
-            def solve2n(b):
-                return _gmres(
-                    matvec2n, b, tol=inner_tol, restart=40,
-                    maxiter=inner_maxiter, M=pc2n,
-                )
-
-            self._solve2n = jax.jit(solve2n)
+                C = CSRMatrix(A.pattern, A.data.at[A.dev.diag_slots].add(-sr), A.dev)
+            self._C = C
+            self._pc = block_jacobi_array(C, block_size=64)
+            self._inner_tol = inner_tol
+            self._inner_maxiter = inner_maxiter
         else:
             raise ValueError(method)
 
@@ -176,12 +154,42 @@ class ShiftInvertOperator:
         if self.method == "lu":
             z = self._lu.solve(np.asarray(br) + 1j * np.asarray(bi))
             return jnp.asarray(z.real.copy()), jnp.asarray(z.imag.copy())
-        res = self._solve2n(jnp.concatenate([br, bi]))
+        res = _si_gmres_2n(
+            self._C, self.M, jnp.concatenate([br, bi]), self._pc,
+            self.sigma.imag, tol=self._inner_tol, maxiter=self._inner_maxiter,
+        )
         return res.x[: self._n], res.x[self._n :]
 
     def back_transform(self, theta: np.ndarray) -> np.ndarray:
         """theta -> lambda = sigma + 1/theta (``Solver/eigen2.py:210``)."""
         return self.sigma + 1.0 / theta
+
+
+@partial(jax.jit, static_argnames=("tol", "maxiter"))
+def _si_gmres_2n(C, M, b2n, pc_blocks, si, *, tol, maxiter):
+    """Inexact shift-invert inner solve on the equivalent real 2n system
+    [[C, S], [-S, C]], C = A - Re(sigma) M, S = Im(sigma) M, with
+    block-Jacobi preconditioning — all operands jit arguments."""
+    from lsafw_tpu.solver.linear import gmres as _gmres
+    from lsafw_tpu.solver.precond import apply_pc
+
+    n = C.shape[0]
+
+    def matvec2n(z):
+        xr, xi = z[:n], z[n:]
+        Cr, Ci = spmv_pair(C, xr, xi)
+        if M is not None:
+            Sxr, Sxi = spmv_pair(M, xr, xi)
+        else:
+            Sxr, Sxi = xr, xi
+        return jnp.concatenate([Cr + si * Sxi, Ci - si * Sxr])
+
+    def pc2n(z):
+        return jnp.concatenate(
+            [apply_pc("bjacobi", pc_blocks, z[:n]), apply_pc("bjacobi", pc_blocks, z[n:])]
+        )
+
+    return _gmres(matvec2n, b2n, tol=tol, restart=40, maxiter=maxiter, M=pc2n)
 
 
 class PlainOperator:
@@ -467,27 +475,45 @@ class EigenSolver:
         cfg = self.config
         n = self.A.shape[0]
         t0 = time.time()
-        if self._st_type is STType.SINVERT:
-            if self._target is None:
-                raise ValueError("SINVERT requires a target (set_target).")
-            op = ShiftInvertOperator(
-                self.A, self.M, self._target, method=self._si_method,
-                inner_tol=min(cfg.atol * 1e-2, 1e-10),
+
+        def _run(target: complex | None):
+            if self._st_type is STType.SINVERT:
+                op = ShiftInvertOperator(
+                    self.A, self.M, target, method=self._si_method,
+                    inner_tol=min(cfg.atol * 1e-2, 1e-10),
+                )
+                which = EpsWhich.LARGEST_MAGNITUDE  # largest theta = closest
+            else:
+                op = PlainOperator(self.A, self.M)
+                which = self._which
+            result = krylov_schur(
+                op.apply, n,
+                nev=cfg.num_eig, ncv=min(cfg.ncv, n),
+                which=which, tol=cfg.atol, max_restarts=cfg.max_it,
             )
-            which = EpsWhich.LARGEST_MAGNITUDE  # largest theta = closest to target
-        else:
-            op = PlainOperator(self.A, self.M)
-            which = self._which
-        result = krylov_schur(
-            op.apply,
-            n,
-            nev=cfg.num_eig,
-            ncv=min(cfg.ncv, n),
-            which=which,
-            tol=cfg.atol,
-            max_restarts=cfg.max_it,
-        )
+            return op, result
+
+        if self._st_type is STType.SINVERT and self._target is None:
+            raise ValueError("SINVERT requires a target (set_target).")
+        op, result = _run(self._target)
         lam = op.back_transform(result.eigenvalues)
+
+        if self._st_type is STType.SINVERT:
+            # If the shift coincides with an exact eigenvalue the
+            # factorization is numerically singular: eigenvalues look
+            # perfect but eigenvectors are polluted.  Detect via true
+            # residuals and retry once with an offset shift.
+            pairs0 = list(zip([complex(v) for v in lam], result.eigenvectors))
+            true_res = eigen_residuals(self.A, self.M, pairs0)
+            scale = np.abs(lam) + 1.0
+            if (true_res / scale > 10.0 * max(cfg.atol, 1e-12)).any():
+                offset = 1e-3 * (1.0 + abs(self._target))
+                logger.info(
+                    "Shift-invert eigenvectors polluted (target on an exact "
+                    "eigenvalue?); retrying with offset shift %.1e.", offset,
+                )
+                op, result = _run(self._target + offset)
+                lam = op.back_transform(result.eigenvalues)
         if not result.converged:
             logger.warning(
                 "Eigensolver returned %d converged of %d requested.",

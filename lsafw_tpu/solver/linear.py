@@ -262,3 +262,32 @@ def solve(
         r = jnp.linalg.norm(b - matvec(x)) / jnp.maximum(jnp.linalg.norm(b), 1e-300)
         return SolveResult(x, jnp.int32(1), r, r < 1.0)
     raise ValueError(ksp_type)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("ksp_type", "pc_kind", "tol", "maxiter", "restart"),
+)
+def solve_csr(
+    A,
+    b: jnp.ndarray,
+    pc_arr: jnp.ndarray | None = None,
+    *,
+    ksp_type: str = "gmres",
+    pc_kind: str = "none",
+    tol: float = 1e-10,
+    maxiter: int = 1000,
+    restart: int = 30,
+) -> SolveResult:
+    """Jitted sparse solve with the operator and preconditioner arrays as
+    arguments (the TPU compilation contract — never close over matrix
+    data at a jit/while_loop boundary)."""
+    from lsafw_tpu.ops.sparse import spmv
+    from lsafw_tpu.solver.precond import apply_pc
+
+    M = None if pc_kind == "none" else (lambda x: apply_pc(pc_kind, pc_arr, x))
+    return solve(
+        lambda v: spmv(A, v), b,
+        ksp_type=KSPType.from_string(ksp_type), tol=tol, maxiter=maxiter,
+        restart=restart, M=M,
+    )

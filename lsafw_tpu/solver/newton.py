@@ -21,10 +21,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from lsafw_tpu.models.navier_stokes import StationaryNavierStokesAssembler
-from lsafw_tpu.ops.sparse import spmv
 from lsafw_tpu.solver.direct import SparseLU
-from lsafw_tpu.solver.linear import KSPType, solve as ksp_solve
-from lsafw_tpu.solver.precond import block_jacobi
+from lsafw_tpu.solver.linear import solve_csr
+from lsafw_tpu.solver.precond import block_jacobi_array
 from lsafw_tpu.utils.logging import get_logger
 
 logger = get_logger(__name__)
@@ -88,14 +87,11 @@ class NewtonSolver:
             if self._linear_solver == "lu":
                 dw = jnp.asarray(SparseLU(J).solve(-np.asarray(F)))
             else:
-                M = block_jacobi(J, block_size=64)
-                res = ksp_solve(
-                    lambda v: spmv(J, v),
-                    -F,
-                    ksp_type=KSPType.from_string(self._linear_solver),
-                    tol=self._linear_tol,
-                    maxiter=5000,
-                    M=M,
+                pc = block_jacobi_array(J, block_size=64)
+                res = solve_csr(
+                    J, -F, pc,
+                    ksp_type=self._linear_solver, pc_kind="bjacobi",
+                    tol=self._linear_tol, maxiter=5000,
                 )
                 if not bool(res.converged):
                     logger.warning(

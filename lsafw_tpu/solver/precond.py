@@ -45,14 +45,7 @@ def jacobi(A: CSRMatrix) -> Callable[[jnp.ndarray], jnp.ndarray]:
     return apply
 
 
-def block_jacobi(A: CSRMatrix, block_size: int = 64) -> Callable[[jnp.ndarray], jnp.ndarray]:
-    """Dense block-Jacobi over contiguous DOF blocks.
-
-    Extracts the (nb, bs, bs) block diagonal on the host, inverts it in
-    a single batched ``jnp.linalg.inv`` (MXU batched solve), and applies
-    as a batched matmul — the TPU-shaped analog of PETSc's bjacobi+ILU
-    sub-solves.
-    """
+def _block_jacobi_inv(A: CSRMatrix, block_size: int) -> jnp.ndarray:
     n = A.shape[0]
     bs = block_size
     nb = -(-n // bs)
@@ -78,14 +71,53 @@ def block_jacobi(A: CSRMatrix, block_size: int = 64) -> Callable[[jnp.ndarray], 
         inv_blocks = np.linalg.inv(blocks)
     except np.linalg.LinAlgError:
         inv_blocks = np.stack([np.linalg.pinv(b_) for b_ in blocks])
-    inv = jnp.asarray(inv_blocks)
+    return jnp.asarray(inv_blocks)
+
+
+def block_jacobi(A: CSRMatrix, block_size: int = 64) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Dense block-Jacobi over contiguous DOF blocks.
+
+    Extracts the (nb, bs, bs) block diagonal on the host, inverts it in
+    a single batched ``jnp.linalg.inv`` (MXU batched solve), and applies
+    as a batched matmul — the TPU-shaped analog of PETSc's bjacobi+ILU
+    sub-solves.  (Closure form for eager/CPU use; under jit pass
+    :func:`block_jacobi_array` output as an argument with
+    :func:`apply_pc`.)
+    """
+    inv = _block_jacobi_inv(A, block_size)
 
     def apply(x):
-        xp = jnp.pad(x, (0, npad - n)).reshape(nb, bs)
-        y = jnp.einsum("bij,bj->bi", inv, xp)
-        return y.reshape(-1)[:n]
+        return apply_pc("bjacobi", inv, x)
 
     return apply
+
+
+def jacobi_array(A: CSRMatrix) -> jnp.ndarray:
+    """Inverse-diagonal array for jit-argument preconditioning."""
+    d = A.diagonal()
+    return jnp.where(jnp.abs(d) > 0, 1.0 / jnp.where(d == 0, 1.0, d), 1.0)
+
+
+def block_jacobi_array(A: CSRMatrix, block_size: int = 64) -> jnp.ndarray:
+    """(nb, bs, bs) inverted block diagonal for jit-argument use; same
+    regularization rules as :func:`block_jacobi`."""
+    return _block_jacobi_inv(A, block_size)
+
+
+def apply_pc(kind: str, arr: jnp.ndarray | None, x: jnp.ndarray) -> jnp.ndarray:
+    """Apply a preconditioner passed as (static kind, array argument)."""
+    if kind == "none" or arr is None:
+        return x
+    if kind == "jacobi":
+        return arr * x
+    if kind == "bjacobi":
+        nb, bs, _ = arr.shape
+        n = x.shape[0]
+        npad = nb * bs
+        xp = jnp.pad(x, (0, npad - n)).reshape(nb, bs)
+        y = jnp.einsum("bij,bj->bi", arr, xp)
+        return y.reshape(-1)[:n]
+    raise ValueError(kind)
 
 
 def make_preconditioner(

@@ -1,0 +1,54 @@
+"""Plotting + mesh-adaptation smoke tests."""
+
+import numpy as np
+
+from lsafw_tpu.fem.assembly import AssemblyContext
+from lsafw_tpu.fem.spaces import define_spaces
+from lsafw_tpu.meshing.adapt import adapt_mesh, scale_and_clamp, velocity_magnitude_p1
+from lsafw_tpu.meshing.mesh import rectangle_mesh, unit_square
+from lsafw_tpu.meshing.tags import mark_boundary_facets
+
+
+def _square_with_flow():
+    mesh = rectangle_mesh((0.0, 0.0), (2.0, 1.0), 10, 5)
+    mark_boundary_facets(mesh, lambda x: np.ones(x.shape[0], dtype=np.int32))
+    spaces = define_spaces(mesh)
+    # synthetic shear flow: u = (y, 0)
+    u = spaces.velocity.interpolate(
+        lambda p: np.stack([p[:, 1], np.zeros(p.shape[0])], axis=1)
+    )
+    w = np.concatenate([u, np.zeros(spaces.num_pressure_dofs)])
+    return mesh, spaces, w
+
+
+def test_adapt_refines_fast_region():
+    mesh, spaces, w = _square_with_flow()
+    mag = velocity_magnitude_p1(spaces, w)
+    assert np.isclose(mag.max(), 1.0)
+    sizes = scale_and_clamp(mag, 0.05, 0.3)
+    assert np.isclose(sizes[np.argmax(mag)], 0.05)
+    assert np.isclose(sizes[np.argmin(mag)], 0.3)
+    new = adapt_mesh(mesh, spaces, w, min_size=0.08, max_size=0.35, max_iter=60)
+    assert new.num_cells > 0
+    # refined near y=1 (fast region): mean edge length smaller there
+    cent = new.vertices[new.cells].mean(axis=1)
+    top = new.cell_volumes[cent[:, 1] > 0.7].mean()
+    bottom = new.cell_volumes[cent[:, 1] < 0.3].mean()
+    assert top < bottom
+
+
+def test_plot_functions(tmp_path):
+    import lsafw_tpu.plot as lplt
+    from lsafw_tpu.fem.assembly import SpaceContext, mass_scalar
+    from lsafw_tpu.fem.spaces import make_scalar_space, make_vector_space
+
+    mesh, spaces, w = _square_with_flow()
+    assert lplt.plot_mesh(mesh, path=tmp_path / "mesh.png").exists()
+    ctx = SpaceContext.build(spaces.pressure)
+    M = ctx.scatter(mass_scalar(ctx))
+    assert lplt.spy(M, path=tmp_path / "spy.png").exists()
+    assert lplt.plot_mixed_function(w, spaces, path=tmp_path / "flow.png").exists()
+    vspace = make_vector_space(mesh, "p1")
+    d = np.random.default_rng(0).standard_normal(vspace.num_dofs) * 0.01
+    assert lplt.plot_displacement(d, vspace, path=tmp_path / "mode.png").exists()
+    assert lplt.plot_residuals([1.0, 0.1, 1e-3], path=tmp_path / "res.png").exists()
