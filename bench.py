@@ -24,14 +24,38 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
+from contextlib import contextmanager
 
 import numpy as np
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+class StageTimeout(Exception):
+    pass
+
+
+@contextmanager
+def stage_timeout(seconds: int, name: str):
+    """Remote compiles can take unbounded time when the compile service
+    is congested; every stage gets a hard budget so the bench always
+    emits its JSON line."""
+
+    def handler(signum, frame):
+        raise StageTimeout(name)
+
+    old = signal.signal(signal.SIGALRM, handler)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 def main() -> None:
@@ -69,6 +93,9 @@ def main() -> None:
     w_base = jnp.asarray(rng.standard_normal(n) * 0.1)
     x0 = jnp.asarray(rng.standard_normal(n))
     dev_ell = ctx.pattern_dev
+    budget = int(os.environ.get("BENCH_STAGE_TIMEOUT", "600"))
+    t_asm = t_spmv = t_spmv32 = None
+    asm_mdofs = tpu_gbps = None
 
     # ------------------------------------------------------------------
     # assembly loop: K full operator assemblies in one dispatch
@@ -88,23 +115,25 @@ def main() -> None:
         out = float(fn(*args))
         return time.time() - t0, out
 
-    t_c0 = time.time()
-    t1, _ = run_scalar(asm_loop, ctx, w_base, 1)
-    log(f"assembly: compile+first {time.time()-t_c0:.1f}s")
-    K_asm = int(os.environ.get("BENCH_K_ASM", "10"))
-    tk, _ = run_scalar(asm_loop, ctx, w_base, K_asm + 1)
-    t_asm = max((tk - t1) / K_asm, 1e-9)
-    asm_mdofs = n / t_asm / 1e6
-    log(f"assembly: {t_asm*1e3:.2f} ms/op -> {asm_mdofs:.1f} MDOF/s ({nnz/t_asm/1e6:.0f} Mnnz/s)")
+    try:
+        with stage_timeout(budget, "assembly"):
+            t_c0 = time.time()
+            t1, _ = run_scalar(asm_loop, ctx, w_base, 1)
+            log(f"assembly: compile+first {time.time()-t_c0:.1f}s")
+            K_asm = int(os.environ.get("BENCH_K_ASM", "10"))
+            tk, _ = run_scalar(asm_loop, ctx, w_base, K_asm + 1)
+            t_asm = max((tk - t1) / K_asm, 1e-9)
+            asm_mdofs = n / t_asm / 1e6
+            log(f"assembly: {t_asm*1e3:.2f} ms/op -> {asm_mdofs:.1f} MDOF/s ({nnz/t_asm/1e6:.0f} Mnnz/s)")
+    except StageTimeout:
+        log(f"assembly: stage timed out after {budget}s (remote compile congestion)")
 
     # ------------------------------------------------------------------
     # SpMV loop (ELL layout) — K matvecs in one dispatch
     # ------------------------------------------------------------------
-    data64 = jax.jit(
-        lambda ctx, w: assemble_csr_data(
-            ctx.pattern_dev, linearized_ns_elements(ctx, w, 50.0)
-        )
-    )(ctx, w_base)
+    # SpMV bandwidth is value-independent: use random data on the real
+    # pattern so this stage does not depend on the assembly stage
+    data64 = jnp.asarray(rng.standard_normal(nnz))
 
     @jax.jit
     def spmv_loop(dv, data, x, k):
@@ -117,25 +146,31 @@ def main() -> None:
         y = lax.fori_loop(0, k, body, x)
         return jnp.vdot(y, y)
 
-    t_c0 = time.time()
-    t1, _ = run_scalar(spmv_loop, dev_ell, data64, x0, 1)
-    log(f"spmv f64: compile+first {time.time()-t_c0:.1f}s")
-    K = int(os.environ.get("BENCH_K_SPMV", "100"))
-    tk, _ = run_scalar(spmv_loop, dev_ell, data64, x0, K + 1)
-    t_spmv = max((tk - t1) / K, 1e-9)
     _, _, w_ell = ctx.pattern.ell
-    bytes_moved = n * w_ell * (8 + 4 + 8) + n * 8
-    tpu_gbps = bytes_moved / t_spmv / 1e9
-    log(f"spmv f64: {t_spmv*1e3:.3f} ms/iter (ELL width {w_ell}) -> {tpu_gbps:.1f} GB/s")
-
-    # f32 variant (the performance dtype; correctness runs use f64)
-    data32 = data64.astype(jnp.float32)
-    x32 = x0.astype(jnp.float32)
-    t1_32, _ = run_scalar(spmv_loop, dev_ell, data32, x32, 1)
-    tk_32, _ = run_scalar(spmv_loop, dev_ell, data32, x32, K + 1)
-    t_spmv32 = max((tk_32 - t1_32) / K, 1e-9)
-    bytes32 = n * w_ell * (4 + 4 + 4) + n * 4
-    log(f"spmv f32: {t_spmv32*1e3:.3f} ms/iter -> {bytes32/t_spmv32/1e9:.1f} GB/s")
+    K = int(os.environ.get("BENCH_K_SPMV", "100"))
+    try:
+        with stage_timeout(budget, "spmv64"):
+            t_c0 = time.time()
+            t1, _ = run_scalar(spmv_loop, dev_ell, data64, x0, 1)
+            log(f"spmv f64: compile+first {time.time()-t_c0:.1f}s")
+            tk, _ = run_scalar(spmv_loop, dev_ell, data64, x0, K + 1)
+            t_spmv = max((tk - t1) / K, 1e-9)
+            bytes_moved = n * w_ell * (8 + 4 + 8) + n * 8
+            tpu_gbps = bytes_moved / t_spmv / 1e9
+            log(f"spmv f64: {t_spmv*1e3:.3f} ms/iter (ELL width {w_ell}) -> {tpu_gbps:.1f} GB/s")
+    except StageTimeout:
+        log(f"spmv f64: stage timed out after {budget}s")
+    try:
+        with stage_timeout(budget, "spmv32"):
+            data32 = data64.astype(jnp.float32)
+            x32 = x0.astype(jnp.float32)
+            t1_32, _ = run_scalar(spmv_loop, dev_ell, data32, x32, 1)
+            tk_32, _ = run_scalar(spmv_loop, dev_ell, data32, x32, K + 1)
+            t_spmv32 = max((tk_32 - t1_32) / K, 1e-9)
+            bytes32 = n * w_ell * (4 + 4 + 4) + n * 4
+            log(f"spmv f32: {t_spmv32*1e3:.3f} ms/iter -> {bytes32/t_spmv32/1e9:.1f} GB/s")
+    except StageTimeout:
+        log(f"spmv f32: stage timed out after {budget}s")
 
     # ------------------------------------------------------------------
     # host scipy CSR baseline on the same structure (no device transfer)
@@ -157,17 +192,17 @@ def main() -> None:
 
     result = {
         "metric": "linearized_ns_spmv_throughput",
-        "value": round(tpu_gbps, 2),
+        "value": round(tpu_gbps, 2) if tpu_gbps else 0.0,
         "unit": "GB/s",
-        "vs_baseline": round(t_host / t_spmv, 2),
+        "vs_baseline": round(t_host / t_spmv, 2) if t_spmv else 0.0,
         "detail": {
             "n_dofs": n,
             "nnz": nnz,
             "ell_width": w_ell,
-            "spmv_f64_ms": round(t_spmv * 1e3, 4),
-            "spmv_f32_ms": round(t_spmv32 * 1e3, 4),
-            "assembly_ms": round(t_asm * 1e3, 3),
-            "assembly_mdofs_per_s": round(asm_mdofs, 1),
+            "spmv_f64_ms": round(t_spmv * 1e3, 4) if t_spmv else None,
+            "spmv_f32_ms": round(t_spmv32 * 1e3, 4) if t_spmv32 else None,
+            "assembly_ms": round(t_asm * 1e3, 3) if t_asm else None,
+            "assembly_mdofs_per_s": round(asm_mdofs, 1) if asm_mdofs else None,
             "scipy_spmv_ms": round(t_host * 1e3, 3),
             "device": f"{dev.device_kind}",
             "dtype": "float64",
@@ -177,4 +212,12 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # always emit a parseable line for the driver
+        log(f"bench failed: {exc!r}")
+        print(json.dumps({
+            "metric": "linearized_ns_spmv_throughput",
+            "value": 0.0, "unit": "GB/s", "vs_baseline": 0.0,
+            "detail": {"error": repr(exc)},
+        }))
