@@ -302,7 +302,7 @@ class EigenSensitivitySolver:
         from lsafw_tpu.ops.sparse import spmv
         import jax
 
-        pctx = SpaceContext.build(ctx.spaces.pressure, quad_degree=ctx.rule.points.shape[0] and None)
+        pctx = SpaceContext.build(ctx.spaces.pressure)
         # use the mixed rule for the RHS (consistent Sw sampling)
         wdet = ctx.w[None, :] * ctx.detJ[:, None]
         rhs_el = jnp.einsum("cq,qk,cq->ck", wdet, ctx.phi_p, Sw_qp)
