@@ -1,0 +1,78 @@
+"""Matrix-free element-operator apply.
+
+The TPU-shaped alternative to assembled-sparse SpMV: keep the batched
+per-cell element matrices (nc, nd, nd) and apply the operator as
+
+    y = scatter_add_c( A_el[c] @ x[dofs_c] )
+
+— one small gather (nc, nd), one batched matmul (MXU), one
+segment-sum.  On TPUs, XLA's generic HBM gather makes ELL SpMV
+latency-bound (~nnz serialized gathers); the element form moves the
+FLOPs to the MXU and cuts gathered elements by ~6x (nd per cell vs
+row-width per row), which is the standard high-performance FEM
+formulation on matrix-multiply hardware.
+
+Dirichlet elimination happens at apply time (zero constrained columns
+before the gather, overwrite constrained rows after the scatter),
+reproducing :func:`lsafw_tpu.fem.assembly.dirichlet_matrix_data`
+semantics without touching the element data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class ElementOperator:
+    """y = A x from per-cell element matrices (a pytree; pass through
+    jit as an argument)."""
+
+    Ael: jnp.ndarray  # (nc, nd, nd)
+    cell_dofs: jnp.ndarray  # (nc, nd) int32
+    n: int  # number of DOFs
+    bc_mask: jnp.ndarray | None = None  # (n,) bool
+    bc_diag: float = 1.0
+
+    def tree_flatten(self):
+        return (self.Ael, self.cell_dofs, self.bc_mask), (self.n, self.bc_diag)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(leaves[0], leaves[1], aux[0], leaves[2], aux[1])
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        xe = jnp.where(self.bc_mask, 0.0, x) if self.bc_mask is not None else x
+        x_el = xe[self.cell_dofs]  # (nc, nd)
+        y_el = jnp.einsum("cij,cj->ci", self.Ael, x_el)
+        y = jax.ops.segment_sum(
+            y_el.reshape(-1), self.cell_dofs.reshape(-1), num_segments=self.n
+        )
+        if self.bc_mask is not None:
+            y = jnp.where(self.bc_mask, self.bc_diag * x, y)
+        return y
+
+    def __matmul__(self, x):
+        return self.matvec(x)
+
+    def matvec_pair(self, xr: jnp.ndarray, xi: jnp.ndarray):
+        """Complex apply over an (re, im) pair (real operator)."""
+        return self.matvec(xr), self.matvec(xi)
+
+
+def element_operator_from_context(
+    ctx, element_mats: jnp.ndarray, bc_mask=None, bc_diag: float = 1.0
+) -> ElementOperator:
+    """Wrap mixed-space element matrices from an AssemblyContext."""
+    return ElementOperator(
+        Ael=element_mats,
+        cell_dofs=ctx.mixed_cell_dofs,
+        n=ctx.spaces.num_dofs,
+        bc_mask=bc_mask,
+        bc_diag=bc_diag,
+    )
