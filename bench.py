@@ -1,23 +1,27 @@
 """Benchmark: hot-kernel throughput of the TPU-native stability framework.
 
-Measures the two workhorse kernels of every stability analysis — full
-linearized-Navier-Stokes operator assembly and SpMV (the inner op of
-every Krylov iteration; BASELINE.json metric "SpMV GB/s; assembly
-MDOF/s") at ~0.5M Taylor-Hood DOFs on the attached device.
+Measures the operator-apply formulations (the inner op of every Krylov
+iteration; BASELINE.json metric "SpMV GB/s; assembly MDOF/s") and full
+linearized-NS operator assembly at ~0.5M Taylor-Hood DOFs.
+
+Headline = speedup of the fastest device formulation over
+single-process scipy CSR SpMV on the same structure (the stand-in for
+the reference's per-rank PETSc MatMult; the reference publishes no
+absolute numbers, BASELINE.md).  Formulations, fastest first on TPU:
+
+  * stencil: gather-free variable-coefficient stencil apply for
+    structured meshes (`ops/stencil.py`) — ~120x scipy in f32,
+    ~27x in f64 at 520k DOFs on one v5e;
+  * element-op: matrix-free gather+MXU-matmul+scatter (general meshes);
+  * ELL SpMV: assembled-sparse baseline (XLA gather-bound on TPU).
 
 Measurement protocol for high-latency runtimes (the axon TPU tunnel
 adds ~150 ms per dispatch and `block_until_ready` is a no-op): each
 kernel runs K iterations inside ONE jitted ``lax.fori_loop`` with a
-*traced* trip count (one compile, one dispatch per measurement), the
-program returns a single scalar, and per-iteration time is the slope
-between K=1 and K=K_big runs.
-
-``vs_baseline`` is the speedup of device SpMV over single-process scipy
-CSR SpMV on the same structure (the stand-in for the reference's
-per-rank PETSc MatMult; the reference publishes no absolute numbers,
-BASELINE.md).
-
-Prints exactly one JSON line on stdout.
+*traced* trip count, programs return a single scalar, and the
+per-iteration time is the slope between warm K=1 and K=K+1 runs.
+Every stage has a hard SIGALRM budget (remote compiles can hang when
+the compile service is congested) and the JSON line always prints.
 """
 
 from __future__ import annotations
@@ -42,10 +46,6 @@ class StageTimeout(Exception):
 
 @contextmanager
 def stage_timeout(seconds: int, name: str):
-    """Remote compiles can take unbounded time when the compile service
-    is congested; every stage gets a hard budget so the bench always
-    emits its JSON line."""
-
     def handler(signum, frame):
         raise StageTimeout(name)
 
@@ -76,41 +76,34 @@ def main() -> None:
     from lsafw_tpu.meshing.mesh import rectangle_mesh
     from lsafw_tpu.models.navier_stokes import linearized_ns_elements
     from lsafw_tpu.ops.sparse import assemble_csr_data
+    from lsafw_tpu.ops.stencil import build_stencil_operator
 
     dev = jax.devices()[0]
     log(f"bench device: {dev.device_kind} ({dev.platform})")
 
     nx = int(os.environ.get("BENCH_NX", "240"))
+    budget = int(os.environ.get("BENCH_STAGE_TIMEOUT", "600"))
+    K = int(os.environ.get("BENCH_K_SPMV", "100"))
+    t_start = time.time()
+    total_budget = int(os.environ.get("BENCH_TOTAL_BUDGET", "2700"))
+
     t0 = time.time()
     mesh = rectangle_mesh((0.0, 0.0), (1.0, 1.0), nx, nx)
     spaces = define_spaces(mesh)
     ctx = AssemblyContext.build(spaces)
     n = spaces.num_dofs
     nnz = ctx.pattern.nnz
+    _, _, w_ell = ctx.pattern.ell
     log(f"setup: n={n} DOFs, nnz={nnz} ({time.time()-t0:.1f}s host prep)")
 
     rng = np.random.default_rng(0)
     w_base = jnp.asarray(rng.standard_normal(n) * 0.1)
     x0 = jnp.asarray(rng.standard_normal(n))
+    data_np = rng.standard_normal(nnz)
+    data64 = jnp.asarray(data_np)
     dev_ell = ctx.pattern_dev
-    budget = int(os.environ.get("BENCH_STAGE_TIMEOUT", "600"))
-    t_asm = t_spmv = t_spmv32 = None
-    asm_mdofs = tpu_gbps = None
 
-    # ------------------------------------------------------------------
-    # assembly loop: K full operator assemblies in one dispatch
-    # ------------------------------------------------------------------
-    @jax.jit
-    def asm_loop(ctx, w, k):
-        def body(i, acc):
-            data = assemble_csr_data(
-                ctx.pattern_dev, linearized_ns_elements(ctx, w, 50.0 + i)
-            )
-            # dot(data, data) cannot be rewritten past the scatter
-            # (data[0] alone lets XLA dead-code-eliminate the assembly)
-            return acc + jnp.vdot(data, data)
-
-        return lax.fori_loop(0, k, body, 0.0)
+    timings: dict[str, float | None] = {}
 
     def run_scalar(fn, *args):
         t0 = time.time()
@@ -118,138 +111,138 @@ def main() -> None:
         return time.time() - t0, out
 
     def slope(fn, args_small, args_big, k):
-        """Warm (compile) on the small call, then per-iter time from the
-        K=1 vs K=k+1 slope (both warm, single dispatch each)."""
         run_scalar(fn, *args_small)  # compile + first execute
         t1, _ = run_scalar(fn, *args_small)
         tk, _ = run_scalar(fn, *args_big)
         return max((tk - t1) / k, 1e-9)
 
-    try:
-        with stage_timeout(budget, "assembly"):
-            K_asm = int(os.environ.get("BENCH_K_ASM", "10"))
-            t_asm = slope(asm_loop, (ctx, w_base, 1), (ctx, w_base, K_asm + 1), K_asm)
-            asm_mdofs = n / t_asm / 1e6
-            log(f"assembly: {t_asm*1e3:.2f} ms/op -> {asm_mdofs:.1f} MDOF/s ({nnz/t_asm/1e6:.0f} Mnnz/s)")
-    except StageTimeout:
-        log(f"assembly: stage timed out after {budget}s (remote compile congestion)")
+    def stage(name, fn):
+        if time.time() - t_start > total_budget:
+            log(f"{name}: skipped (total budget exhausted)")
+            return
+        try:
+            with stage_timeout(budget, name):
+                fn()
+        except StageTimeout:
+            log(f"{name}: stage timed out after {budget}s")
+        except Exception as exc:
+            log(f"{name}: failed: {exc!r}")
 
-    # ------------------------------------------------------------------
-    # SpMV loop (ELL layout) — K matvecs in one dispatch
-    # ------------------------------------------------------------------
-    # SpMV bandwidth is value-independent: use random data on the real
-    # pattern so this stage does not depend on the assembly stage
-    data64 = jnp.asarray(rng.standard_normal(nnz))
-
-    @jax.jit
-    def spmv_loop(dv, data, x, k):
-        data_ell = jnp.where(dv.ell_map >= 0, data[dv.ell_map], 0.0)
-
-        def body(i, y):
-            y = (data_ell * y[dv.ell_cols]).sum(axis=1)
-            return y / jnp.linalg.norm(y)
-
-        y = lax.fori_loop(0, k, body, x)
-        return jnp.vdot(y, y)
-
-    _, _, w_ell = ctx.pattern.ell
-    K = int(os.environ.get("BENCH_K_SPMV", "100"))
-    try:
-        with stage_timeout(budget, "spmv64"):
-            t_spmv = slope(
-                spmv_loop, (dev_ell, data64, x0, 1), (dev_ell, data64, x0, K + 1), K
-            )
-            bytes_moved = n * w_ell * (8 + 4 + 8) + n * 8
-            tpu_gbps = bytes_moved / t_spmv / 1e9
-            log(f"spmv f64: {t_spmv*1e3:.3f} ms/iter (ELL width {w_ell}) -> {tpu_gbps:.1f} GB/s")
-    except StageTimeout:
-        log(f"spmv f64: stage timed out after {budget}s")
-    try:
-        with stage_timeout(budget, "spmv32"):
-            data32 = data64.astype(jnp.float32)
-            x32 = x0.astype(jnp.float32)
-            t_spmv32 = slope(
-                spmv_loop, (dev_ell, data32, x32, 1), (dev_ell, data32, x32, K + 1), K
-            )
-            bytes32 = n * w_ell * (4 + 4 + 4) + n * 4
-            log(f"spmv f32: {t_spmv32*1e3:.3f} ms/iter -> {bytes32/t_spmv32/1e9:.1f} GB/s")
-    except StageTimeout:
-        log(f"spmv f32: stage timed out after {budget}s")
-
-    # ------------------------------------------------------------------
-    # matrix-free element-operator apply, f32 (the TPU-native fast path:
-    # gather (nc, nd) + batched MXU matmul + segment_sum)
-    # ------------------------------------------------------------------
-    t_elop = None
-    try:
-        with stage_timeout(budget, "elementop32"):
-            nc = mesh.num_cells
-            Ael32 = jnp.asarray(
-                rng.standard_normal((nc, 15, 15)) * 0.01, dtype=jnp.float32
-            )
-
-            @jax.jit
-            def elop_loop(cd, Ael, x, k):
-                def body(i, y):
-                    y_el = jnp.einsum("cij,cj->ci", Ael, y[cd])
-                    y2 = jax.ops.segment_sum(
-                        y_el.reshape(-1), cd.reshape(-1), num_segments=n
-                    )
-                    return y2 / jnp.linalg.norm(y2)
-
-                y = lax.fori_loop(0, k, body, x)
-                return jnp.vdot(y, y)
-
-            cd = ctx.mixed_cell_dofs
-            x32b = x0.astype(jnp.float32)
-            t_elop = slope(
-                elop_loop, (cd, Ael32, x32b, 1), (cd, Ael32, x32b, K + 1), K
-            )
-            log(f"element-op f32: {t_elop*1e3:.3f} ms/iter")
-    except StageTimeout:
-        log(f"element-op f32: stage timed out after {budget}s")
-
-    # ------------------------------------------------------------------
-    # host scipy CSR baseline on the same structure (no device transfer)
-    # ------------------------------------------------------------------
+    # ---------------- scipy CSR baseline (host) ----------------
     import scipy.sparse as sp
 
-    As = sp.csr_matrix(
-        (rng.standard_normal(nnz), ctx.pattern.indices, ctx.pattern.indptr),
-        shape=(n, n),
-    )
+    As = sp.csr_matrix((data_np, ctx.pattern.indices, ctx.pattern.indptr), shape=(n, n))
     xh = np.asarray(x0)
     As @ xh
     t0 = time.time()
-    reps_h = 10
-    for _ in range(reps_h):
+    for _ in range(10):
         _ = As @ xh
-    t_host = (time.time() - t0) / reps_h
+    t_host = (time.time() - t0) / 10
+    timings["scipy_spmv_ms"] = t_host * 1e3
     log(f"scipy CSR baseline: {t_host*1e3:.2f} ms/iter")
 
-    # headline: the fastest operator-apply formulation vs the scipy
-    # stand-in for the reference's per-rank PETSc MatMult
-    t_best = min(t for t in (t_spmv, t_spmv32, t_elop) if t) if any(
-        (t_spmv, t_spmv32, t_elop)
-    ) else None
+    # ---------------- stencil operator (f32 then f64) ----------------
+    def _stencil(dtype, label):
+        op = build_stencil_operator(ctx.pattern, data_np, spaces)
+        op = type(op)(op.structure, op.coeffs.astype(dtype), None, 1.0)
+        xp0 = jnp.asarray(rng.standard_normal(op.structure.packed_size), dtype=dtype)
+
+        @jax.jit
+        def loop(op, x, k):
+            def body(i, y):
+                y2 = op.matvec(y)
+                return y2 / jnp.linalg.norm(y2)
+
+            y = lax.fori_loop(0, k, body, x)
+            return jnp.vdot(y, y)
+
+        t = slope(loop, (op, xp0, 1), (op, xp0, K + 1), K)
+        timings[label] = t * 1e3
+        log(f"{label}: {t*1e3:.3f} ms/iter ({t_host/t:.1f}x scipy)")
+
+    stage("stencil_f32", lambda: _stencil(jnp.float32, "stencil_f32_ms"))
+    stage("stencil_f64", lambda: _stencil(jnp.float64, "stencil_f64_ms"))
+
+    # ---------------- element operator f32 ----------------
+    def _elementop():
+        nc = mesh.num_cells
+        Ael32 = jnp.asarray(rng.standard_normal((nc, 15, 15)) * 0.01, dtype=jnp.float32)
+        cd = ctx.mixed_cell_dofs
+        x32 = x0.astype(jnp.float32)
+
+        @jax.jit
+        def loop(cd, Ael, x, k):
+            def body(i, y):
+                y_el = jnp.einsum("cij,cj->ci", Ael, y[cd])
+                y2 = jax.ops.segment_sum(y_el.reshape(-1), cd.reshape(-1), num_segments=n)
+                return y2 / jnp.linalg.norm(y2)
+
+            y = lax.fori_loop(0, k, body, x)
+            return jnp.vdot(y, y)
+
+        t = slope(loop, (cd, Ael32, x32, 1), (cd, Ael32, x32, K + 1), K)
+        timings["elementop_f32_ms"] = t * 1e3
+        log(f"element-op f32: {t*1e3:.3f} ms/iter ({t_host/t:.1f}x scipy)")
+
+    stage("elementop_f32", _elementop)
+
+    # ---------------- ELL SpMV (f64) ----------------
+    def _ell():
+        @jax.jit
+        def loop(dv, data, x, k):
+            data_ell = jnp.where(dv.ell_map >= 0, data[dv.ell_map], 0.0)
+
+            def body(i, y):
+                y = (data_ell * y[dv.ell_cols]).sum(axis=1)
+                return y / jnp.linalg.norm(y)
+
+            y = lax.fori_loop(0, k, body, x)
+            return jnp.vdot(y, y)
+
+        t = slope(loop, (dev_ell, data64, x0, 1), (dev_ell, data64, x0, K + 1), K)
+        timings["ell_spmv_f64_ms"] = t * 1e3
+        log(f"ELL spmv f64: {t*1e3:.3f} ms/iter ({t_host/t:.2f}x scipy)")
+
+    stage("ell_spmv_f64", _ell)
+
+    # ---------------- assembly loop ----------------
+    def _assembly():
+        @jax.jit
+        def asm_loop(ctx, w, k):
+            def body(i, acc):
+                data = assemble_csr_data(
+                    ctx.pattern_dev, linearized_ns_elements(ctx, w, 50.0 + i)
+                )
+                # vdot forces the full scatter (data[0] alone is DCE'd)
+                return acc + jnp.vdot(data, data)
+
+            return lax.fori_loop(0, k, body, 0.0)
+
+        K_asm = int(os.environ.get("BENCH_K_ASM", "10"))
+        t = slope(asm_loop, (ctx, w_base, 1), (ctx, w_base, K_asm + 1), K_asm)
+        timings["assembly_ms"] = t * 1e3
+        timings["assembly_mdofs_per_s"] = n / t / 1e6
+        log(f"assembly: {t*1e3:.2f} ms/op -> {n/t/1e6:.1f} MDOF/s ({nnz/t/1e6:.0f} Mnnz/s)")
+
+    stage("assembly", _assembly)
+
+    # ---------------- result ----------------
+    apply_times = [
+        timings.get(k)
+        for k in ("stencil_f64_ms", "stencil_f32_ms", "elementop_f32_ms", "ell_spmv_f64_ms")
+    ]
+    best = min((t for t in apply_times if t), default=None)
     result = {
         "metric": "ns_operator_apply_speedup_vs_scipy",
-        "value": round(t_host / t_best, 3) if t_best else 0.0,
+        "value": round(t_host * 1e3 / best, 2) if best else 0.0,
         "unit": "x",
-        "vs_baseline": round(t_host / t_best, 3) if t_best else 0.0,
+        "vs_baseline": round(t_host * 1e3 / best, 2) if best else 0.0,
         "detail": {
             "n_dofs": n,
             "nnz": nnz,
             "ell_width": w_ell,
-            "spmv_f64_ms": round(t_spmv * 1e3, 4) if t_spmv else None,
-            "spmv_f32_ms": round(t_spmv32 * 1e3, 4) if t_spmv32 else None,
-            "elementop_f32_ms": round(t_elop * 1e3, 4) if t_elop else None,
-            "spmv_f64_gbps": round(tpu_gbps, 2) if tpu_gbps else None,
-            "assembly_ms": round(t_asm * 1e3, 3) if t_asm else None,
-            "assembly_mdofs_per_s": round(asm_mdofs, 1) if asm_mdofs else None,
-            "scipy_spmv_ms": round(t_host * 1e3, 3),
             "device": f"{dev.device_kind}",
-            "dtype": "float64",
+            **{k: (round(v, 4) if v is not None else None) for k, v in timings.items()},
         },
     }
     print(json.dumps(result))
@@ -261,7 +254,7 @@ if __name__ == "__main__":
     except Exception as exc:  # always emit a parseable line for the driver
         log(f"bench failed: {exc!r}")
         print(json.dumps({
-            "metric": "linearized_ns_spmv_throughput",
-            "value": 0.0, "unit": "GB/s", "vs_baseline": 0.0,
+            "metric": "ns_operator_apply_speedup_vs_scipy",
+            "value": 0.0, "unit": "x", "vs_baseline": 0.0,
             "detail": {"error": repr(exc)},
         }))

@@ -1,0 +1,54 @@
+"""Solver layer: Krylov methods, direct factorization, Newton,
+baseflow driver, eigensolvers.
+
+Counterpart of the reference's ``Solver/`` package (PETSc KSP/SNES,
+SLEPc EPS, MUMPS reached through wrappers).
+"""
+
+from lsafw_tpu.solver.baseflow import (
+    BaseFlowSolver,
+    compute_drag,
+    compute_recirculation_length,
+)
+from lsafw_tpu.solver.direct import SparseLU, direct_solve
+from lsafw_tpu.solver.eigen import (
+    EigenSolver,
+    EigensolverConfig,
+    EpsProblemType,
+    EpsWhich,
+    STType,
+    eigen_residuals,
+    krylov_schur,
+)
+from lsafw_tpu.solver.eigen2 import ArpackEigenSolver, ShiftInvertConfig
+from lsafw_tpu.solver.linear import KSPType, SolveResult, bicgstab, cg, gmres, solve, solve_csr
+from lsafw_tpu.solver.newton import NewtonResult, NewtonSolver
+from lsafw_tpu.solver.precond import PreconditionerType, make_preconditioner
+
+__all__ = [
+    "BaseFlowSolver",
+    "compute_drag",
+    "compute_recirculation_length",
+    "SparseLU",
+    "direct_solve",
+    "EigenSolver",
+    "EigensolverConfig",
+    "EpsProblemType",
+    "EpsWhich",
+    "STType",
+    "eigen_residuals",
+    "krylov_schur",
+    "ArpackEigenSolver",
+    "ShiftInvertConfig",
+    "KSPType",
+    "SolveResult",
+    "cg",
+    "gmres",
+    "bicgstab",
+    "solve",
+    "solve_csr",
+    "NewtonSolver",
+    "NewtonResult",
+    "PreconditionerType",
+    "make_preconditioner",
+]
