@@ -114,6 +114,35 @@ class StencilOperator:
     def __matmul__(self, xp):
         return self.matvec(xp)
 
+    # --- multi-chip form: per-class grids as a pytree -----------------
+    def split_grids(self, xp: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
+        """Packed vector -> tuple of (nx, ny) class grids (shard each on
+        axis 0 with P("dof") for multi-chip runs; the static shifted
+        slices of :meth:`matvec_grids` become XLA halo exchanges)."""
+        s = self.structure
+        return tuple(
+            xp[s.class_bases[k] : s.class_bases[k] + int(np.prod(s.class_shapes[k]))]
+            .reshape(s.class_shapes[k])
+            for k in range(s.num_classes)
+        )
+
+    def join_grids(self, grids) -> jnp.ndarray:
+        return jnp.concatenate([g.reshape(-1) for g in grids])
+
+    def matvec_grids(self, grids) -> tuple[jnp.ndarray, ...]:
+        """Stencil apply on per-class grids (no BC handling; shard-friendly)."""
+        s = self.structure
+        P = s.pad
+        padded = [jnp.pad(g, P) for g in grids]
+        ys = [jnp.zeros(s.class_shapes[k], dtype=grids[0].dtype) for k in range(s.num_classes)]
+        for b, (cr, cc, oi, oj) in enumerate(s.buckets):
+            start, size = s.bucket_slices[b]
+            nxr, nyr = s.class_shapes[cr]
+            C = self.coeffs[start : start + size].reshape(nxr, nyr)
+            xc = jax.lax.slice(padded[cc], (P + oi, P + oj), (P + oi + nxr, P + oj + nyr))
+            ys[cr] = ys[cr] + C * xc
+        return tuple(ys)
+
 
 # ---------------------------------------------------------------------------
 # Builder
