@@ -20,8 +20,6 @@ import json
 import sys
 from pathlib import Path
 
-import numpy as np
-
 from lsafw_tpu.utils.logging import get_logger, setup_logging
 
 logger = get_logger(__name__)

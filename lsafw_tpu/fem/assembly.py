@@ -20,7 +20,7 @@ of ``FEM/operators.py`` (VariationalForms, ``:236-284``).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import cached_property
 
 import jax

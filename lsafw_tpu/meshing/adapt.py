@@ -11,8 +11,6 @@ regeneration: |u| is sampled at old-mesh vertices, mapped to sizes in
 
 from __future__ import annotations
 
-from typing import Callable
-
 import numpy as np
 from scipy.spatial import cKDTree
 

@@ -18,7 +18,7 @@ assembled from the same static reference tensors as the flow kernels.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Iterable, Sequence
 
 import jax.numpy as jnp

@@ -14,11 +14,8 @@ CPU tests).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from lsafw_tpu.ops.sparse import CSRMatrix
 

@@ -26,14 +26,12 @@ iterations (pack/unpack are one permutation each at the boundaries).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from lsafw_tpu.fem.spaces import FunctionSpaces
-from lsafw_tpu.meshing.mesh import CellType, Mesh
+from lsafw_tpu.meshing.mesh import CellType
 from lsafw_tpu.ops.sparse import SparsityPattern
 from lsafw_tpu.utils.logging import get_logger
 

@@ -16,9 +16,6 @@ assembly context (no complex dtype needed).
 
 from __future__ import annotations
 
-import logging
-from dataclasses import dataclass
-
 import jax.numpy as jnp
 import numpy as np
 

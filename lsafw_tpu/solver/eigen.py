@@ -24,9 +24,8 @@ lambda = sigma + 1/theta (``Solver/eigen2.py:210`` `_mu_to_lambda`).
 
 from __future__ import annotations
 
-import logging
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from enum import Enum
 from typing import Callable

@@ -14,7 +14,6 @@ preconditioner.
 
 from __future__ import annotations
 
-import logging
 from dataclasses import dataclass
 
 import jax.numpy as jnp
