@@ -172,19 +172,28 @@ def _classify_nodes(coords: np.ndarray, hx: float, hy: float, x0: float, y0: flo
 def build_stencil_operator(
     pattern: SparsityPattern,
     data: np.ndarray,
-    spaces: FunctionSpaces,
+    spaces: "FunctionSpaces | list",
     *,
     bc_mask: np.ndarray | None = None,
     bc_diag: float = 1.0,
     max_buckets: int = 2000,
 ) -> StencilOperator:
-    """Reindex an assembled mixed-space operator into stencil buckets.
+    """Reindex an assembled operator into stencil buckets.
+
+    ``spaces`` is either a mixed :class:`FunctionSpaces` (velocity +
+    pressure) or a list of ``(FunctionSpace, block_size)`` blocks laid
+    out consecutively in the DOF vector (e.g. ``[(scalar_space, 1)]``
+    for the membrane EVP).
 
     The structure (everything except ``coeffs``) depends only on the
     pattern + spaces and is cached on the pattern, so re-building after
     a Jacobian update is one scatter of the nnz data.
     """
-    structure = _structure_for(pattern, spaces, max_buckets)
+    if isinstance(spaces, FunctionSpaces):
+        blocks = [(spaces.velocity, spaces.velocity.bs), (spaces.pressure, 1)]
+    else:
+        blocks = list(spaces)
+    structure = _structure_for(pattern, blocks, max_buckets)
     coeffs = jnp.zeros(structure.coeff_size, dtype=jnp.asarray(data).dtype)
     coeffs = coeffs.at[jnp.asarray(structure.nnz_slot)].set(jnp.asarray(data))
     mask_p = None
@@ -199,16 +208,14 @@ def build_stencil_operator(
 _STRUCT_CACHE: dict[int, StencilStructure] = {}
 
 
-def _structure_for(pattern: SparsityPattern, spaces: FunctionSpaces, max_buckets: int) -> StencilStructure:
+def _structure_for(pattern: SparsityPattern, blocks, max_buckets: int) -> StencilStructure:
     key = id(pattern)
     if key in _STRUCT_CACHE:
         return _STRUCT_CACHE[key]
-    mesh = spaces.velocity.mesh
+    mesh = blocks[0][0].mesh
     if mesh.tdim != 2 or mesh.cell_type is not CellType.TRIANGLE:
         raise ValueError("Stencil operator supports 2D structured triangle meshes.")
-    n = spaces.num_dofs
-    nu = spaces.num_velocity_dofs
-    gdim = 2
+    n = sum(space.num_nodes * bs for space, bs in blocks)
 
     # cell spacing and origin from the mesh vertices (node sets include
     # half-offset midpoints, so spacing cannot be inferred from them)
@@ -217,41 +224,37 @@ def _structure_for(pattern: SparsityPattern, spaces: FunctionSpaces, max_buckets
     hx, hy = float(np.diff(vx).min()), float(np.diff(vy).min())
     x0, y0 = float(vx.min()), float(vy.min())
 
-    # scalar node classification for the velocity space
-    vcls, vix, viy = _classify_nodes(spaces.velocity.node_coords, hx, hy, x0, y0)
-    pcls, pix, piy = _classify_nodes(spaces.pressure.node_coords, hx, hy, x0, y0)
-    if not (pcls == 0).all():
-        raise ValueError("Pressure nodes must be vertex-class for the stencil path.")
-
-    # mixed dof -> (class, ix, iy): velocity classes 0..7 (scalar class * 2
-    # + component), pressure class 8
+    # dof -> (class, ix, iy): per block, 4 geometric node classes x
+    # block_size components
     dof_cls = np.empty(n, dtype=np.int32)
     dof_ix = np.empty(n, dtype=np.int64)
     dof_iy = np.empty(n, dtype=np.int64)
-    vdofs = np.arange(nu)
-    node = vdofs // gdim
-    comp = vdofs % gdim
-    dof_cls[vdofs] = vcls[node] * 2 + comp
-    dof_ix[vdofs] = vix[node]
-    dof_iy[vdofs] = viy[node]
-    pdofs = nu + np.arange(spaces.num_pressure_dofs)
-    dof_cls[pdofs] = 8
-    dof_ix[pdofs] = pix
-    dof_iy[pdofs] = piy
+    dof_base = 0
+    cls_base = 0
+    for space, bs in blocks:
+        scls, six, siy = _classify_nodes(space.node_coords, hx, hy, x0, y0)
+        nd = space.num_nodes * bs
+        dofs = dof_base + np.arange(nd)
+        node = (dofs - dof_base) // bs
+        comp = (dofs - dof_base) % bs
+        dof_cls[dofs] = cls_base + scls[node] * bs + comp
+        dof_ix[dofs] = six[node]
+        dof_iy[dofs] = siy[node]
+        dof_base += nd
+        cls_base += 4 * bs
 
-    num_classes = 9
+    # compact away empty classes (e.g. P1 blocks only have vertex nodes)
+    used_cls = np.unique(dof_cls)
+    remap_cls = np.full(cls_base, -1, dtype=np.int32)
+    remap_cls[used_cls] = np.arange(used_cls.size, dtype=np.int32)
+    dof_cls = remap_cls[dof_cls]
+    num_classes = int(used_cls.size)
     shapes = []
     bases = []
     perm_parts = []
     base = 0
     for k in range(num_classes):
         sel = np.nonzero(dof_cls == k)[0]
-        if sel.size == 0:
-            shapes.append((1, 1))
-            bases.append(base)
-            base += 1
-            perm_parts.append(np.full(1, -1, dtype=np.int64))
-            continue
         nxk = int(dof_ix[sel].max()) + 1
         nyk = int(dof_iy[sel].max()) + 1
         if sel.size != nxk * nyk:

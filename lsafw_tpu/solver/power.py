@@ -1,0 +1,95 @@
+"""Device-resident shift-invert inverse iteration over stencil operators.
+
+The fully-jitted eigensolver path: outer inverse iteration and the
+inner CG solve both live inside one XLA program (no per-step host
+dispatch — essential on high-latency runtimes, see bench.py), with the
+operator applies being gather-free stencil FMAs.  This is the
+"time-to-leading-eigenpair on TPU" building block; the general
+Krylov-Schur (``solver/eigen.py``) remains the multi-eigenvalue
+workhorse.
+
+Requires SPD (K - sigma M) — i.e. sigma below the smallest eigenvalue
+for SPD pencils like the membrane EVP (``models/membrane.py``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from lsafw_tpu.ops.stencil import StencilOperator
+
+
+class PowerResult(NamedTuple):
+    eigenvalue: jnp.ndarray
+    eigenvector: jnp.ndarray  # packed layout
+    iterations: jnp.ndarray
+    residual: jnp.ndarray  # |K x - lam M x| / |x|
+
+
+def _cg_fixed(matvec, b, x0, iters: int, inv_diag):
+    """Fixed-iteration preconditioned CG (jit-friendly inner solve)."""
+
+    def body(i, st):
+        x, r, z, p, rz = st
+        Ap = matvec(p)
+        alpha = rz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = inv_diag * r
+        rz_new = jnp.vdot(r, z)
+        p = z + (rz_new / rz) * p
+        return (x, r, z, p, rz_new)
+
+    r0 = b - matvec(x0)
+    z0 = inv_diag * r0
+    st = (x0, r0, z0, z0, jnp.vdot(r0, z0))
+    x, *_ = lax.fori_loop(0, iters, body, st)
+    return x
+
+
+@jax.jit
+def shift_invert_power(
+    K: StencilOperator,
+    M: StencilOperator,
+    sigma,
+    x0: jnp.ndarray,
+    inv_diag: jnp.ndarray,
+    tol: float = 1e-10,
+    max_outer: int = 100,
+    cg_iters: int = 200,
+) -> PowerResult:
+    """Leading eigenpair of K x = lam M x nearest ``sigma``.
+
+    All operands are jit arguments; K and M must share their stencil
+    structure (same sparsity pattern), so (K - sigma M) is an
+    elementwise coefficient combination.
+    """
+    C = StencilOperator(K.structure, K.coeffs - sigma * M.coeffs, K.bc_mask, K.bc_diag)
+
+    def rayleigh(x):
+        Kx = K.matvec(x)
+        Mx = M.matvec(x)
+        return jnp.vdot(x, Kx) / jnp.vdot(x, Mx), Kx, Mx
+
+    def cond(st):
+        x, lam, dl, it = st
+        return (dl > tol) & (it < max_outer)
+
+    def body(st):
+        x, lam, _, it = st
+        b = M.matvec(x)
+        y = _cg_fixed(C.matvec, b, x, cg_iters, inv_diag)
+        y = y / jnp.linalg.norm(y)
+        lam_new, _, _ = rayleigh(y)
+        return (y, lam_new, jnp.abs(lam_new - lam), it + 1)
+
+    x0 = x0 / jnp.linalg.norm(x0)
+    lam0, _, _ = rayleigh(x0)
+    x, lam, dl, it = lax.while_loop(cond, body, (x0, lam0, jnp.inf, 0))
+    _, Kx, Mx = rayleigh(x)
+    res = jnp.linalg.norm(Kx - lam * Mx)
+    return PowerResult(eigenvalue=lam, eigenvector=x, iterations=it, residual=res)
