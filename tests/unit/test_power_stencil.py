@@ -36,3 +36,26 @@ def test_membrane_leading_eigenvalue_stencil():
     # discretization error bound (16x32 P2): ~1e-6 relative
     assert abs(lam - exact) / exact < 1e-4, (lam, exact)
     assert float(res.residual) < 1e-6
+
+
+def test_membrane_lobpcg():
+    from lsafw_tpu.solver.power import lobpcg_smallest
+
+    mesh = rectangle_mesh((0, 0), (2.0, 4.0), 16, 32)
+    K, M, mask = assemble_membrane_evp(mesh)
+    from lsafw_tpu.fem.spaces import make_scalar_space
+
+    space = make_scalar_space(mesh, "p2")
+    blocks = [(space, 1)]
+    Kop = build_stencil_operator(K.pattern, np.asarray(K.data), blocks,
+                                 bc_mask=mask, bc_diag=1.0)
+    Mop = build_stencil_operator(K.pattern, np.asarray(M.data), blocks,
+                                 bc_mask=mask, bc_diag=0.0)
+    dK = np.asarray(K.diagonal())[Kop.structure.perm]
+    inv_diag = jnp.asarray(np.where(np.abs(dK) > 0, 1.0 / np.where(dK == 0, 1, dK), 1.0))
+    rng = np.random.default_rng(1)
+    x0 = jnp.asarray(rng.standard_normal(Kop.structure.packed_size))
+    res = lobpcg_smallest(Kop, Mop, x0, inv_diag, tol=1e-10, max_iter=2000)
+    exact = analytic_eigenvalues(2.0, 4.0, 1)[0]
+    lam = float(res.eigenvalue)
+    assert abs(lam - exact) / exact < 1e-4, (lam, exact, int(res.iterations))
