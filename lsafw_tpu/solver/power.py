@@ -77,9 +77,12 @@ def lobpcg_smallest(
         B3 = S.T @ MS
         # robust generalized 3x3 solve: whiten B3 (guard rank loss)
         lb, Q = jnp.linalg.eigh(0.5 * (B3 + B3.T))
-        lb = jnp.maximum(lb, 1e-14 * jnp.max(lb))
-        W = Q / jnp.sqrt(lb)[None, :]
-        lam3, Y = jnp.linalg.eigh(0.5 * (W.T @ (A3 + A3.T) @ W))
+        # deflate rank-deficient directions to +inf: duplicated/null
+        # columns must never masquerade as small Ritz values
+        valid = lb > 1e-10 * jnp.max(lb)
+        W = Q * jnp.where(valid, 1.0 / jnp.sqrt(jnp.where(valid, lb, 1.0)), 0.0)[None, :]
+        Aw = W.T @ (0.5 * (A3 + A3.T)) @ W + jnp.diag(jnp.where(valid, 0.0, 1e30))
+        lam3, Y = jnp.linalg.eigh(Aw)
         y = W @ Y[:, 0]
         return lam3[0], S @ y, KS @ y, MS @ y
 
@@ -95,6 +98,61 @@ def lobpcg_smallest(
         x, lam, p, _, it = st
         r = K.matvec(x) - lam * M.matvec(x)
         w = inv_diag * r
+        w = w / jnp.linalg.norm(w)
+        pn = jnp.where(jnp.linalg.norm(p) > 0, p, w)
+        S = jnp.stack([x, w, pn], axis=1)
+        lam_new, x_new, Kx, Mx = rr3(S)
+        x_new = x_new / jnp.linalg.norm(x_new)
+        p_new = x_new - x * jnp.vdot(x, x_new)
+        res = jnp.linalg.norm(Kx - lam_new * Mx) / jnp.maximum(jnp.linalg.norm(Mx), 1e-30)
+        return (x_new, lam_new, p_new, res, it + 1)
+
+    x, lam, p, res, it = lax.while_loop(cond, body, (x, lam, p, jnp.inf, 0))
+    return PowerResult(eigenvalue=lam, eigenvector=x, iterations=it, residual=res)
+
+
+@jax.jit
+def lobpcg_smallest_pc(
+    K: StencilOperator,
+    M: StencilOperator,
+    x0: jnp.ndarray,
+    pc,
+    tol: float = 1e-10,
+    max_iter: int = 500,
+) -> PowerResult:
+    """LOBPCG with a general preconditioner pytree exposing
+    ``pc.apply(r)`` (e.g. :class:`lsafw_tpu.solver.multigrid.MultigridPC`)."""
+
+    def rayleigh(x):
+        return jnp.vdot(x, K.matvec(x)) / jnp.vdot(x, M.matvec(x))
+
+    def rr3(S):
+        KS = jnp.stack([K.matvec(S[:, i]) for i in range(3)], axis=1)
+        MS = jnp.stack([M.matvec(S[:, i]) for i in range(3)], axis=1)
+        A3 = S.T @ KS
+        B3 = S.T @ MS
+        lb, Q = jnp.linalg.eigh(0.5 * (B3 + B3.T))
+        # deflate rank-deficient directions to +inf: duplicated/null
+        # columns must never masquerade as small Ritz values
+        valid = lb > 1e-10 * jnp.max(lb)
+        W = Q * jnp.where(valid, 1.0 / jnp.sqrt(jnp.where(valid, lb, 1.0)), 0.0)[None, :]
+        Aw = W.T @ (0.5 * (A3 + A3.T)) @ W + jnp.diag(jnp.where(valid, 0.0, 1e30))
+        lam3, Y = jnp.linalg.eigh(Aw)
+        y = W @ Y[:, 0]
+        return lam3[0], S @ y, KS @ y, MS @ y
+
+    x = x0 / jnp.linalg.norm(x0)
+    lam = rayleigh(x)
+    p = jnp.zeros_like(x)
+
+    def cond(st):
+        x, lam, p, res, it = st
+        return (res > tol) & (it < max_iter)
+
+    def body(st):
+        x, lam, p, _, it = st
+        r = K.matvec(x) - lam * M.matvec(x)
+        w = pc.apply(r)
         w = w / jnp.linalg.norm(w)
         pn = jnp.where(jnp.linalg.norm(p) > 0, p, w)
         S = jnp.stack([x, w, pn], axis=1)
