@@ -84,7 +84,7 @@ def lobpcg_smallest(
         Aw = W.T @ (0.5 * (A3 + A3.T)) @ W + jnp.diag(jnp.where(valid, 0.0, 1e30))
         lam3, Y = jnp.linalg.eigh(Aw)
         y = W @ Y[:, 0]
-        return lam3[0], S @ y, KS @ y, MS @ y
+        return lam3[0], y, S @ y, KS @ y, MS @ y
 
     x = x0 / jnp.linalg.norm(x0)
     lam = rayleigh(x)
@@ -101,9 +101,11 @@ def lobpcg_smallest(
         w = w / jnp.linalg.norm(w)
         pn = jnp.where(jnp.linalg.norm(p) > 0, p, w)
         S = jnp.stack([x, w, pn], axis=1)
-        lam_new, x_new, Kx, Mx = rr3(S)
-        x_new = x_new / jnp.linalg.norm(x_new)
-        p_new = x_new - x * jnp.vdot(x, x_new)
+        lam_new, y, x_new, Kx, Mx = rr3(S)
+        nrm = jnp.linalg.norm(x_new)
+        x_new = x_new / nrm
+        # locally-optimal recurrence: p carries the (w, p) components
+        p_new = (S[:, 1:] @ y[1:]) / nrm
         res = jnp.linalg.norm(Kx - lam_new * Mx) / jnp.maximum(jnp.linalg.norm(Mx), 1e-30)
         return (x_new, lam_new, p_new, res, it + 1)
 
@@ -139,7 +141,7 @@ def lobpcg_smallest_pc(
         Aw = W.T @ (0.5 * (A3 + A3.T)) @ W + jnp.diag(jnp.where(valid, 0.0, 1e30))
         lam3, Y = jnp.linalg.eigh(Aw)
         y = W @ Y[:, 0]
-        return lam3[0], S @ y, KS @ y, MS @ y
+        return lam3[0], y, S @ y, KS @ y, MS @ y
 
     x = x0 / jnp.linalg.norm(x0)
     lam = rayleigh(x)
@@ -156,9 +158,11 @@ def lobpcg_smallest_pc(
         w = w / jnp.linalg.norm(w)
         pn = jnp.where(jnp.linalg.norm(p) > 0, p, w)
         S = jnp.stack([x, w, pn], axis=1)
-        lam_new, x_new, Kx, Mx = rr3(S)
-        x_new = x_new / jnp.linalg.norm(x_new)
-        p_new = x_new - x * jnp.vdot(x, x_new)
+        lam_new, y, x_new, Kx, Mx = rr3(S)
+        nrm = jnp.linalg.norm(x_new)
+        x_new = x_new / nrm
+        # locally-optimal recurrence: p carries the (w, p) components
+        p_new = (S[:, 1:] @ y[1:]) / nrm
         res = jnp.linalg.norm(Kx - lam_new * Mx) / jnp.maximum(jnp.linalg.norm(Mx), 1e-30)
         return (x_new, lam_new, p_new, res, it + 1)
 
