@@ -63,9 +63,12 @@ def main() -> None:
 
     jax.config.update("jax_enable_x64", True)
     try:
-        cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # TPU-only: CPU AOT artifacts are machine-feature-specific and can
+        # SIGILL when the cache moves between hosts
+        if jax.default_backend() == "tpu":
+            cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
     import jax.numpy as jnp
