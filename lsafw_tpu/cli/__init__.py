@@ -139,6 +139,7 @@ def _cmd_eigen(args) -> int:
     if args.target is not None:
         es.set_st_type(STType.SINVERT)
         es.set_target(complex(args.target))
+        es.set_st_pc_type(args.si_method)
     pairs = es.solve()
     for i, (lam, vec) in enumerate(pairs):
         logger.info("sigma[%d] = %.6e %+.6e j", i, lam.real, lam.imag)
@@ -221,6 +222,10 @@ def main(argv: list[str] | None = None) -> int:
     p_eig.add_argument("--atol", type=float, default=1e-8)
     p_eig.add_argument("--ncv", type=int, default=80)
     p_eig.add_argument("--check-hermitian", action="store_true")
+    p_eig.add_argument(
+        "--si-method", choices=("lu", "gmres"), default="lu",
+        help="shift-invert inner solve: host LU or device iterative",
+    )
     p_eig.add_argument("--outdir", type=Path, default=None)
     p_eig.set_defaults(fn=_cmd_eigen)
 

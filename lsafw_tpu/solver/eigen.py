@@ -134,7 +134,14 @@ class ShiftInvertOperator:
 
             sr = self.sigma.real
             if M is not None:
-                C = A.axpy(-sr, M)
+                if M.pattern is A.pattern:
+                    C = A.axpy(-sr, M)
+                else:
+                    # matrices loaded from files carry separate patterns:
+                    # form the union on the host (one-time setup cost)
+                    C = CSRMatrix.from_scipy(
+                        (A.to_scipy() - sr * M.to_scipy()).tocsr()
+                    )
             else:
                 C = CSRMatrix(A.pattern, A.data.at[A.dev.diag_slots].add(-sr), A.dev)
             self._C = C

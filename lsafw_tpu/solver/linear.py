@@ -47,6 +47,9 @@ class SolveResult(NamedTuple):
     iterations: jnp.ndarray  # int32 scalar
     residual: jnp.ndarray  # final |r| / |b|
     converged: jnp.ndarray  # bool scalar
+    history: jnp.ndarray | None = None  # per-cycle/iteration residuals
+    # (parity: KSP residual-history monitors, Solver/linear.py:280-304;
+    # fixed-length, padded with the final residual)
 
 
 def _identity(x):
@@ -169,18 +172,21 @@ def gmres(
         return x + V[:m].T @ y
 
     def cond(st):
-        x, k, res = st
+        x, k, res, hist = st
         return (res > tol) & (k < max_cycles)
 
     def body(st):
-        x, k, _ = st
+        x, k, _, hist = st
         x = arnoldi_cycle(x)
         res = jnp.linalg.norm(M(b - matvec(x))) / bnorm
-        return (x, k + 1, res)
+        hist = hist.at[k].set(res)
+        return (x, k + 1, res, hist)
 
     res0 = jnp.linalg.norm(M(b - matvec(x))) / bnorm
-    x, k, res = lax.while_loop(cond, body, (x, jnp.int32(0), res0))
-    return SolveResult(x, k * m, res, res <= tol)
+    hist0 = jnp.full(max_cycles, res0, dtype=bnorm.dtype)
+    x, k, res, hist = lax.while_loop(cond, body, (x, jnp.int32(0), res0, hist0))
+    hist = jnp.where(jnp.arange(max_cycles) < k, hist, res)
+    return SolveResult(x, k * m, res, res <= tol, hist)
 
 
 # ---------------------------------------------------------------------------
