@@ -205,13 +205,18 @@ def build_stencil_operator(
     return StencilOperator(structure, coeffs, mask_p, bc_diag)
 
 
-_STRUCT_CACHE: dict[int, StencilStructure] = {}
+# Keyed by id(pattern) but holding a strong reference to the pattern:
+# without it, a freed pattern's address can be reused by a NEW pattern
+# (CPython id recycling) and the lookup would silently return a stale
+# structure with the wrong grid shapes.
+_STRUCT_CACHE: dict[int, tuple[SparsityPattern, StencilStructure]] = {}
 
 
 def _structure_for(pattern: SparsityPattern, blocks, max_buckets: int) -> StencilStructure:
     key = id(pattern)
-    if key in _STRUCT_CACHE:
-        return _STRUCT_CACHE[key]
+    hit = _STRUCT_CACHE.get(key)
+    if hit is not None and hit[0] is pattern:
+        return hit[1]
     mesh = blocks[0][0].mesh
     if mesh.tdim != 2 or mesh.cell_type is not CellType.TRIANGLE:
         raise ValueError("Stencil operator supports 2D structured triangle meshes.")
@@ -326,5 +331,5 @@ def _structure_for(pattern: SparsityPattern, blocks, max_buckets: int) -> Stenci
         "Stencil structure: %d buckets, pad %d, %d coeff entries (nnz %d)",
         len(buckets), pad, coeff_size, pattern.nnz,
     )
-    _STRUCT_CACHE[key] = structure
+    _STRUCT_CACHE[key] = (pattern, structure)
     return structure

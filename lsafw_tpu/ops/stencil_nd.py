@@ -109,7 +109,9 @@ def _classify_nd(coords: np.ndarray, h: np.ndarray, origin: np.ndarray):
     return cls.astype(np.int32), g // 2
 
 
-_CACHE: dict[int, StencilNDStructure] = {}
+# Strong pattern reference guards against CPython id recycling (a new
+# pattern allocated at a freed pattern's address must not hit stale).
+_CACHE: dict[int, tuple[SparsityPattern, StencilNDStructure]] = {}
 
 
 def build_stencil_nd(
@@ -137,8 +139,9 @@ def build_stencil_nd(
 
 def _structure_nd(pattern: SparsityPattern, blocks, max_buckets: int) -> StencilNDStructure:
     key = id(pattern)
-    if key in _CACHE:
-        return _CACHE[key]
+    hit = _CACHE.get(key)
+    if hit is not None and hit[0] is pattern:
+        return hit[1]
     mesh = blocks[0][0].mesh
     if mesh.cell_type not in (CellType.TRIANGLE, CellType.TETRAHEDRON):
         raise ValueError("Stencil operator supports structured simplex meshes.")
@@ -260,5 +263,5 @@ def _structure_nd(pattern: SparsityPattern, blocks, max_buckets: int) -> Stencil
         "StencilND structure: %dD, %d classes, %d buckets, pad %d (nnz %d)",
         d, num_classes, len(buckets), pad, pattern.nnz,
     )
-    _CACHE[key] = structure
+    _CACHE[key] = (pattern, structure)
     return structure

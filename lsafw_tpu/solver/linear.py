@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from lsafw_tpu.ops.dots import ddot
+
 Matvec = Callable[[jnp.ndarray], jnp.ndarray]
 
 
@@ -80,7 +82,7 @@ def cg(
     r = b - matvec(x)
     z = M(r)
     p = z
-    rz = jnp.vdot(r, z)
+    rz = ddot(r, z)
 
     def cond(st):
         x, r, z, p, rz, k = st
@@ -89,11 +91,11 @@ def cg(
     def body(st):
         x, r, z, p, rz, k = st
         Ap = matvec(p)
-        alpha = rz / jnp.vdot(p, Ap)
+        alpha = rz / ddot(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
         z = M(r)
-        rz_new = jnp.vdot(r, z)
+        rz_new = ddot(r, z)
         p = z + (rz_new / rz) * p
         return (x, r, z, p, rz_new, k + 1)
 
@@ -219,16 +221,16 @@ def bicgstab(
 
     def body(st):
         x, r, rho, alpha, omega, v, p, k = st
-        rho_new = jnp.vdot(rhat, r)
+        rho_new = ddot(rhat, r)
         beta = (rho_new / rho) * (alpha / omega)
         p = r + beta * (p - omega * v)
         phat = M(p)
         v = matvec(phat)
-        alpha = rho_new / jnp.vdot(rhat, v)
+        alpha = rho_new / ddot(rhat, v)
         s = r - alpha * v
         shat = M(s)
         t = matvec(shat)
-        omega = jnp.vdot(t, s) / jnp.vdot(t, t)
+        omega = ddot(t, s) / ddot(t, t)
         x = x + alpha * phat + omega * shat
         r = s - omega * t
         return (x, r, rho_new, alpha, omega, v, p, k + 1)

@@ -172,7 +172,7 @@ class MultigridPC:
 
 def build_multigrid_pc(
     mesh, K2, bc_mask2: np.ndarray, *, levels: int | None = None,
-    omega: float = 0.7, smooth_steps: int = 2,
+    omega: float = 0.7, smooth_steps: int = 3,
 ) -> MultigridPC:
     """Build the V-cycle preconditioner for a P2 Dirichlet operator.
 

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from lsafw_tpu.ops.dots import ddot
 from lsafw_tpu.ops.stencil import StencilOperator
 
 
@@ -30,25 +31,183 @@ class PowerResult(NamedTuple):
     residual: jnp.ndarray  # |K x - lam M x| / |x|
 
 
+def _eigh3(A: jnp.ndarray):
+    """Symmetric 3x3 eigendecomposition by cyclic Jacobi rotations.
+
+    The TPU backend's ``jnp.linalg.eigh`` under emulated f64 carries
+    ~1e-7 residuals (measured; CPU gives 1e-15), which wrecks LOBPCG's
+    Rayleigh-Ritz.  Plain f64 arithmetic on TPU is accurate, so eight
+    explicit Jacobi sweeps recover full precision.  Returns (w, V)
+    with eigenvalues ascending.
+
+    TPU's emulated f64 carries the f32 exponent range, so tau**2
+    overflows around |tau| ~ 1e19; for large |tau| the rotation is
+    t ~ 1/(2 tau), which the guarded branch below uses instead.
+    """
+    V = jnp.eye(3, dtype=A.dtype)
+
+    def rotate(AV, pq):
+        A, V = AV
+        p, q = pq
+        apq = A[p, q]
+        tau = (A[q, q] - A[p, p]) / (2.0 * jnp.where(apq == 0, 1.0, apq))
+        tau_c = jnp.clip(tau, -1e15, 1e15)
+        t = jnp.sign(tau_c) / (jnp.abs(tau_c) + jnp.sqrt(1.0 + tau_c * tau_c))
+        t = jnp.where(jnp.abs(tau) > 1e15, 0.5 / tau, t)
+        t = jnp.where(apq == 0, 0.0, t)
+        c = 1.0 / jnp.sqrt(1.0 + t * t)
+        s = t * c
+        R = jnp.eye(3, dtype=A.dtype)
+        R = R.at[p, p].set(c).at[q, q].set(c).at[p, q].set(s).at[q, p].set(-s)
+        return (R.T @ A @ R, V @ R), None
+
+    pairs = [(0, 1), (0, 2), (1, 2)] * 8
+    (A, V), _ = lax.scan(rotate, (A, V), jnp.asarray(pairs))
+    w = jnp.diagonal(A)
+    order = jnp.argsort(w)
+    return w[order], V[:, order]
+
+
 def _cg_fixed(matvec, b, x0, iters: int, inv_diag):
     """Fixed-iteration preconditioned CG (jit-friendly inner solve)."""
 
     def body(i, st):
         x, r, z, p, rz = st
         Ap = matvec(p)
-        alpha = rz / jnp.vdot(p, Ap)
+        alpha = rz / ddot(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
         z = inv_diag * r
-        rz_new = jnp.vdot(r, z)
+        rz_new = ddot(r, z)
         p = z + (rz_new / rz) * p
         return (x, r, z, p, rz_new)
 
     r0 = b - matvec(x0)
     z0 = inv_diag * r0
-    st = (x0, r0, z0, z0, jnp.vdot(r0, z0))
+    st = (x0, r0, z0, z0, ddot(r0, z0))
     x, *_ = lax.fori_loop(0, iters, body, st)
     return x
+
+
+def _lobpcg_core(K, M, x0, apply_pc, tol, max_iter) -> PowerResult:
+    """Single-vector LOBPCG over span{x, T r, p} with basis
+    M-orthonormalization (the Hetmaniuk-Lehoucq stabilization).
+
+    The textbook formulation whitens the 3x3 Gram matrix B3 = S^T M S,
+    which near convergence is nearly singular; the 1/sqrt(lb) scaling
+    then amplifies any 3x3-eigensolver error by the condition number —
+    on TPU's emulated f64 (eigh residual ~1e-13) that floors the
+    eigenresidual at ~1e-7..1e-4 (measured).  Orthonormalizing
+    [x, w, p] in the M inner product at the *vector* level (CGS2,
+    n-vector arithmetic at ~1e-15) makes B3 = I to roundoff, so the
+    Ritz problem is a well-conditioned standard 3x3 solve.
+
+    K*/M* products are recomputed FRESH on the final orthonormalized
+    columns every iteration.  Tracking them linearly through the
+    projections (the cheap variant) is unstable: near convergence the
+    w column is renormalized by 1/nw ~ 1e9, which amplifies the
+    tracked-product rounding into a drift between the carried Kx and
+    the true K @ x, and the iteration stalls on a spurious fixed point
+    (measured: eigenresidual floor 1e-7 on TPU) or diverges after
+    convergence (measured on CPU).  Fresh products make A3 the exact
+    Gram matrix of the actual basis, so Ritz values are true Rayleigh
+    quotients and the iteration is unconditionally monotone.  Cost:
+    3 K + 5 M matvecs per iteration instead of 1 + 1 — negligible next
+    to the preconditioner V-cycle.
+    """
+
+    def mdot(a, Mb):
+        return ddot(a, Mb)
+
+    def mnorm(v, Mv):
+        return jnp.sqrt(jnp.maximum(mdot(v, Mv), 0.0))
+
+    def orthonormalize(v, against):
+        """M-orthonormalize v against M-orthonormal (u, Ku, Mu) columns.
+
+        CGS2 with tracked Mv for the projection coefficients, then
+        FRESH K v / M v matvecs on the normalized vector, plus one
+        fresh-product touch-up pass (coefficients ~eps, so no
+        amplification).  Returns (v, Kv, Mv, ok); dead columns
+        (rank-deficient after projection) come back as zeros with
+        ok=False.
+        """
+        Mv = M.matvec(v)
+        n0 = mnorm(v, Mv)
+        for _ in range(2):
+            for u, Ku, Mu in against:
+                a = mdot(u, Mv)
+                v, Mv = v - a * u, Mv - a * Mu
+        n1 = mnorm(v, Mv)
+        ok = n1 > 1e-8 * n0
+        s = jnp.where(ok, 1.0 / jnp.where(ok, n1, 1.0), 0.0)
+        v = v * s
+        Kv = K.matvec(v)
+        Mv = M.matvec(v)
+        for u, Ku, Mu in against:
+            a = mdot(u, Mv)
+            v, Kv, Mv = v - a * u, Kv - a * Ku, Mv - a * Mu
+        n2 = mnorm(v, Mv)
+        ok = ok & (n2 > 0.5)
+        s2 = jnp.where(ok, 1.0 / jnp.where(ok, n2, 1.0), 0.0)
+        return v * s2, Kv * s2, Mv * s2, ok
+
+    x = x0
+    Kx = K.matvec(x)
+    Mx = M.matvec(x)
+    nx = mnorm(x, Mx)
+    x, Kx, Mx = x / nx, Kx / nx, Mx / nx
+    lam = mdot(x, Kx)
+    z = jnp.zeros_like(x)
+
+    def cond(st):
+        x, Kx, Mx, lam, p, res, it = st
+        return (res > tol) & (it < max_iter)
+
+    def body(st):
+        x, Kx, Mx, lam, p, _, it = st
+        r = Kx - lam * Mx
+        w = apply_pc(r)
+        w, Kw, Mw, ok_w = orthonormalize(w, [(x, Kx, Mx)])
+        p, Kp, Mp, ok_p = orthonormalize(p, [(x, Kx, Mx), (w, Kw, Mw)])
+
+        # --- standard 3x3 Ritz problem (B3 = I to roundoff) ---
+        # Gram entries via explicit vdots, NOT a stacked (n,3) matmul:
+        # on TPU the emulated-f64 matmul reduction carries ~2^-24-level
+        # relative error for ill-scaled data (measured: A3[0,0] off by
+        # 1.2e-7 while vdot on the same vectors is exact to 1e-12),
+        # which floors the eigenvalue accuracy at f32 grade.
+        a00 = ddot(x, Kx)
+        a01 = ddot(x, Kw)
+        a02 = ddot(x, Kp)
+        a11 = ddot(w, Kw)
+        a12 = ddot(w, Kp)
+        a22 = ddot(p, Kp)
+        A3 = jnp.asarray([[a00, a01, a02], [a01, a11, a12], [a02, a12, a22]])
+        dead = jnp.asarray([False, ~ok_w, ~ok_p])
+        A3 = A3 + jnp.diag(jnp.where(dead, 1e30, 0.0))
+        lam3, Y = _eigh3(A3)
+        y = Y[:, 0]
+
+        p_new = w * y[1] + p * y[2]
+        x_new = x * y[0] + p_new
+        Kx_new = K.matvec(x_new)
+        Mx_new = M.matvec(x_new)
+        nrm = mnorm(x_new, Mx_new)
+        x_new, Kx_new, Mx_new = x_new / nrm, Kx_new / nrm, Mx_new / nrm
+        # the returned eigenvalue is the FRESH Rayleigh quotient of the
+        # new iterate, not the 3x3 Ritz value: the Ritz solve only
+        # picks the direction, so any residual error in A3 cannot leak
+        # into the eigenvalue or the convergence test
+        lam_new = mdot(x_new, Kx_new)
+        res = jnp.linalg.norm(Kx_new - lam_new * Mx_new) / jnp.maximum(
+            jnp.linalg.norm(Mx_new), 1e-30
+        )
+        return (x_new, Kx_new, Mx_new, lam_new, p_new, res, it + 1)
+
+    st0 = (x, Kx, Mx, lam, z, jnp.inf, 0)
+    x, Kx, Mx, lam, p, res, it = lax.while_loop(cond, body, st0)
+    return PowerResult(eigenvalue=lam, eigenvector=x, iterations=it, residual=res)
 
 
 @jax.jit
@@ -65,52 +224,7 @@ def lobpcg_smallest(
     iteration Rayleigh-Ritzes over span{x, T r, p} — two operator
     applies per iteration instead of a full inner solve, an order of
     magnitude fewer matvecs than inverse iteration."""
-
-    def rayleigh(x):
-        return jnp.vdot(x, K.matvec(x)) / jnp.vdot(x, M.matvec(x))
-
-    def rr3(S):
-        """Rayleigh-Ritz on the (n, 3) subspace S: smallest Ritz pair."""
-        KS = jnp.stack([K.matvec(S[:, i]) for i in range(3)], axis=1)
-        MS = jnp.stack([M.matvec(S[:, i]) for i in range(3)], axis=1)
-        A3 = S.T @ KS
-        B3 = S.T @ MS
-        # robust generalized 3x3 solve: whiten B3 (guard rank loss)
-        lb, Q = jnp.linalg.eigh(0.5 * (B3 + B3.T))
-        # deflate rank-deficient directions to +inf: duplicated/null
-        # columns must never masquerade as small Ritz values
-        valid = lb > 1e-10 * jnp.max(lb)
-        W = Q * jnp.where(valid, 1.0 / jnp.sqrt(jnp.where(valid, lb, 1.0)), 0.0)[None, :]
-        Aw = W.T @ (0.5 * (A3 + A3.T)) @ W + jnp.diag(jnp.where(valid, 0.0, 1e30))
-        lam3, Y = jnp.linalg.eigh(Aw)
-        y = W @ Y[:, 0]
-        return lam3[0], y, S @ y, KS @ y, MS @ y
-
-    x = x0 / jnp.linalg.norm(x0)
-    lam = rayleigh(x)
-    p = jnp.zeros_like(x)
-
-    def cond(st):
-        x, lam, p, res, it = st
-        return (res > tol) & (it < max_iter)
-
-    def body(st):
-        x, lam, p, _, it = st
-        r = K.matvec(x) - lam * M.matvec(x)
-        w = inv_diag * r
-        w = w / jnp.linalg.norm(w)
-        pn = jnp.where(jnp.linalg.norm(p) > 0, p, w)
-        S = jnp.stack([x, w, pn], axis=1)
-        lam_new, y, x_new, Kx, Mx = rr3(S)
-        nrm = jnp.linalg.norm(x_new)
-        x_new = x_new / nrm
-        # locally-optimal recurrence: p carries the (w, p) components
-        p_new = (S[:, 1:] @ y[1:]) / nrm
-        res = jnp.linalg.norm(Kx - lam_new * Mx) / jnp.maximum(jnp.linalg.norm(Mx), 1e-30)
-        return (x_new, lam_new, p_new, res, it + 1)
-
-    x, lam, p, res, it = lax.while_loop(cond, body, (x, lam, p, jnp.inf, 0))
-    return PowerResult(eigenvalue=lam, eigenvector=x, iterations=it, residual=res)
+    return _lobpcg_core(K, M, x0, lambda r: inv_diag * r, tol, max_iter)
 
 
 @jax.jit
@@ -124,50 +238,7 @@ def lobpcg_smallest_pc(
 ) -> PowerResult:
     """LOBPCG with a general preconditioner pytree exposing
     ``pc.apply(r)`` (e.g. :class:`lsafw_tpu.solver.multigrid.MultigridPC`)."""
-
-    def rayleigh(x):
-        return jnp.vdot(x, K.matvec(x)) / jnp.vdot(x, M.matvec(x))
-
-    def rr3(S):
-        KS = jnp.stack([K.matvec(S[:, i]) for i in range(3)], axis=1)
-        MS = jnp.stack([M.matvec(S[:, i]) for i in range(3)], axis=1)
-        A3 = S.T @ KS
-        B3 = S.T @ MS
-        lb, Q = jnp.linalg.eigh(0.5 * (B3 + B3.T))
-        # deflate rank-deficient directions to +inf: duplicated/null
-        # columns must never masquerade as small Ritz values
-        valid = lb > 1e-10 * jnp.max(lb)
-        W = Q * jnp.where(valid, 1.0 / jnp.sqrt(jnp.where(valid, lb, 1.0)), 0.0)[None, :]
-        Aw = W.T @ (0.5 * (A3 + A3.T)) @ W + jnp.diag(jnp.where(valid, 0.0, 1e30))
-        lam3, Y = jnp.linalg.eigh(Aw)
-        y = W @ Y[:, 0]
-        return lam3[0], y, S @ y, KS @ y, MS @ y
-
-    x = x0 / jnp.linalg.norm(x0)
-    lam = rayleigh(x)
-    p = jnp.zeros_like(x)
-
-    def cond(st):
-        x, lam, p, res, it = st
-        return (res > tol) & (it < max_iter)
-
-    def body(st):
-        x, lam, p, _, it = st
-        r = K.matvec(x) - lam * M.matvec(x)
-        w = pc.apply(r)
-        w = w / jnp.linalg.norm(w)
-        pn = jnp.where(jnp.linalg.norm(p) > 0, p, w)
-        S = jnp.stack([x, w, pn], axis=1)
-        lam_new, y, x_new, Kx, Mx = rr3(S)
-        nrm = jnp.linalg.norm(x_new)
-        x_new = x_new / nrm
-        # locally-optimal recurrence: p carries the (w, p) components
-        p_new = (S[:, 1:] @ y[1:]) / nrm
-        res = jnp.linalg.norm(Kx - lam_new * Mx) / jnp.maximum(jnp.linalg.norm(Mx), 1e-30)
-        return (x_new, lam_new, p_new, res, it + 1)
-
-    x, lam, p, res, it = lax.while_loop(cond, body, (x, lam, p, jnp.inf, 0))
-    return PowerResult(eigenvalue=lam, eigenvector=x, iterations=it, residual=res)
+    return _lobpcg_core(K, M, x0, pc.apply, tol, max_iter)
 
 
 @jax.jit
@@ -192,7 +263,7 @@ def shift_invert_power(
     def rayleigh(x):
         Kx = K.matvec(x)
         Mx = M.matvec(x)
-        return jnp.vdot(x, Kx) / jnp.vdot(x, Mx), Kx, Mx
+        return ddot(x, Kx) / ddot(x, Mx), Kx, Mx
 
     def cond(st):
         x, lam, dl, it = st
