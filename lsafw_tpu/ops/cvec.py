@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from lsafw_tpu.ops.dots import ddot
+
 CVec = tuple[jnp.ndarray, jnp.ndarray]
 
 
@@ -25,15 +27,18 @@ def czeros(n: int, dtype=jnp.float64) -> CVec:
 
 def cdot(x: CVec, y: CVec) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Conjugating inner product <x, y> = x^H y (parity:
-    ``iComplexPETScVector.dot``, ``FEM/utils.py:1194``)."""
+    ``iComplexPETScVector.dot``, ``FEM/utils.py:1194``).
+
+    Scalar reductions use :func:`lsafw_tpu.ops.dots.ddot` — the TPU's
+    MXU dot path drops the f64 low word (see ops/dots.py)."""
     xr, xi = x
     yr, yi = y
-    return xr @ yr + xi @ yi, xr @ yi - xi @ yr
+    return ddot(xr, yr) + ddot(xi, yi), ddot(xr, yi) - ddot(xi, yr)
 
 
 def cnorm(x: CVec) -> jnp.ndarray:
     xr, xi = x
-    return jnp.sqrt(xr @ xr + xi @ xi)
+    return jnp.sqrt(ddot(xr, xr) + ddot(xi, xi))
 
 
 def cscale(alpha: complex | tuple, x: CVec) -> CVec:
@@ -70,13 +75,18 @@ def from_numpy(z) -> CVec:
 def basis_project(Vr: jnp.ndarray, Vi: jnp.ndarray, w: CVec, mask: jnp.ndarray):
     """h = V^H w over the masked rows of a (m, n) complex basis.
 
-    Returns (hr, hi) of shape (m,).  Two (m, n) x (n,) matmuls per
+    Returns (hr, hi) of shape (m,).  Batched row-reductions per
     component — the TPU-friendly formulation of Gram-Schmidt
     (SURVEY.md section 5: orthogonalization = batched matvec + psum).
+    Uses elementwise multiply + row-sum instead of (m, n) x (n,)
+    matmuls: both read the same bytes (HBM-bound either way), but the
+    MXU dot path drops the emulated-f64 low word (ops/dots.py) and the
+    projection coefficients land in H, where f32-grade error would
+    shift the Ritz values.
     """
     wr, wi = w
-    hr = (Vr @ wr + Vi @ wi) * mask
-    hi = (Vr @ wi - Vi @ wr) * mask
+    hr = ((Vr * wr) + (Vi * wi)).sum(axis=1) * mask
+    hi = ((Vr * wi) - (Vi * wr)).sum(axis=1) * mask
     return hr, hi
 
 

@@ -36,6 +36,7 @@ import numpy as np
 import scipy.linalg as sla
 import scipy.sparse as sp
 
+from lsafw_tpu.ops.dots import ddot
 from lsafw_tpu.ops.cvec import CVec, basis_combine, basis_project, basis_subtract
 from lsafw_tpu.ops.sparse import CSRMatrix, spmv_pair
 from lsafw_tpu.solver.direct import SparseLU
@@ -262,7 +263,7 @@ def _make_arnoldi_step(n: int, ncv: int, dtype):
         h2 = basis_project(Vr, Vi, (wr, wi), mask)
         wr, wi = basis_subtract(Vr, Vi, (wr, wi), h2)
         hr, hi = h1[0] + h2[0], h1[1] + h2[1]
-        beta = jnp.sqrt(wr @ wr + wi @ wi)
+        beta = jnp.sqrt(ddot(wr, wr) + ddot(wi, wi))
         scale = 1.0 / jnp.maximum(beta, 1e-300)
         Vr = Vr.at[j + 1].set(wr * scale)
         Vi = Vi.at[j + 1].set(wi * scale)

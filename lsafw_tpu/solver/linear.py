@@ -150,9 +150,10 @@ def gmres(
             w = M(matvec(V[j]))
             mask = (jnp.arange(m + 1) <= j).astype(dtype)
             # classical Gram-Schmidt, twice (CGS2): two dense matmuls
-            h1 = (V @ w) * mask
+            # projections via row-reductions, not MXU dots (ops/dots.py)
+            h1 = (V * w).sum(axis=1) * mask
             w = w - V.T @ h1
-            h2 = (V @ w) * mask
+            h2 = (V * w).sum(axis=1) * mask
             w = w - V.T @ h2
             h = h1 + h2
             hj1 = jnp.linalg.norm(w)

@@ -160,12 +160,21 @@ def _lobpcg_core(K, M, x0, apply_pc, tol, max_iter) -> PowerResult:
     lam = mdot(x, Kx)
     z = jnp.zeros_like(x)
 
+    # stop on tol, max_iter, or stagnation: on TPU's emulated f64 the
+    # reachable residual floor (~1e-9 at 5e5 DOFs) can sit above a
+    # 1e-10 tol, and burning the remaining iterations at the floor
+    # costs more time than the whole convergent phase.  Tuned to be
+    # conservative: 25 iterations with <2% improvement on the best
+    # residual, armed only within 4 decades of tol — a slow
+    # condition-bound run (Jacobi PC at kappa ~ 1e5 improves ~6%/iter
+    # with oscillations) must never be mistaken for the floor.
     def cond(st):
-        x, Kx, Mx, lam, p, res, it = st
-        return (res > tol) & (it < max_iter)
+        x, Kx, Mx, lam, p, res, it, best, stall = st
+        stagnated = (stall >= 25) & (res <= 1e4 * tol)
+        return (res > tol) & (it < max_iter) & ~stagnated
 
     def body(st):
-        x, Kx, Mx, lam, p, _, it = st
+        x, Kx, Mx, lam, p, _, it, best, stall = st
         r = Kx - lam * Mx
         w = apply_pc(r)
         w, Kw, Mw, ok_w = orthonormalize(w, [(x, Kx, Mx)])
@@ -203,10 +212,13 @@ def _lobpcg_core(K, M, x0, apply_pc, tol, max_iter) -> PowerResult:
         res = jnp.linalg.norm(Kx_new - lam_new * Mx_new) / jnp.maximum(
             jnp.linalg.norm(Mx_new), 1e-30
         )
-        return (x_new, Kx_new, Mx_new, lam_new, p_new, res, it + 1)
+        improved = res < 0.98 * best
+        best_new = jnp.minimum(best, res)
+        stall_new = jnp.where(improved, 0, stall + 1)
+        return (x_new, Kx_new, Mx_new, lam_new, p_new, res, it + 1, best_new, stall_new)
 
-    st0 = (x, Kx, Mx, lam, z, jnp.inf, 0)
-    x, Kx, Mx, lam, p, res, it = lax.while_loop(cond, body, st0)
+    st0 = (x, Kx, Mx, lam, z, jnp.inf, 0, jnp.inf, 0)
+    x, Kx, Mx, lam, p, res, it, _, _ = lax.while_loop(cond, body, st0)
     return PowerResult(eigenvalue=lam, eigenvector=x, iterations=it, residual=res)
 
 
