@@ -267,10 +267,10 @@ class SpaceContext(_ContextBase):
         )
 
     def scatter_vec(self, element_vecs: jnp.ndarray) -> jnp.ndarray:
-        return jax.ops.segment_sum(
-            element_vecs.reshape(-1),
-            self.cell_dofs.reshape(-1),
-            num_segments=self.space.num_dofs,
+        from lsafw_tpu.ops.exact import segment_sum_fast
+
+        return segment_sum_fast(
+            element_vecs.reshape(-1), self.cell_dofs.reshape(-1), self.space.num_dofs
         )
 
 
@@ -379,18 +379,20 @@ def scatter_matrix(ctx: AssemblyContext, element_mats: jnp.ndarray) -> CSRMatrix
 
 def scatter_vector(ctx: AssemblyContext, element_vecs: jnp.ndarray) -> jnp.ndarray:
     """(nc, ndofs_el) element vectors -> (num_dofs,) global vector."""
-    return jax.ops.segment_sum(
-        element_vecs.reshape(-1),
-        ctx.mixed_cell_dofs.reshape(-1),
-        num_segments=ctx.spaces.num_dofs,
+    from lsafw_tpu.ops.exact import segment_sum_fast
+
+    return segment_sum_fast(
+        element_vecs.reshape(-1), ctx.mixed_cell_dofs.reshape(-1), ctx.spaces.num_dofs
     )
 
 
 def gather_velocity_nodes(ctx: AssemblyContext, w_mixed: jnp.ndarray) -> jnp.ndarray:
     """Gather (nc, nu_el, gdim) nodal velocity values of a mixed vector."""
+    from lsafw_tpu.ops.exact import gather_f64_fast
+
     g = ctx.gdim
     u = w_mixed[: ctx.spaces.velocity.num_dofs].reshape(-1, g)
-    return u[ctx.cell_nodes_u]
+    return gather_f64_fast(u, ctx.cell_nodes_u)
 
 
 # ---------------------------------------------------------------------------

@@ -233,12 +233,14 @@ def _scatter_vv_block(fc: FacetContext, ctx: AssemblyContext, vv: jnp.ndarray) -
     nud = ctx.nu_el * ctx.gdim
     full = jnp.zeros((nf, ctx.ndofs_el, ctx.ndofs_el), dtype=vv.dtype)
     full = full.at[:, :nud, :nud].set(vv)
-    return jax.ops.segment_sum(
-        full.reshape(-1), fc.slots, num_segments=ctx.pattern.nnz
-    )
+    from lsafw_tpu.ops.exact import segment_sum_fast
+
+    return segment_sum_fast(full.reshape(-1), fc.slots, ctx.pattern.nnz)
 
 
 def _scatter_facet_vector(fc: FacetContext, ctx: AssemblyContext, el: jnp.ndarray) -> jnp.ndarray:
-    return jax.ops.segment_sum(
-        el.reshape(-1), fc.cell_dofs.reshape(-1), num_segments=ctx.spaces.num_dofs
+    from lsafw_tpu.ops.exact import segment_sum_fast
+
+    return segment_sum_fast(
+        el.reshape(-1), fc.cell_dofs.reshape(-1), ctx.spaces.num_dofs
     )

@@ -46,12 +46,14 @@ class ElementOperator:
         return cls(leaves[0], leaves[1], aux[0], leaves[2], aux[1])
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        from lsafw_tpu.ops.exact import gather_f64_fast
+
         xe = jnp.where(self.bc_mask, 0.0, x) if self.bc_mask is not None else x
-        x_el = xe[self.cell_dofs]  # (nc, nd)
+        x_el = gather_f64_fast(xe, self.cell_dofs)  # (nc, nd)
         y_el = jnp.einsum("cij,cj->ci", self.Ael, x_el)
-        y = jax.ops.segment_sum(
-            y_el.reshape(-1), self.cell_dofs.reshape(-1), num_segments=self.n
-        )
+        from lsafw_tpu.ops.exact import segment_sum_fast
+
+        y = segment_sum_fast(y_el.reshape(-1), self.cell_dofs.reshape(-1), self.n)
         if self.bc_mask is not None:
             y = jnp.where(self.bc_mask, self.bc_diag * x, y)
         return y

@@ -256,10 +256,10 @@ class CSRMatrix:
     def matvec_t(self, x: jnp.ndarray) -> jnp.ndarray:
         """Transpose matvec A^T x without materializing A^T: scatter-add
         the column contributions (adjoint of the ELL gather)."""
+        from lsafw_tpu.ops.exact import segment_sum_fast
+
         contrib = self.data * x[self.dev.row_ids]
-        return jax.ops.segment_sum(
-            contrib, self.dev.indices, num_segments=self.pattern.shape[1]
-        )
+        return segment_sum_fast(contrib, self.dev.indices, self.pattern.shape[1])
 
     # --- host interop ---
     def to_scipy(self) -> sp.csr_matrix:
@@ -297,6 +297,8 @@ def assemble_csr_data(
     ``FEM/operators.py:483-486``).  Under jit, pass the pattern's
     :class:`PatternDev` (or a context pytree carrying it) as an argument.
     """
+    from lsafw_tpu.ops.exact import segment_sum_fast
+
     dev = pattern.dev if isinstance(pattern, SparsityPattern) else pattern
     nnz = (
         pattern.nnz
@@ -304,19 +306,29 @@ def assemble_csr_data(
         else int(dev.indices.shape[0])
     )
     flat = element_values.reshape(-1)
-    return jax.ops.segment_sum(flat, dev.slots, num_segments=nnz)
+    return segment_sum_fast(flat, dev.slots, nnz)
 
 
 def spmv(A: CSRMatrix, x: jnp.ndarray) -> jnp.ndarray:
-    """ELL-layout sparse matrix-vector product y = A x."""
-    data_ell = jnp.where(A.dev.ell_map >= 0, A.data[A.dev.ell_map], 0.0)
-    return (data_ell * x[A.dev.ell_cols]).sum(axis=1)
+    """ELL-layout sparse matrix-vector product y = A x.
+
+    f64 gathers run as hi/lo f32 pairs on TPU (ops/exact.py), bounding
+    the apply error at ~2^-48 relative — Krylov-grade accuracy at f32
+    gather speed."""
+    from lsafw_tpu.ops.exact import gather_f64_fast
+
+    data_ell = jnp.where(A.dev.ell_map >= 0, gather_f64_fast(A.data, A.dev.ell_map), 0.0)
+    return (data_ell * gather_f64_fast(x, A.dev.ell_cols)).sum(axis=1)
 
 
 def spmv_pair(A: CSRMatrix, xr: jnp.ndarray, xi: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Real-matrix complex SpMV over an (re, im) pair: two fused gathers
     (the TPU-native form of the reference's real-build complex emulation,
     ``FEM/utils.py:911-1244``)."""
-    data_ell = jnp.where(A.dev.ell_map >= 0, A.data[A.dev.ell_map], 0.0)
+    from lsafw_tpu.ops.exact import gather_f64_fast
+
+    data_ell = jnp.where(A.dev.ell_map >= 0, gather_f64_fast(A.data, A.dev.ell_map), 0.0)
     c = A.dev.ell_cols
-    return (data_ell * xr[c]).sum(axis=1), (data_ell * xi[c]).sum(axis=1)
+    xrg = gather_f64_fast(xr, c)
+    xig = gather_f64_fast(xi, c)
+    return (data_ell * xrg).sum(axis=1), (data_ell * xig).sum(axis=1)

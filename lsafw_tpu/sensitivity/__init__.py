@@ -303,10 +303,12 @@ class EigenSensitivitySolver:
         # use the mixed rule for the RHS (consistent Sw sampling)
         wdet = ctx.w[None, :] * ctx.detJ[:, None]
         rhs_el = jnp.einsum("cq,qk,cq->ck", wdet, ctx.phi_p, Sw_qp)
-        rhs = jax.ops.segment_sum(
+        from lsafw_tpu.ops.exact import segment_sum_fast
+
+        rhs = segment_sum_fast(
             rhs_el.reshape(-1),
             jnp.asarray(ctx.spaces.pressure.cell_nodes).reshape(-1),
-            num_segments=ctx.spaces.pressure.num_dofs,
+            ctx.spaces.pressure.num_dofs,
         )
         Mp = pctx.scatter(mass_scalar(pctx))
         res = cg(lambda x: spmv(Mp, x), rhs, tol=1e-12, maxiter=2000, M=jacobi(Mp))
