@@ -21,7 +21,7 @@ def read_toml(path: Path | str) -> dict[str, Any]:
     """Read a TOML file (parity: ``config.py:11-16``)."""
     path = Path(path)
     if not path.exists():
-        raise FileNotFoundError(f"TOML config file not found at '{path}'")
+        raise FileNotFoundError(f"config TOML does not exist: {path}")
     with path.open("rb") as fh:
         return tomllib.load(fh)
 
@@ -55,7 +55,7 @@ def load_bc_config(path: Path | str) -> Sequence[BoundaryConditionsConfig]:
                 and len(raw) == 2
                 and all(isinstance(v, int) for v in raw)
             ):
-                raise TypeError("Periodic BC value must be two integer markers.")
+                raise TypeError("A periodic BC needs a pair of integer facet markers as its value.")
             value = (raw[0], raw[1])
         elif isinstance(raw, list):
             value = tuple(float(v) for v in raw)
@@ -176,7 +176,7 @@ def compile_facet_rules(rules: Sequence[FacetRule]) -> Callable[[np.ndarray], np
             markers[new] = rule.marker
             assigned |= hit
         if not assigned.all():
-            raise RuntimeError("No matching rule and no 'otherwise' fallback defined.")
+            raise RuntimeError("Facet matched no rule and the config defines no 'otherwise' marker.")
         return markers
 
     return marker_fn

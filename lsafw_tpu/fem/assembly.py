@@ -415,6 +415,13 @@ def dirichlet_matrix_data(
     spurious sigma=1 Dirichlet modes into harmless infinite eigenvalues
     (cf. filtering at ``tests/benchmark/vibrating_membrane.py:169-173``).
     """
+    if isinstance(pattern, SparsityPattern) and not pattern.has_full_diagonal:
+        # the zeros sentinel in PatternDev.diag_slots would silently
+        # clobber nnz slot 0 instead of writing BC diagonals
+        raise ValueError(
+            "Dirichlet application needs a pattern with stored diagonal "
+            "entries (build the sparsity from square cell DOF maps)."
+        )
     dev = pattern.dev if isinstance(pattern, SparsityPattern) else pattern
     kill = bc_mask[dev.row_ids] | bc_mask[dev.indices]
     data = jnp.where(kill, 0.0, data)

@@ -184,11 +184,6 @@ def robin_matrix_data(fc: FacetContext, ctx: AssemblyContext, alpha: float) -> j
     return _scatter_vv_block(fc, ctx, _expand_diag(s, ctx.gdim))
 
 
-def robin_load(fc: FacetContext, ctx: AssemblyContext, alpha: float, g: tuple[float, ...]) -> jnp.ndarray:
-    """Load part of the Robin term: -alpha * integral g . v moved to the RHS."""
-    return -alpha * neumann_velocity_load(fc, ctx, g)  # sign: form has -alpha*(u-g).v
-
-
 def viscous_outlet_matrix_data(fc: FacetContext, ctx: AssemblyContext, re: float) -> jnp.ndarray:
     """nnz data of +(1/re) integral (grad(u) n) . v on outlet facets
     (``VariationalForms.viscous_outlet``, ``FEM/operators.py:262-271``)."""

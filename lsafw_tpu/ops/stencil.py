@@ -208,14 +208,18 @@ def build_stencil_operator(
 # Keyed by id(pattern) but holding a strong reference to the pattern:
 # without it, a freed pattern's address can be reused by a NEW pattern
 # (CPython id recycling) and the lookup would silently return a stale
-# structure with the wrong grid shapes.
+# structure with the wrong grid shapes.  Bounded LRU (insertion-order
+# eviction) so long sessions that build many meshes don't grow host
+# memory without limit.
 _STRUCT_CACHE: dict[int, tuple[SparsityPattern, StencilStructure]] = {}
+_STRUCT_CACHE_MAX = 8
 
 
 def _structure_for(pattern: SparsityPattern, blocks, max_buckets: int) -> StencilStructure:
     key = id(pattern)
     hit = _STRUCT_CACHE.get(key)
     if hit is not None and hit[0] is pattern:
+        _STRUCT_CACHE[key] = _STRUCT_CACHE.pop(key)  # refresh LRU order
         return hit[1]
     mesh = blocks[0][0].mesh
     if mesh.tdim != 2 or mesh.cell_type is not CellType.TRIANGLE:
@@ -331,5 +335,7 @@ def _structure_for(pattern: SparsityPattern, blocks, max_buckets: int) -> Stenci
         "Stencil structure: %d buckets, pad %d, %d coeff entries (nnz %d)",
         len(buckets), pad, coeff_size, pattern.nnz,
     )
+    while len(_STRUCT_CACHE) >= _STRUCT_CACHE_MAX:
+        _STRUCT_CACHE.pop(next(iter(_STRUCT_CACHE)))
     _STRUCT_CACHE[key] = (pattern, structure)
     return structure

@@ -1,0 +1,419 @@
+"""Device-resident blocked band LU (complex, (re, im) pair arithmetic).
+
+TPU-native replacement for the sparse direct factorization the
+reference leans on — distributed MUMPS/SuperLU behind PETSc's
+PREONLY+LU, the workhorse of shift-invert eigensolves and Newton inner
+solves (``Solver/eigen2.py:104-162``, ``Solver/nonlinear2.py:63-67``).
+Measured context: host SuperLU factors the 167k-DOF shifted cylinder
+operator in ~350 s; this factorization is Tflop-scale MXU work.
+
+Design:
+  * RCM-permute the operator (host, once per sparsity pattern) so it is
+    banded with half bandwidth ``b``; view it as block-banded with
+    ``nb x nb`` blocks and block half-bandwidth ``B = ceil(b / nb)``.
+  * The band array is FILLED ON DEVICE by scattering CSR data through a
+    precomputed :class:`BandPlan` (static positions) — the multi-GB
+    band never crosses the host/device link, and refactorizing a new
+    operator on the same pattern (Newton, sigma sweeps) is one f32
+    scatter + the factorization.
+  * Right-looking blocked LU without cross-block pivoting, as one
+    ``lax.scan`` over block rows.  The trailing window is re-anchored
+    every step, so every intra-window gather/update is a *static*
+    slice — no rolls, no dynamic indexing in the hot loop.
+  * Diagonal blocks are inverted through their real 2nb x 2nb
+    embedding ``[[Dr, -Di], [Di, Dr]]`` (``jnp.linalg.inv`` pivots
+    inside the block), with optional Tikhonov regularization ``delta``
+    for saddle-point operators whose pressure diagonals are zero.
+  * Everything is f32: the factorization is a *preconditioner* — pair
+    it with f64 iterative refinement or FGMRES for solver-grade
+    accuracy (the classic mixed-precision direct-iterative scheme, and
+    the TPU-shaped answer to "there is no MUMPS here").
+  * Memory is O(n * b) and the band is factored in donated chunks, so
+    the peak is one band buffer plus one chunk transient.
+
+Band-in-band invariant: LU of a banded matrix without cross-block
+pivoting fills only inside the band, so the factorization is in-place
+in the band layout (L strictly-lower blocks at relative offsets
+-B..-1, U diagonal-and-upper at 0..B).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from lsafw_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def rcm_permutation(pattern_csr: sp.spmatrix) -> np.ndarray:
+    """Symmetric reverse-Cuthill-McKee ordering (host, one-time)."""
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    g = pattern_csr.tocsr()
+    return np.asarray(reverse_cuthill_mckee(g, symmetric_mode=True))
+
+
+# ---------------------------------------------------------------------------
+# Plan: static band geometry + CSR -> band scatter positions
+# ---------------------------------------------------------------------------
+
+
+@dataclass(eq=False)
+class BandPlan:
+    """Host-built static geometry of the band for one sparsity pattern.
+
+    ``pos_row``/``pos_off`` scatter CSR nnz data (in the CSR's own
+    order) into the (rows_total, R*nb*nb) band buffer on device.
+    """
+
+    n: int
+    nb: int
+    B: int
+    nblk_pad: int
+    chunk: int
+    perm: np.ndarray  # (n,) permuted index -> original
+    pos_row: jnp.ndarray  # (nnz,) int32 band block-row per CSR entry
+    pos_off: jnp.ndarray  # (nnz,) int32 offset within block-row
+    pad_row: jnp.ndarray  # identity-padding positions
+    pad_off: jnp.ndarray
+    perm_pad_d: jnp.ndarray  # (npad,) int32
+    iperm_d: jnp.ndarray  # (n,) int32
+
+    @property
+    def R(self) -> int:
+        return 2 * self.B + 1
+
+    @property
+    def rows_total(self) -> int:
+        return self.nblk_pad + self.B
+
+    @classmethod
+    def build(
+        cls,
+        csr: sp.spmatrix,
+        *,
+        nb: int = 128,
+        chunk: int = 128,
+        perm: np.ndarray | None = None,
+    ) -> "BandPlan":
+        """Plan the band of the (pattern of) ``csr``.  Data values are
+        ignored; only the sparsity is used."""
+        t0 = time.time()
+        csr = csr.tocsr()
+        n = csr.shape[0]
+        if perm is None:
+            pat = sp.csr_matrix(
+                (np.ones(csr.nnz, np.int8), csr.indices, csr.indptr), shape=csr.shape
+            )
+            perm = rcm_permutation(pat + pat.T)
+        perm = np.asarray(perm, dtype=np.int64)
+        iperm = np.empty(n, dtype=np.int64)
+        iperm[perm] = np.arange(n, dtype=np.int64)
+
+        # permuted coordinates of every CSR entry, in CSR storage order
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(csr.indptr))
+        pi = iperm[rows]
+        pj = iperm[csr.indices.astype(np.int64)]
+
+        bw = int(np.abs(pi - pj).max()) if len(pi) else 0
+        B = max(1, -(-bw // nb))
+        nblk = -(-n // nb)
+        nblk_pad = -(-nblk // chunk) * chunk
+        R = 2 * B + 1
+
+        I = pi // nb
+        off = (pj // nb - I + B) * (nb * nb) + (pi % nb) * nb + (pj % nb)
+        pad = np.arange(n, (nblk_pad + B) * nb, dtype=np.int64)
+        pad_off = (B * nb * nb) + (pad % nb) * nb + (pad % nb)
+        logger.info(
+            "BandPlan: n=%d bandwidth=%d B=%d nblk=%d (band %.2f GB on device, %.1fs plan)",
+            n, bw, B, nblk,
+            (nblk_pad + B) * R * nb * nb * 2 * 4 / 1e9, time.time() - t0,
+        )
+        perm_pad = np.concatenate(
+            [perm, np.arange(n, nblk_pad * nb, dtype=np.int64)]
+        )
+        return cls(
+            n=n, nb=nb, B=B, nblk_pad=nblk_pad, chunk=chunk, perm=perm,
+            pos_row=jnp.asarray(I.astype(np.int32)),
+            pos_off=jnp.asarray(off.astype(np.int32)),
+            pad_row=jnp.asarray((pad // nb).astype(np.int32)),
+            pad_off=jnp.asarray(pad_off.astype(np.int32)),
+            perm_pad_d=jnp.asarray(perm_pad.astype(np.int32)),
+            iperm_d=jnp.asarray(iperm.astype(np.int32)),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Factorization kernels
+# ---------------------------------------------------------------------------
+
+
+def _cmm(Ar, Ai, Br, Bi, spec: str):
+    """Complex matmul over (re, im) pairs with an einsum spec."""
+    re = jnp.einsum(spec, Ar, Br) - jnp.einsum(spec, Ai, Bi)
+    im = jnp.einsum(spec, Ar, Bi) + jnp.einsum(spec, Ai, Br)
+    return re, im
+
+
+def _cinv_emb(Dr, Di, delta: float):
+    """(re, im) of D^-1 via the real 2nb x 2nb embedding."""
+    nb = Dr.shape[0]
+    emb = jnp.concatenate(
+        [jnp.concatenate([Dr, -Di], axis=1), jnp.concatenate([Di, Dr], axis=1)],
+        axis=0,
+    )
+    if delta:
+        s = jnp.mean(jnp.abs(jnp.diagonal(emb))) + 1e-30
+        emb = emb + (delta * s) * jnp.eye(2 * nb, dtype=emb.dtype)
+    inv = jnp.linalg.inv(emb)
+    return inv[:nb, :nb], inv[nb:, :nb]
+
+
+def _factor_step(carry, xs, *, B: int, nb: int, delta: float):
+    """One block-row elimination with static window indexing.
+
+    carry: rows K..K+B-1 in W3 = 3B+1 wide relative layout (anchor K,
+    block column J stored at index J - K + B).  xs: fresh row K+B in
+    compact R = 2B+1 layout (indices B..3B after left-padding).
+    """
+    Vr, Vi = carry
+    xr, xi = xs
+    dtype = Vr.dtype
+    pad = jnp.zeros((B, nb, nb), dtype)
+    rowr = jnp.concatenate([Vr, jnp.concatenate([pad, xr], axis=0)[None]], axis=0)
+    rowi = jnp.concatenate([Vi, jnp.concatenate([pad, xi], axis=0)[None]], axis=0)
+
+    Xr, Xi = _cinv_emb(rowr[0, B], rowi[0, B], delta)  # D^-1
+    Er, Ei = rowr[1:, B], rowi[1:, B]  # blocks (K+i, K)
+    Lr, Li = _cmm(Er, Ei, Xr, Xi, "bij,jk->bik")  # L = E D^-1
+    Ur, Ui = rowr[0, B + 1 : 2 * B + 1], rowi[0, B + 1 : 2 * B + 1]
+    Pr, Pi = _cmm(Lr, Li, Ur, Ui, "bij,cjk->bcik")  # Schur update
+    rowr = rowr.at[1:, B + 1 : 2 * B + 1].add(-Pr)
+    rowi = rowi.at[1:, B + 1 : 2 * B + 1].add(-Pi)
+    rowr = rowr.at[1:, B].set(Lr)
+    rowi = rowi.at[1:, B].set(Li)
+
+    out = (rowr[0, : 2 * B + 1], rowi[0, : 2 * B + 1], Xr, Xi)
+    # re-anchor to K+1: every index shifts down by one
+    zpad = jnp.zeros((B, 1, nb, nb), dtype)
+    carry = (
+        jnp.concatenate([rowr[1:, 1:], zpad], axis=1),
+        jnp.concatenate([rowi[1:, 1:], zpad], axis=1),
+    )
+    return carry, out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("chunk", "B", "nb", "delta"),
+    donate_argnums=(0, 1),
+)
+def _factor_chunk(band_re, band_im, Vr, Vi, k0, *, chunk, B, nb, delta):
+    """Factor ``chunk`` block rows in place (donated band buffers)."""
+    xs_r = jax.lax.dynamic_slice_in_dim(band_re, k0 + B, chunk, axis=0)
+    xs_i = jax.lax.dynamic_slice_in_dim(band_im, k0 + B, chunk, axis=0)
+    step = partial(_factor_step, B=B, nb=nb, delta=delta)
+    (Vr, Vi), (yr, yi, dXr, dXi) = jax.lax.scan(step, (Vr, Vi), (xs_r, xs_i))
+    band_re = jax.lax.dynamic_update_slice_in_dim(band_re, yr, k0, axis=0)
+    band_im = jax.lax.dynamic_update_slice_in_dim(band_im, yi, k0, axis=0)
+    return band_re, band_im, Vr, Vi, dXr, dXi
+
+
+@partial(jax.jit, static_argnames=("rows_total", "R", "nb"))
+def _fill_band(plan_pos_row, plan_pos_off, pad_row, pad_off, dre, dim_,
+               *, rows_total, R, nb):
+    """Scatter CSR data (f64) into the f32 band buffer on device."""
+    flat = jnp.zeros((rows_total, R * nb * nb), jnp.float32)
+    bre = flat.at[plan_pos_row, plan_pos_off].set(dre.astype(jnp.float32))
+    bre = bre.at[pad_row, pad_off].set(1.0)
+    bim = flat.at[plan_pos_row, plan_pos_off].set(dim_.astype(jnp.float32))
+    return (
+        bre.reshape(rows_total, R, nb, nb),
+        bim.reshape(rows_total, R, nb, nb),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Solve
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("B", "nb"))
+def _solve_banded(band_re, band_im, dinv_r, dinv_i, br, bi, *, B, nb):
+    """Forward + backward substitution through the factored band.
+
+    ``br, bi``: (nblk, nb) f32 RHS blocks in permuted order.
+    """
+    nblk = dinv_r.shape[0]
+    Lr, Li = band_re[:nblk, :B], band_im[:nblk, :B]
+    Ur, Ui = band_re[:nblk, B + 1 : 2 * B + 1], band_im[:nblk, B + 1 : 2 * B + 1]
+
+    def fstep(carry, xs):
+        Yr, Yi = carry  # Y[t] = y_{K-B+t}
+        lr, li, bkr, bki = xs
+        sr, si = _cmm(lr, li, Yr, Yi, "bij,bj->i")
+        yr, yi = bkr - sr, bki - si
+        carry = (
+            jnp.concatenate([Yr[1:], yr[None]], axis=0),
+            jnp.concatenate([Yi[1:], yi[None]], axis=0),
+        )
+        return carry, (yr, yi)
+
+    z = jnp.zeros((B, nb), br.dtype)
+    _, (yr, yi) = jax.lax.scan(fstep, (z, z), (Lr, Li, br, bi))
+
+    def bstep(carry, xs):
+        Xr, Xi = carry  # X[t] = x_{K+1+t}
+        ur, ui, dr, di, ykr, yki = xs
+        sr, si = _cmm(ur, ui, Xr, Xi, "bij,bj->i")
+        zr, zi = ykr - sr, yki - si
+        xr, xi = _cmm(dr, di, zr, zi, "ij,j->i")
+        carry = (
+            jnp.concatenate([xr[None], Xr[:-1]], axis=0),
+            jnp.concatenate([xi[None], Xi[:-1]], axis=0),
+        )
+        return carry, (xr, xi)
+
+    _, (xr, xi) = jax.lax.scan(
+        bstep, (z, z), (Ur, Ui, dinv_r, dinv_i, yr, yi), reverse=True
+    )
+    return xr, xi
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class BandedLU:
+    """Factored band, jit-passable as a pytree.
+
+    Build with :meth:`factor` (device CSR data through a
+    :class:`BandPlan` — no multi-GB transfers) or the
+    :meth:`from_complex_csr` host convenience; apply with
+    :meth:`solve_pair` (f64 in/out, hi/lo-split permutation gathers).
+    """
+
+    band_re: jnp.ndarray  # (nblk_pad + B, 2B+1, nb, nb) f32, factored
+    band_im: jnp.ndarray
+    dinv_r: jnp.ndarray  # (nblk_pad, nb, nb) f32
+    dinv_i: jnp.ndarray
+    perm: jnp.ndarray  # (npad,) int32: padded permuted index -> original
+    iperm: jnp.ndarray  # (n,) int32: original -> permuted position
+    n: int
+    nb: int
+    B: int
+
+    def tree_flatten(self):
+        return (
+            (self.band_re, self.band_im, self.dinv_r, self.dinv_i, self.perm, self.iperm),
+            (self.n, self.nb, self.B),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, *aux)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def factor(
+        cls,
+        plan: BandPlan,
+        data_re: jnp.ndarray,
+        data_im: jnp.ndarray | None = None,
+        *,
+        delta: float = 0.0,
+    ) -> "BandedLU":
+        """Fill the band from device CSR data (the plan's CSR order) and
+        factor it in donated chunks."""
+        t0 = time.time()
+        nb, B, R = plan.nb, plan.B, plan.R
+        if data_im is None:
+            data_im = jnp.zeros_like(data_re)
+        band_re, band_im = _fill_band(
+            plan.pos_row, plan.pos_off, plan.pad_row, plan.pad_off,
+            data_re, data_im,
+            rows_total=plan.rows_total, R=R, nb=nb,
+        )
+
+        # initial window: rows 0..B-1 anchored at K=0 (index = J + B,
+        # i.e. compact index r shifted right by the row number)
+        W3 = 3 * B + 1
+        Vr = jnp.zeros((B, W3, nb, nb), jnp.float32)
+        Vi = jnp.zeros_like(Vr)
+        for i in range(min(B, plan.nblk_pad)):
+            Vr = Vr.at[i, i : i + R].set(band_re[i])
+            Vi = Vi.at[i, i : i + R].set(band_im[i])
+
+        dinvs_r, dinvs_i = [], []
+        for k0 in range(0, plan.nblk_pad, plan.chunk):
+            band_re, band_im, Vr, Vi, dXr, dXi = _factor_chunk(
+                band_re, band_im, Vr, Vi, k0,
+                chunk=plan.chunk, B=B, nb=nb, delta=delta,
+            )
+            dinvs_r.append(dXr)
+            dinvs_i.append(dXi)
+        dinv_r = jnp.concatenate(dinvs_r, axis=0)
+        dinv_i = jnp.concatenate(dinvs_i, axis=0)
+        dinv_r.block_until_ready()
+        logger.info(
+            "BandedLU: factored n=%d B=%d in %.2f s (%d chunks)",
+            plan.n, B, time.time() - t0, plan.nblk_pad // plan.chunk,
+        )
+        return cls(
+            band_re, band_im, dinv_r, dinv_i,
+            plan.perm_pad_d, plan.iperm_d, plan.n, nb, B,
+        )
+
+    @classmethod
+    def from_complex_csr(
+        cls,
+        C: sp.spmatrix,
+        *,
+        nb: int = 128,
+        chunk: int = 128,
+        delta: float = 0.0,
+        perm: np.ndarray | None = None,
+        plan: BandPlan | None = None,
+    ) -> "BandedLU":
+        """Host convenience: plan (or reuse one) + factor complex C."""
+        C = C.tocsr()
+        if plan is None:
+            plan = BandPlan.build(C, nb=nb, chunk=chunk, perm=perm)
+        return cls.factor(
+            plan,
+            jnp.asarray(np.ascontiguousarray(C.data.real)),
+            jnp.asarray(np.ascontiguousarray(C.data.imag)),
+            delta=delta,
+        )
+
+    # ------------------------------------------------------------------
+    def solve_pair(self, br: jnp.ndarray, bi: jnp.ndarray):
+        """x = C^-1 b for an (re, im) pair of f64 vectors (unpermuted)."""
+        from lsafw_tpu.ops.exact import gather_f64_fast
+
+        nblk_pad = self.dinv_r.shape[0]
+        npad = nblk_pad * self.nb
+        brp = jnp.pad(br, (0, npad - self.n))
+        bip = jnp.pad(bi, (0, npad - self.n))
+        brp = gather_f64_fast(brp, self.perm).astype(jnp.float32).reshape(nblk_pad, self.nb)
+        bip = gather_f64_fast(bip, self.perm).astype(jnp.float32).reshape(nblk_pad, self.nb)
+        xr, xi = _solve_banded(
+            self.band_re, self.band_im, self.dinv_r, self.dinv_i, brp, bip,
+            B=self.B, nb=self.nb,
+        )
+        xr = xr.reshape(-1).astype(jnp.float64)
+        xi = xi.reshape(-1).astype(jnp.float64)
+        return xr[self.iperm], xi[self.iperm]
+
+    def solve(self, z: np.ndarray) -> np.ndarray:
+        """Host complex convenience wrapper."""
+        z = np.asarray(z, dtype=np.complex128)
+        xr, xi = self.solve_pair(jnp.asarray(z.real.copy()), jnp.asarray(z.imag.copy()))
+        return np.asarray(xr) + 1j * np.asarray(xi)
