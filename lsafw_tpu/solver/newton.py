@@ -7,8 +7,12 @@ Dirichlet data exactly, so the update solves J(w) dw = -F(w) with
 identity BC rows and F[bc] = 0 (the lifting semantics of
 ``Solver/nonlinear2.py:84-107``).
 
-Inner solves: direct LU (the reference's MUMPS role) or any jitted
-Krylov method from :mod:`lsafw_tpu.solver.linear` with a block-Jacobi
+Inner solves: host direct LU (the reference's MUMPS role), the
+device-resident blocked band LU (``linear_solver="banded"`` — the
+sparsity pattern is fixed across Newton iterations, so each
+refactorization is one on-device scatter + factorization through a
+shared :class:`~lsafw_tpu.solver.band.BandPlan`), or any jitted Krylov
+method from :mod:`lsafw_tpu.solver.linear` with a block-Jacobi
 preconditioner.
 """
 
@@ -53,10 +57,39 @@ class NewtonSolver:
         self._damping = damping
         self._linear_solver = linear_solver
         self._linear_tol = linear_tol
+        self._band_plan = None  # built lazily on the Jacobian pattern
 
     def _masked_residual(self, w: jnp.ndarray, re: float) -> jnp.ndarray:
         F = self._asm.residual(w, re)
         return jnp.where(self._asm.bc_mask, 0.0, F)
+
+    def _banded_solve(self, J, b: jnp.ndarray) -> jnp.ndarray:
+        """Device band LU (f32) + f64 refinement on the real Jacobian.
+
+        The plan (RCM order, band geometry, scatter positions) is built
+        once on J's pattern and reused every iteration — refactorizing
+        is one on-device scatter + the factorization.
+        """
+        from lsafw_tpu.ops.sparse import spmv
+        from lsafw_tpu.solver.band import BandedLU, BandPlan
+
+        if self._band_plan is None:
+            self._band_plan = BandPlan.build(J.to_scipy())
+        blu = BandedLU.factor(self._band_plan, J.data, delta=1e-7)
+        x, _ = blu.solve_pair(b, jnp.zeros_like(b))
+        bnorm = float(jnp.linalg.norm(b)) or 1.0
+        for _ in range(12):
+            r = b - spmv(J, x)
+            if float(jnp.linalg.norm(r)) / bnorm < self._linear_tol:
+                break
+            dx, _ = blu.solve_pair(r, jnp.zeros_like(r))
+            x = x + dx
+        else:
+            logger.warning(
+                "Banded refinement stalled at rel res %.2e",
+                float(jnp.linalg.norm(b - spmv(J, x))) / bnorm,
+            )
+        return x
 
     def solve(
         self,
@@ -85,6 +118,8 @@ class NewtonSolver:
             J = asm.jacobian(w, re)
             if self._linear_solver == "lu":
                 dw = jnp.asarray(SparseLU(J).solve(-np.asarray(F)))
+            elif self._linear_solver == "banded":
+                dw = self._banded_solve(J, -F)
             else:
                 pc = block_jacobi_array(J, block_size=64)
                 res = solve_csr(

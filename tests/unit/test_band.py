@@ -117,3 +117,41 @@ def test_band_lu_shifted_saddle_point():
         x = x + lu.solve(b - C @ x)
     rel = np.linalg.norm(C @ x - b) / np.linalg.norm(b)
     assert rel < 1e-9  # refinement closes to solver grade
+
+
+def test_newton_banded_inner_solver():
+    """Newton with the banded device inner solver matches the LU path
+    on a lid-driven cavity baseflow (pattern-reusing refactorization)."""
+    from lsafw_tpu.config import BoundaryConditionsConfig
+    from lsafw_tpu.fem.assembly import AssemblyContext
+    from lsafw_tpu.fem.bcs import define_bcs
+    from lsafw_tpu.fem.spaces import define_spaces
+    from lsafw_tpu.meshing.mesh import rectangle_mesh
+    from lsafw_tpu.meshing.tags import mark_boundary_facets
+    from lsafw_tpu.models.navier_stokes import StationaryNavierStokesAssembler
+    from lsafw_tpu.solver.newton import NewtonSolver
+
+    mesh = rectangle_mesh((0.0, 0.0), (1.0, 1.0), 8, 8)
+
+    def marker(x):
+        out = np.ones(x.shape[0], np.int32)
+        out[np.isclose(x[:, 1], 1.0)] = 2
+        return out
+
+    mark_boundary_facets(mesh, marker)
+    spaces = define_spaces(mesh)
+    bcs = define_bcs(mesh, spaces, [
+        BoundaryConditionsConfig(marker=2, type="dirichlet_velocity", value=(1.0, 0.0)),
+        BoundaryConditionsConfig(marker=1, type="dirichlet_velocity", value=(0.0, 0.0)),
+    ])
+    # cavity has no pressure BC: pin one pressure DOF to fix the constant
+    pin = spaces.dofs_p[0]
+    bcs.dirichlet_mask[pin] = True
+    bcs.dirichlet_values[pin] = 0.0
+    ctx = AssemblyContext.build(spaces)
+    asm = StationaryNavierStokesAssembler(ctx, mesh, bcs)
+    w0 = np.zeros(spaces.num_dofs)
+    ref = NewtonSolver(asm, linear_solver="lu").solve(w0, 50.0, tol=1e-9)
+    got = NewtonSolver(asm, linear_solver="banded").solve(w0, 50.0, tol=1e-9)
+    assert got.converged and ref.converged
+    assert np.linalg.norm(got.w - ref.w) / np.linalg.norm(ref.w) < 1e-7
