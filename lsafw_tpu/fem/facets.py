@@ -187,9 +187,16 @@ def robin_matrix_data(fc: FacetContext, ctx: AssemblyContext, alpha: float) -> j
 def viscous_outlet_matrix_data(fc: FacetContext, ctx: AssemblyContext, re: float) -> jnp.ndarray:
     """nnz data of +(1/re) integral (grad(u) n) . v on outlet facets
     (``VariationalForms.viscous_outlet``, ``FEM/operators.py:262-271``)."""
+    return _scatter_vv_block(fc, ctx, viscous_outlet_element_blocks(fc, ctx, re))
+
+
+def viscous_outlet_element_blocks(fc: FacetContext, ctx: AssemblyContext, re) -> jnp.ndarray:
+    """(nf, nud, nud) facet element blocks of the viscous-outlet term —
+    usable both for nnz scatter and as extra "cells" in matrix-free
+    element operators (``ops.elementop.CElementOperator``)."""
     gn = jnp.einsum("fqjd,fd->fqj", fc.gphi_u, fc.normals)
     s = (1.0 / re) * jnp.einsum("q,f,fqi,fqj->fij", fc.w, fc.detJf, fc.phi_u, gn)
-    return _scatter_vv_block(fc, ctx, _expand_diag(s, ctx.gdim))
+    return _expand_diag(s, ctx.gdim)
 
 
 def traction_force(

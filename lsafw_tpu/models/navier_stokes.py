@@ -359,6 +359,36 @@ class LinearizedNavierStokesAssembler(_NSBase):
         """(A, M) on the shared pattern (``FEM/operators.py:511-527``)."""
         return self.assemble_linear_operator(), self.assemble_mass_matrix()
 
+    def element_matrices(self) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """(A_el, M_el, dofs): element matrices of the eigensystem plus
+        their DOF maps — the matrix-free form the shift-invert
+        refinement applies (``ops.elementop.CElementOperator``).
+
+        Viscous-outlet facet contributions are appended as extra
+        element blocks (with zero mass) so the element operator matches
+        the assembled operator exactly."""
+        from lsafw_tpu.fem.facets import viscous_outlet_element_blocks
+
+        A_el = linearized_ns_elements(self.ctx, self.base_flow, self.re)
+        M_el = mass_elements(self.ctx)
+        dofs = self.ctx.mixed_cell_dofs
+        if self._outlets:
+            nd = self.ctx.ndofs_el
+            nud = self.ctx.nu_el * self.ctx.gdim
+            extra_A, extra_dofs = [], []
+            for fc in self._outlets:
+                vv = viscous_outlet_element_blocks(fc, self.ctx, self.re)
+                full = jnp.zeros((vv.shape[0], nd, nd), dtype=vv.dtype)
+                extra_A.append(full.at[:, :nud, :nud].set(vv))
+                extra_dofs.append(fc.cell_dofs)
+            A_el = jnp.concatenate([A_el] + extra_A, axis=0)
+            M_el = jnp.concatenate(
+                [M_el, jnp.zeros((A_el.shape[0] - M_el.shape[0], nd, nd), M_el.dtype)],
+                axis=0,
+            )
+            dofs = jnp.concatenate([dofs] + extra_dofs, axis=0)
+        return A_el, M_el, dofs
+
     def pressure_nullspace_vector(self) -> np.ndarray:
         """Normalized constant-pressure vector (parity:
         ``attach_pressure_nullspace``, ``FEM/operators.py:534-545``)."""

@@ -66,6 +66,63 @@ class ElementOperator:
         return self.matvec(xr), self.matvec(xi)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class CElementOperator:
+    """Complex element operator y = (E_re + i E_im) x over (re, im)
+    pairs — the matrix-free form of C = A - sigma M used by the
+    shift-invert refinement loop, where assembled-sparse SpMV would be
+    HBM-gather-bound (~6x more gathered elements).
+
+    BC rows act as the complex diagonal ``bc_diag`` (for C = A - sigma M
+    with A's Dirichlet diagonal 1 and M's 0, that is simply 1 + 0j);
+    BC columns are eliminated by zeroing constrained x entries first —
+    matching :func:`lsafw_tpu.fem.assembly.dirichlet_matrix_data`.
+    """
+
+    El_re: jnp.ndarray  # (nc, nd, nd)
+    El_im: jnp.ndarray  # (nc, nd, nd)
+    cell_dofs: jnp.ndarray  # (nc, nd) int32
+    n: int
+    bc_mask: jnp.ndarray | None = None
+    bc_diag_re: float = 1.0
+    bc_diag_im: float = 0.0
+
+    def tree_flatten(self):
+        return (
+            (self.El_re, self.El_im, self.cell_dofs, self.bc_mask),
+            (self.n, self.bc_diag_re, self.bc_diag_im),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(leaves[0], leaves[1], leaves[2], aux[0], leaves[3], aux[1], aux[2])
+
+    def matvec_pair(self, xr: jnp.ndarray, xi: jnp.ndarray):
+        from lsafw_tpu.ops.exact import gather_f64_fast, segment_sum_fast
+
+        if self.bc_mask is not None:
+            xre = jnp.where(self.bc_mask, 0.0, xr)
+            xie = jnp.where(self.bc_mask, 0.0, xi)
+        else:
+            xre, xie = xr, xi
+        gr = gather_f64_fast(xre, self.cell_dofs)  # (nc, nd)
+        gi = gather_f64_fast(xie, self.cell_dofs)
+        yr_el = jnp.einsum("cij,cj->ci", self.El_re, gr) - jnp.einsum(
+            "cij,cj->ci", self.El_im, gi
+        )
+        yi_el = jnp.einsum("cij,cj->ci", self.El_re, gi) + jnp.einsum(
+            "cij,cj->ci", self.El_im, gr
+        )
+        flat = self.cell_dofs.reshape(-1)
+        yr = segment_sum_fast(yr_el.reshape(-1), flat, self.n)
+        yi = segment_sum_fast(yi_el.reshape(-1), flat, self.n)
+        if self.bc_mask is not None:
+            yr = jnp.where(self.bc_mask, self.bc_diag_re * xr - self.bc_diag_im * xi, yr)
+            yi = jnp.where(self.bc_mask, self.bc_diag_re * xi + self.bc_diag_im * xr, yi)
+        return yr, yi
+
+
 def element_operator_from_context(
     ctx, element_mats: jnp.ndarray, bc_mask=None, bc_diag: float = 1.0
 ) -> ElementOperator:
