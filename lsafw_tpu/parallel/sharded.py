@@ -91,6 +91,78 @@ def shard_csr(A: CSRMatrix, mesh: Mesh, axis: str = "dof") -> ShardedOperator:
     )
 
 
+def sharded_eigensolve(
+    A: CSRMatrix,
+    mesh: Mesh,
+    *,
+    nev: int,
+    ncv: int | None = None,
+    which="largest_magnitude",
+    tol: float = 1e-10,
+    max_restarts: int = 200,
+    locality: tuple[np.ndarray, int] | None = None,
+    axis: str = "dof",
+):
+    """Multi-device Krylov-Schur on a row-sharded operator.
+
+    The (ncv+1, n) Krylov basis is sharded ``P(None, axis)`` and the
+    operator rows ``P(axis, None)``; XLA inserts the CGS2 psum
+    reductions and the matvec gather — the distributed eigensolve the
+    reference gets from MPI-parallel SLEPc (SURVEY section 2.3 item 4,
+    ``/root/reference/README.md:43``).
+
+    ``locality``: optional ``(cell_dofs, num_dofs)`` enabling
+    RCB-partition DOF renumbering (:mod:`lsafw_tpu.parallel.partition`)
+    so each device's rows are mesh-local and the column gather stays
+    halo-bounded.  Returns eigenpairs in the ORIGINAL dof numbering.
+    """
+    from lsafw_tpu.solver.eigen import EpsWhich, krylov_schur
+
+    which = EpsWhich(which) if isinstance(which, str) else which
+    n = A.shape[0]
+    perm = None
+    if locality is not None:
+        from lsafw_tpu.meshing.mesh import Mesh as GeomMesh  # noqa: F401
+        from lsafw_tpu.parallel.partition import (
+            partition_cells,
+            renumber_dofs_by_partition,
+        )
+
+        geom_mesh, cell_dofs = locality
+        parts = partition_cells(geom_mesh, int(np.prod(list(mesh.shape.values()))))
+        perm = renumber_dofs_by_partition(
+            np.asarray(cell_dofs), n, parts, int(np.prod(list(mesh.shape.values())))
+        )
+        S = A.to_scipy().tocoo()
+        import scipy.sparse as sp
+
+        Ap = sp.csr_matrix((S.data, (perm[S.row], perm[S.col])), shape=A.shape)
+        A = CSRMatrix.from_scipy(Ap)
+
+    op = shard_csr(A, mesh, axis)
+    basis_sh = NamedSharding(mesh, P(None, axis))
+
+    def traced_apply(op, v):
+        return op.matvec(v[0]), op.matvec(v[1])
+
+    def eager_apply(v):
+        return traced_apply(op, v)
+
+    res = krylov_schur(
+        eager_apply, op.npad,
+        nev=nev, ncv=ncv, which=which, tol=tol, max_restarts=max_restarts,
+        device_op=op, traced_apply=traced_apply, basis_sharding=basis_sh,
+    )
+    # trim padding and undo the locality renumbering
+    vecs = res.eigenvectors[:, : n]
+    if perm is not None:
+        inv = np.empty(n, dtype=np.int64)
+        inv[perm] = np.arange(n)
+        vecs = vecs[:, perm]
+    res.eigenvectors = vecs
+    return res
+
+
 @partial(jax.jit, static_argnames=("ksp_type", "tol", "maxiter", "restart"))
 def _solve_jit(op, bp, *, ksp_type, tol, maxiter, restart):
     from lsafw_tpu.solver.linear import solve as _solve

@@ -164,21 +164,22 @@ def _cmm(Ar, Ai, Br, Bi, spec: str):
     return re, im
 
 
-def _cinv_emb(Dr, Di, delta: float):
-    """(re, im) of D^-1 via the real 2nb x 2nb embedding."""
+def _cinv_emb(Dr, Di, delta):
+    """(re, im) of D^-1 via the real 2nb x 2nb embedding.  ``delta`` is
+    a traced Tikhonov ridge (relative to the mean diagonal magnitude),
+    so sweeping it reuses one compiled factorization."""
     nb = Dr.shape[0]
     emb = jnp.concatenate(
         [jnp.concatenate([Dr, -Di], axis=1), jnp.concatenate([Di, Dr], axis=1)],
         axis=0,
     )
-    if delta:
-        s = jnp.mean(jnp.abs(jnp.diagonal(emb))) + 1e-30
-        emb = emb + (delta * s) * jnp.eye(2 * nb, dtype=emb.dtype)
+    s = jnp.mean(jnp.abs(jnp.diagonal(emb))) + 1e-30
+    emb = emb + (delta * s) * jnp.eye(2 * nb, dtype=emb.dtype)
     inv = jnp.linalg.inv(emb)
     return inv[:nb, :nb], inv[nb:, :nb]
 
 
-def _factor_step(carry, xs, *, B: int, nb: int, delta: float):
+def _factor_step(carry, xs, *, B: int, nb: int, delta):
     """One block-row elimination with static window indexing.
 
     carry: rows K..K+B-1 in W3 = 3B+1 wide relative layout (anchor K,
@@ -214,14 +215,14 @@ def _factor_step(carry, xs, *, B: int, nb: int, delta: float):
 
 @partial(
     jax.jit,
-    static_argnames=("chunk", "B", "nb", "delta"),
+    static_argnames=("chunk", "B", "nb"),
     donate_argnums=(0, 1),
 )
-def _factor_chunk(band_re, band_im, Vr, Vi, k0, *, chunk, B, nb, delta):
+def _factor_chunk(band_re, band_im, Vr, Vi, k0, delta, *, chunk, B, nb):
     """Factor ``chunk`` block rows in place (donated band buffers)."""
     xs_r = jax.lax.dynamic_slice_in_dim(band_re, k0 + B, chunk, axis=0)
     xs_i = jax.lax.dynamic_slice_in_dim(band_im, k0 + B, chunk, axis=0)
-    step = partial(_factor_step, B=B, nb=nb, delta=delta)
+    step = lambda c, x: _factor_step(c, x, B=B, nb=nb, delta=delta)
     (Vr, Vi), (yr, yi, dXr, dXi) = jax.lax.scan(step, (Vr, Vi), (xs_r, xs_i))
     band_re = jax.lax.dynamic_update_slice_in_dim(band_re, yr, k0, axis=0)
     band_im = jax.lax.dynamic_update_slice_in_dim(band_im, yi, k0, axis=0)
@@ -354,8 +355,8 @@ class BandedLU:
         dinvs_r, dinvs_i = [], []
         for k0 in range(0, plan.nblk_pad, plan.chunk):
             band_re, band_im, Vr, Vi, dXr, dXi = _factor_chunk(
-                band_re, band_im, Vr, Vi, k0,
-                chunk=plan.chunk, B=B, nb=nb, delta=delta,
+                band_re, band_im, Vr, Vi, k0, jnp.float32(delta),
+                chunk=plan.chunk, B=B, nb=nb,
             )
             dinvs_r.append(dXr)
             dinvs_i.append(dXi)

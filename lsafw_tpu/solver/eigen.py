@@ -444,6 +444,7 @@ def krylov_schur(
     dtype=jnp.float64,
     device_op=None,
     traced_apply=None,
+    basis_sharding=None,
 ) -> KrylovSchurResult:
     """Krylov-Schur iteration (parity: the SLEPc default solver,
     ``README.md:43`` "Krylov-Schur"; restart scheme per Stewart 2002,
@@ -452,7 +453,13 @@ def krylov_schur(
     When ``device_op``/``traced_apply`` are given (a pytree operator
     plus a traceable apply), each restart's Arnoldi expansion runs as
     ONE jitted device program; otherwise ``apply_op`` is called eagerly
-    per step (required for host-LU operators)."""
+    per step (required for host-LU operators).
+
+    ``basis_sharding``: optional ``NamedSharding`` for the (ncv+1, n)
+    Krylov basis (``P(None, "dof")`` over a device mesh) — the
+    distributed-eigensolve layout (SURVEY section 2.3 item 4): XLA
+    inserts the psum reductions of CGS2 and the gather of the operator
+    apply over the mesh."""
     ncv = ncv or min(max(2 * nev + 1, 20), n)
     ncv = min(ncv, n)
     if ncv <= nev:
@@ -464,10 +471,18 @@ def krylov_schur(
     v0 = np.asarray(v0, dtype=np.complex128)
     v0 /= np.linalg.norm(v0)
 
-    Vr = jnp.zeros((ncv + 1, n), dtype=dtype)
-    Vi = jnp.zeros((ncv + 1, n), dtype=dtype)
-    Vr = Vr.at[0].set(jnp.asarray(v0.real))
-    Vi = Vi.at[0].set(jnp.asarray(v0.imag))
+    if basis_sharding is not None:
+        V0r = np.zeros((ncv + 1, n))
+        V0i = np.zeros((ncv + 1, n))
+        V0r[0] = v0.real
+        V0i[0] = v0.imag
+        Vr = jax.device_put(V0r, basis_sharding).astype(dtype)
+        Vi = jax.device_put(V0i, basis_sharding).astype(dtype)
+    else:
+        Vr = jnp.zeros((ncv + 1, n), dtype=dtype)
+        Vi = jnp.zeros((ncv + 1, n), dtype=dtype)
+        Vr = Vr.at[0].set(jnp.asarray(v0.real))
+        Vi = Vi.at[0].set(jnp.asarray(v0.imag))
     H = np.zeros((ncv + 1, ncv), dtype=np.complex128)
 
     fused = device_op is not None and traced_apply is not None
