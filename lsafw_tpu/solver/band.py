@@ -152,6 +152,32 @@ class BandPlan:
         )
 
 
+# Plans keyed by id(pattern) with a strong pattern reference (same
+# scheme as the stencil structure cache): bounded LRU so long sessions
+# don't grow host memory without limit.
+_PLAN_CACHE: dict = {}
+_PLAN_CACHE_MAX = 4
+
+
+def plan_for_csr(A, *, nb: int = 128, chunk: int = 128) -> BandPlan:
+    """Cached :class:`BandPlan` for a CSRMatrix's sparsity pattern —
+    sigma sweeps and Newton refactorizations reuse one plan."""
+    key = (id(A.pattern), nb, chunk)
+    hit = _PLAN_CACHE.get(key)
+    if hit is not None and hit[0] is A.pattern:
+        _PLAN_CACHE[key] = _PLAN_CACHE.pop(key)
+        return hit[1]
+    csr = sp.csr_matrix(
+        (np.ones(A.pattern.nnz, np.int8), A.pattern.indices, A.pattern.indptr),
+        shape=A.pattern.shape,
+    )
+    plan = BandPlan.build(csr, nb=nb, chunk=chunk)
+    while len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+        _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+    _PLAN_CACHE[key] = (A.pattern, plan)
+    return plan
+
+
 # ---------------------------------------------------------------------------
 # Factorization kernels
 # ---------------------------------------------------------------------------

@@ -49,6 +49,13 @@ def ns_case():
     return A, M, ctx, asm, bcs
 
 
+def _key(lams):
+    """Sort key insensitive to which member of a conjugate pair the
+    nev-truncation kept (the target is real, so pairs are symmetric)."""
+    z = np.asarray(lams)
+    return np.sort_complex(z.real + 1j * np.abs(z.imag))
+
+
 def _solve(A, M, pc: str, target=0.5 + 0.0j, nev=4, elements=None):
     solver = EigenSolver(A, M, EigensolverConfig(num_eig=nev, atol=1e-9, ncv=40))
     solver.set_st_type(STType.SINVERT)
@@ -63,8 +70,8 @@ def test_banded_matches_lu(ns_case):
     A, M, *_ = ns_case
     ref = _solve(A, M, "lu")
     got = _solve(A, M, "banded")
-    lam_ref = np.sort_complex(np.asarray([p[0] for p in ref]))
-    lam_got = np.sort_complex(np.asarray([p[0] for p in got]))
+    lam_ref = _key([p[0] for p in ref])
+    lam_got = _key([p[0] for p in got])
     assert np.allclose(lam_got, lam_ref, rtol=1e-7, atol=1e-8)
     res = eigen_residuals(A, M, got)
     scale = np.abs(lam_got) + 1.0
@@ -79,8 +86,8 @@ def test_banded_elementop_matches_lu(ns_case):
     ref = _solve(A, M, "lu")
     got = _solve(A, M, "banded",
                  elements=(ctx, A_el, M_el, bcs.dirichlet_mask, dofs))
-    lam_ref = np.sort_complex(np.asarray([p[0] for p in ref]))
-    lam_got = np.sort_complex(np.asarray([p[0] for p in got]))
+    lam_ref = _key([p[0] for p in ref])
+    lam_got = _key([p[0] for p in got])
     assert np.allclose(lam_got, lam_ref, rtol=1e-7, atol=1e-8)
     res = eigen_residuals(A, M, got)
     assert (res / (np.abs(lam_got) + 1.0) < 1e-7).all()
@@ -92,6 +99,6 @@ def test_gmres_matches_lu(ns_case):
     A, M, *_ = ns_case
     ref = _solve(A, M, "lu", nev=2)
     got = _solve(A, M, "jacobi", nev=2)  # any non-lu/banded -> gmres route
-    lam_ref = np.sort_complex(np.asarray([p[0] for p in ref]))
-    lam_got = np.sort_complex(np.asarray([p[0] for p in got]))
+    lam_ref = _key([p[0] for p in ref])
+    lam_got = _key([p[0] for p in got])
     assert np.allclose(lam_got, lam_ref, rtol=1e-6, atol=1e-7)
