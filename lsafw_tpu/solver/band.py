@@ -296,7 +296,9 @@ def _solve_banded(band_re, band_im, dinv_r, dinv_i, br, bi, *, B, nb):
         return carry, (yr, yi)
 
     z = jnp.zeros((B, nb), br.dtype)
-    _, (yr, yi) = jax.lax.scan(fstep, (z, z), (Lr, Li, br, bi))
+    # unroll: the per-step compute is tiny (B block matvecs), so the
+    # solve is loop-latency-bound; unrolling amortizes it
+    _, (yr, yi) = jax.lax.scan(fstep, (z, z), (Lr, Li, br, bi), unroll=4)
 
     def bstep(carry, xs):
         Xr, Xi = carry  # X[t] = x_{K+1+t}
@@ -311,7 +313,7 @@ def _solve_banded(band_re, band_im, dinv_r, dinv_i, br, bi, *, B, nb):
         return carry, (xr, xi)
 
     _, (xr, xi) = jax.lax.scan(
-        bstep, (z, z), (Ur, Ui, dinv_r, dinv_i, yr, yi), reverse=True
+        bstep, (z, z), (Ur, Ui, dinv_r, dinv_i, yr, yi), reverse=True, unroll=4
     )
     return xr, xi
 

@@ -330,9 +330,18 @@ class ShiftInvertOperator:
     def apply(self, v: CVec) -> CVec:
         """One shift-invert Arnoldi apply (``Solver/eigen2.py:164-201``)."""
         if self.method == "banded":
-            return banded_si_apply(
-                self.device_op, v, tol=self._inner_tol, max_its=self.refine_its
-            )
+            # jit the whole apply: on high-latency runtimes (the axon
+            # tunnel adds ~150 ms per dispatch) the eager op-by-op form
+            # costs tens of seconds per apply
+            if not hasattr(self, "_japply"):
+                self._japply = jax.jit(
+                    partial(
+                        banded_si_apply,
+                        tol=self._inner_tol,
+                        max_its=self.refine_its,
+                    )
+                )
+            return self._japply(self.device_op, v)
         if self.M is not None:
             br, bi = spmv_pair(self.M, v[0], v[1])
         else:
