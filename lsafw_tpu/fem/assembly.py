@@ -59,6 +59,23 @@ def affine_geometry(mesh: Mesh) -> tuple[np.ndarray, np.ndarray]:
     return detJ, Jinv
 
 
+def nonaffine_geometry(mesh: Mesh, points: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-quadrature-point (detJ (nc, nq), Jinv (nc, nq, tdim, gdim))
+    through the multilinear Q1 geometry map — the non-affine path for
+    quadrilateral/hexahedral cells (closing the ``iCellType`` parity
+    gap, ``/root/reference/Meshing/utils.py:12-54``; dolfinx computes
+    these factors per-point in its FFCx kernels)."""
+    from lsafw_tpu.fem.elements import ElementFamily, make_element
+
+    geom = make_element(ElementFamily.Q1, mesh.cell_type)
+    tab = geom.tabulate(points)  # grad: (nq, nverts, tdim)
+    v = mesh.vertices[mesh.cells]  # (nc, nverts, gdim)
+    J = np.einsum("cvg,qvt->cqgt", v, tab.grad)
+    detJ = np.abs(np.linalg.det(J))
+    Jinv = np.linalg.inv(J)  # (nc, nq, tdim, gdim)
+    return detJ, Jinv
+
+
 # ---------------------------------------------------------------------------
 # Assembly context
 # ---------------------------------------------------------------------------
@@ -143,15 +160,28 @@ class _ContextBase:
         """(tdim, np_el, nu_el): sum_q w phi_p,k dphi_u,jt."""
         return jnp.einsum("q,qk,qjt->tkj", self.w, self.phi_p, self.dphi_u)
 
+    @property
+    def is_affine(self) -> bool:
+        """Constant-Jacobian cells (simplices) vs per-qp geometry
+        (quad/hex); static at trace time (ndim is shape metadata)."""
+        return self.detJ.ndim == 1
+
     @cached_property
     def metric(self) -> jnp.ndarray:
-        """G[c,t,s] = detJ * Jinv @ Jinv^T (per-cell viscous geometry factor)."""
+        """G = detJ * Jinv @ Jinv^T: (nc, t, s) for affine cells,
+        (nc, nq, t, s) per quadrature point for non-affine."""
+        if not self.is_affine:
+            return self.detJ[..., None, None] * jnp.einsum(
+                "cqtd,cqsd->cqts", self.Jinv, self.Jinv
+            )
         return self.detJ[:, None, None] * jnp.einsum(
             "ctd,csd->cts", self.Jinv, self.Jinv
         )
 
     def phys_grad_u(self) -> jnp.ndarray:
         """(nc, nq, nu_el, gdim) physical velocity-basis gradients."""
+        if not self.is_affine:
+            return jnp.einsum("qit,cqtd->cqid", self.dphi_u, self.Jinv)
         return jnp.einsum("qit,ctd->cqid", self.dphi_u, self.Jinv)
 
 
@@ -178,7 +208,15 @@ class AssemblyContext(_ContextBase):
 
     @classmethod
     def build(cls, spaces: FunctionSpaces, quad_degree: int | None = None) -> "AssemblyContext":
+        from lsafw_tpu.meshing.mesh import CellType
+
         mesh = spaces.velocity.mesh
+        if mesh.cell_type in (CellType.QUADRILATERAL, CellType.HEXAHEDRON):
+            raise NotImplementedError(
+                "Mixed Taylor-Hood spaces need simplex cells (Q2/Q1 "
+                "tensor elements are not tabulated); scalar/elasticity "
+                "problems support quad/hex via SpaceContext."
+            )
         deg = quad_degree or spaces.quad_degree
         rule = quadrature_rule(mesh.cell_type, deg)
         tab_u = spaces.velocity.element.tabulate(rule.points)
@@ -235,11 +273,18 @@ class SpaceContext(_ContextBase):
 
     @classmethod
     def build(cls, space: FunctionSpace, quad_degree: int | None = None) -> "SpaceContext":
+        from lsafw_tpu.meshing.mesh import CellType
+
         mesh = space.mesh
         deg = quad_degree or 2 * space.element.degree
         rule = quadrature_rule(mesh.cell_type, deg)
         tab = space.element.tabulate(rule.points)
-        detJ, Jinv = affine_geometry(mesh)
+        if mesh.cell_type in (CellType.QUADRILATERAL, CellType.HEXAHEDRON):
+            # tensor-product cells: bilinear/trilinear maps need per-qp
+            # geometry (non-affine path)
+            detJ, Jinv = nonaffine_geometry(mesh, rule.points)
+        else:
+            detJ, Jinv = affine_geometry(mesh)
         pattern = build_sparsity(space.cell_dofs, shape=(space.num_dofs, space.num_dofs))
         ctx = cls(
             rule=rule,
@@ -283,13 +328,19 @@ jax.tree_util.register_pytree_node_class(SpaceContext)
 
 
 def mass_scalar(ctx: AssemblyContext) -> jnp.ndarray:
-    """(nc, nu_el, nu_el) element mass matrices (affine: detJ * M0)."""
+    """(nc, nu_el, nu_el) element mass matrices (affine: detJ * M0;
+    non-affine quad/hex: per-qp |detJ| contraction)."""
+    if not ctx.is_affine:
+        return jnp.einsum("q,cq,qi,qj->cij", ctx.w, ctx.detJ, ctx.phi_u, ctx.phi_u)
     return ctx.detJ[:, None, None] * ctx.M0[None]
 
 
 def stiffness_scalar(ctx: AssemblyContext) -> jnp.ndarray:
     """(nc, nu_el, nu_el) element Laplacian: contraction of the static
-    reference tensor with the per-cell metric (an MXU matmul)."""
+    reference tensor with the per-cell metric (an MXU matmul); the
+    non-affine path contracts per quadrature point."""
+    if not ctx.is_affine:
+        return jnp.einsum("q,qit,cqts,qjs->cij", ctx.w, ctx.dphi_u, ctx.metric, ctx.dphi_u)
     return jnp.einsum("cts,tsij->cij", ctx.metric, ctx.K0)
 
 

@@ -191,6 +191,27 @@ def _tab_q1_quad(p):
     return phi, np.stack([gx, gy], axis=2)
 
 
+def _tab_q1_hex(p):
+    """Trilinear Q1 on the unit cube, vertex order = box_mesh's binary
+    (di, dj, dk) with k fastest (``meshing/mesh.py`` box corners)."""
+    x, y, z = p[:, 0], p[:, 1], p[:, 2]
+    Lx = [1 - x, x]
+    Ly = [1 - y, y]
+    Lz = [1 - z, z]
+    dLx = [-np.ones_like(x), np.ones_like(x)]
+    phi, gx, gy, gz = [], [], [], []
+    for di in (0, 1):
+        for dj in (0, 1):
+            for dk in (0, 1):
+                phi.append(Lx[di] * Ly[dj] * Lz[dk])
+                gx.append(dLx[di] * Ly[dj] * Lz[dk])
+                gy.append(Lx[di] * dLx[dj] * Lz[dk])
+                gz.append(Lx[di] * Ly[dj] * dLx[dk])
+    phi = np.stack(phi, axis=1)
+    grad = np.stack([np.stack(g, axis=1) for g in (gx, gy, gz)], axis=2)
+    return phi, grad
+
+
 _TABULATORS = {
     (ElementFamily.P1, CellType.INTERVAL): _tab_p1_interval,
     (ElementFamily.P2, CellType.INTERVAL): _tab_p2_interval,
@@ -203,6 +224,7 @@ _TABULATORS = {
     (ElementFamily.BUBBLE, CellType.TETRAHEDRON): _simplex_bubble(CellType.TETRAHEDRON),
     (ElementFamily.P1_BUBBLE, CellType.TETRAHEDRON): _simplex_p1_bubble(CellType.TETRAHEDRON),
     (ElementFamily.Q1, CellType.QUADRILATERAL): _tab_q1_quad,
+    (ElementFamily.Q1, CellType.HEXAHEDRON): _tab_q1_hex,
 }
 
 
@@ -214,6 +236,9 @@ def _reference_nodes(family: ElementFamily, cell: CellType) -> np.ndarray:
             [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
         ),
         CellType.QUADRILATERAL: np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]),
+        CellType.HEXAHEDRON: np.array(
+            [[di, dj, dk] for di in (0.0, 1.0) for dj in (0.0, 1.0) for dk in (0.0, 1.0)]
+        ),
     }[cell]
     if family in (ElementFamily.P1, ElementFamily.Q1):
         return verts

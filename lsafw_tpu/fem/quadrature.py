@@ -135,4 +135,13 @@ def quadrature_rule(cell_type: CellType, degree: int) -> QuadratureRule:
             points=np.stack([X.ravel(), Y.ravel()], axis=1),
             weights=(WX * WY).ravel(),
         )
+    if cell_type is CellType.HEXAHEDRON:
+        n = max(1, (degree + 2) // 2)
+        x, w = _gauss_legendre_01(n)
+        X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+        WX, WY, WZ = np.meshgrid(w, w, w, indexing="ij")
+        return QuadratureRule(
+            points=np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1),
+            weights=(WX * WY * WZ).ravel(),
+        )
     raise NotImplementedError(f"Quadrature on {cell_type}")

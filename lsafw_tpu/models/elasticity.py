@@ -141,6 +141,9 @@ class MaterialProperties:
 
 def _grad_grad_tensor(ctx: SpaceContext) -> jnp.ndarray:
     """D[c,i,d,j,e] = integral d phi_i/dx_d * d phi_j/dx_e."""
+    if not ctx.is_affine:  # quad/hex: per-qp geometry factors
+        g = ctx.phys_grad_u()  # (nc, nq, i, d)
+        return jnp.einsum("q,cq,cqid,cqje->cidje", ctx.w, ctx.detJ, g, g)
     return jnp.einsum(
         "tsij,ctd,cse,c->cidje", ctx.K0, ctx.Jinv, ctx.Jinv, ctx.detJ
     )
