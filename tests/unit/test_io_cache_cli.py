@@ -103,3 +103,31 @@ def test_cli_error_exit():
 
     rc = main(["eigen", "--matdir", "/nonexistent"])
     assert rc == 1
+
+
+def test_xdmf_roundtrip(tmp_path):
+    """XDMF/HDF5 export-import round-trip (parity: the reference's
+    XDMF persistence, Meshing/core.py:215-262, lib/cache.py:34-91)."""
+    import numpy as np
+
+    from lsafw_tpu.io.xdmf import read_xdmf, write_xdmf
+    from lsafw_tpu.meshing.mesh import CellType, box_mesh, rectangle_mesh
+
+    for mesh in (
+        rectangle_mesh((0, 0), (1, 1), 3, 3),
+        rectangle_mesh((0, 0), (1, 1), 3, 3, cell_type=CellType.QUADRILATERAL),
+        box_mesh((0, 0, 0), (1, 1, 1), 2, 2, 2, cell_type=CellType.HEXAHEDRON),
+    ):
+        rng = np.random.default_rng(0)
+        pd = {"u": rng.standard_normal((mesh.num_vertices, mesh.gdim)),
+              "p": rng.standard_normal(mesh.num_vertices)}
+        cd = {"marker": np.arange(mesh.num_cells, dtype=np.int32)}
+        out = write_xdmf(tmp_path / f"m_{mesh.cell_type.value}", mesh,
+                         point_data=pd, cell_data=cd)
+        assert out.exists() and out.with_suffix(".h5").exists()
+        m2, pd2, cd2 = read_xdmf(out)
+        assert m2.cell_type is mesh.cell_type
+        assert np.allclose(m2.vertices, mesh.vertices)
+        assert np.array_equal(m2.cells, mesh.cells)
+        assert np.allclose(pd2["u"], pd["u"]) and np.allclose(pd2["p"], pd["p"])
+        assert np.array_equal(cd2["marker"], cd["marker"])
