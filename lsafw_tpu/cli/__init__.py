@@ -223,8 +223,9 @@ def main(argv: list[str] | None = None) -> int:
     p_eig.add_argument("--ncv", type=int, default=80)
     p_eig.add_argument("--check-hermitian", action="store_true")
     p_eig.add_argument(
-        "--si-method", choices=("lu", "gmres"), default="lu",
-        help="shift-invert inner solve: host LU or device iterative",
+        "--si-method", choices=("lu", "banded", "gmres"), default="lu",
+        help="shift-invert inner solve: host LU, device blocked band LU "
+        "+ refinement (TPU direct path), or device GMRES",
     )
     p_eig.add_argument("--outdir", type=Path, default=None)
     p_eig.set_defaults(fn=_cmd_eigen)

@@ -295,10 +295,9 @@ class ShiftInvertOperator:
         saddle-point trick; without it the pivot-free elimination
         overflows f32 at production sizes (measured at 167k DOFs).
         """
-        from lsafw_tpu.solver.band import plan_for_csr
+        from lsafw_tpu.solver.band import plan_for_csr, regularize_saddle_data
 
         A, M = self.A, self.M
-        gamma = 1e-3
         if M is not None and M.pattern is A.pattern:
             plan = plan_for_csr(A)
             dre = A.data - self.sigma.real * M.data
@@ -313,13 +312,7 @@ class ShiftInvertOperator:
             dre = jnp.asarray(np.ascontiguousarray(C.data.real))
             dim = jnp.asarray(np.ascontiguousarray(C.data.imag))
             A = Cc  # diag slots below come from this pattern
-        diag_slots = jnp.asarray(A.pattern.diag_slots)
-        ds_re = dre[diag_slots]
-        ds_im = dim[diag_slots]
-        dmag = jnp.abs(ds_re) + jnp.abs(ds_im)
-        scale = jnp.mean(dmag)
-        zero_diag = dmag < 1e-10 * scale
-        dre = dre.at[diag_slots].add(jnp.where(zero_diag, -gamma * scale, 0.0))
+        dre = regularize_saddle_data(dre, dim, A.pattern.diag_slots)
         return BandedLU.factor(plan, dre, dim, delta=0.0)
 
     def traced_apply(self, op: BandedSIOp, v: CVec) -> CVec:

@@ -19,7 +19,9 @@ preconditioner.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -30,6 +32,22 @@ from lsafw_tpu.solver.precond import block_jacobi_array
 from lsafw_tpu.utils.logging import get_logger
 
 logger = get_logger(__name__)
+
+
+@partial(jax.jit, static_argnames=("tol",))
+def _banded_gmres(J, blu, b, *, tol):
+    """GMRES on the real Jacobian, preconditioned by its f32 banded
+    factorization — the residual is non-increasing by construction
+    (plain refinement can diverge when the saddle-point regularization
+    perturbs the factor too far)."""
+    from lsafw_tpu.ops.sparse import spmv
+    from lsafw_tpu.solver.linear import gmres
+
+    def pc(x):
+        y, _ = blu.solve_pair(x, jnp.zeros_like(x))
+        return y
+
+    return gmres(lambda v: spmv(J, v), b, tol=tol, restart=20, maxiter=100, M=pc)
 
 
 @dataclass
@@ -70,26 +88,19 @@ class NewtonSolver:
         once on J's pattern and reused every iteration — refactorizing
         is one on-device scatter + the factorization.
         """
-        from lsafw_tpu.ops.sparse import spmv
-        from lsafw_tpu.solver.band import BandedLU, BandPlan
+        from lsafw_tpu.solver.band import BandedLU, plan_for_csr, regularize_saddle_data
 
         if self._band_plan is None:
-            self._band_plan = BandPlan.build(J.to_scipy())
-        blu = BandedLU.factor(self._band_plan, J.data, delta=1e-7)
-        x, _ = blu.solve_pair(b, jnp.zeros_like(b))
-        bnorm = float(jnp.linalg.norm(b)) or 1.0
-        for _ in range(12):
-            r = b - spmv(J, x)
-            if float(jnp.linalg.norm(r)) / bnorm < self._linear_tol:
-                break
-            dx, _ = blu.solve_pair(r, jnp.zeros_like(r))
-            x = x + dx
-        else:
+            self._band_plan = plan_for_csr(J)
+        data = regularize_saddle_data(J.data, None, J.pattern.diag_slots)
+        blu = BandedLU.factor(self._band_plan, data)
+        res = _banded_gmres(J, blu, b, tol=self._linear_tol)
+        if not bool(res.converged):
             logger.warning(
-                "Banded refinement stalled at rel res %.2e",
-                float(jnp.linalg.norm(b - spmv(J, x))) / bnorm,
+                "Banded-preconditioned GMRES stalled at rel res %.2e",
+                float(res.residual),
             )
-        return x
+        return res.x
 
     def solve(
         self,
@@ -112,6 +123,9 @@ class NewtonSolver:
             F = self._masked_residual(w, re)
             rnorm = float(jnp.linalg.norm(F))
             history.append(rnorm)
+            if not np.isfinite(rnorm):
+                logger.warning("Newton residual is not finite; aborting at it %d", it)
+                break
             if rnorm < tol:
                 converged = True
                 break
