@@ -59,16 +59,31 @@ def stage_timeout(seconds: int, name: str):
 
 
 def main() -> None:
+    import shutil
+
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
     try:
         # TPU-only: CPU AOT artifacts are machine-feature-specific and can
-        # SIGILL when the cache moves between hosts
+        # SIGILL when the cache moves between hosts.  Stale artifacts from
+        # a different libtpu build raise FAILED_PRECONDITION at dispatch;
+        # purge and continue without the cache in that case (the round-1
+        # multichip failure mode).
         if jax.default_backend() == "tpu":
-            cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
             jax.config.update("jax_compilation_cache_dir", cache_dir)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            try:
+                import jax.numpy as _jnp
+
+                (_jnp.zeros(8) + 1.0).block_until_ready()
+            except Exception as exc:
+                if "libtpu" in str(exc):
+                    log("stale AOT cache detected; purging .jax_cache")
+                    shutil.rmtree(cache_dir, ignore_errors=True)
+                else:
+                    raise
     except Exception:
         pass
     import jax.numpy as jnp
@@ -88,7 +103,7 @@ def main() -> None:
     budget = int(os.environ.get("BENCH_STAGE_TIMEOUT", "600"))
     K = int(os.environ.get("BENCH_K_SPMV", "100"))
     t_start = time.time()
-    total_budget = int(os.environ.get("BENCH_TOTAL_BUDGET", "2700"))
+    total_budget = int(os.environ.get("BENCH_TOTAL_BUDGET", "3300"))
 
     t0 = time.time()
     mesh = rectangle_mesh((0.0, 0.0), (1.0, 1.0), nx, nx)
@@ -119,15 +134,16 @@ def main() -> None:
         tk, _ = run_scalar(fn, *args_big)
         return max((tk - t1) / k, 1e-9)
 
-    def stage(name, fn):
+    def stage(name, fn, seconds=None):
         if time.time() - t_start > total_budget:
             log(f"{name}: skipped (total budget exhausted)")
             return
+        sec = seconds or budget
         try:
-            with stage_timeout(budget, name):
+            with stage_timeout(sec, name):
                 fn()
         except StageTimeout:
-            log(f"{name}: stage timed out after {budget}s")
+            log(f"{name}: stage timed out after {sec}s")
         except Exception as exc:
             log(f"{name}: failed: {exc!r}")
 
@@ -228,6 +244,90 @@ def main() -> None:
         log(f"assembly: {t*1e3:.2f} ms/op -> {n/t/1e6:.1f} MDOF/s ({nnz/t/1e6:.0f} Mnnz/s)")
 
     stage("assembly", _assembly)
+
+    # ---------------- full pipeline (cylinder Re=47) ----------------
+    def _pipeline():
+        """baseflow -> assemble -> leading eigenpair, all device paths
+        (banded Newton + banded fused Krylov-Schur).  Reduced domain so
+        the stage fits the bench budget; the full-domain workflow is
+        examples/cylinder_stability.py --full."""
+        from lsafw_tpu.config import BoundaryConditionsConfig, CylinderFlowGeometryConfig
+        from lsafw_tpu.fem.bcs import define_bcs
+        from lsafw_tpu.meshing.geometries import cylinder_flow_mesh
+        from lsafw_tpu.meshing.tags import mark_boundary_facets
+        from lsafw_tpu.models.navier_stokes import LinearizedNavierStokesAssembler
+        from lsafw_tpu.solver.baseflow import BaseFlowSolver
+        from lsafw_tpu.solver.eigen import EigenSolver, EigensolverConfig, STType, eigen_residuals
+
+        t_pipe = time.time()
+        geo = CylinderFlowGeometryConfig(
+            dim=2, cylinder_radius=0.5, cylinder_center=(0.0, 0.0),
+            x_range=(-10.0, 30.0), y_range=(-10.0, 10.0), resolution=0.5,
+            resolution_around_cylinder=0.15, influence_radius=8.0,
+        )
+        cmesh = cylinder_flow_mesh(geo, max_iter=80, seed=0)
+        INLET, OUTLET, BOTTOM, TOP, CYL = 1, 2, 3, 4, 5
+
+        def marker(x):
+            out = np.full(x.shape[0], CYL, dtype=np.int32)
+            out[np.isclose(x[:, 1], -10.0, atol=1e-6)] = BOTTOM
+            out[np.isclose(x[:, 1], 10.0, atol=1e-6)] = TOP
+            out[np.isclose(x[:, 0], -10.0, atol=1e-6)] = INLET
+            out[np.isclose(x[:, 0], 30.0, atol=1e-6)] = OUTLET
+            return out
+
+        mark_boundary_facets(cmesh, marker)
+        cspaces = define_spaces(cmesh)
+        bcs_base = define_bcs(cmesh, cspaces, [
+            BoundaryConditionsConfig(marker=INLET, type="dirichlet_velocity", value=(1.0, 0.0)),
+            BoundaryConditionsConfig(marker=BOTTOM, type="neumann_velocity", value=(0.0, 0.0)),
+            BoundaryConditionsConfig(marker=TOP, type="neumann_velocity", value=(0.0, 0.0)),
+            BoundaryConditionsConfig(marker=OUTLET, type="dirichlet_pressure", value=0.0),
+            BoundaryConditionsConfig(marker=CYL, type="dirichlet_velocity", value=(0.0, 0.0)),
+        ])
+        bcs_pert = define_bcs(cmesh, cspaces, [
+            BoundaryConditionsConfig(marker=INLET, type="dirichlet_velocity", value=(0.0, 0.0)),
+            BoundaryConditionsConfig(marker=CYL, type="dirichlet_velocity", value=(0.0, 0.0)),
+            BoundaryConditionsConfig(marker=OUTLET, type="dirichlet_pressure", value=0.0),
+        ])
+        cctx = AssemblyContext.build(cspaces)
+        log(f"pipeline: {cspaces.num_dofs} DOFs (reduced cylinder)")
+        t0 = time.time()
+        w = BaseFlowSolver(cctx, cmesh, bcs_base, re=47.0).solve(
+            ramp=True, steps=3, tol=1e-8, max_it=40, linear_solver="banded"
+        )
+        t_base = time.time() - t0
+        t0 = time.time()
+        asm = LinearizedNavierStokesAssembler(jnp.asarray(w), cctx, 47.0, bcs_pert, cmesh)
+        A, M = asm.assemble_eigensystem()
+        A_el, M_el, dofs = asm.element_matrices()
+        A.data.block_until_ready()
+        t_asm = time.time() - t0
+        t0 = time.time()
+        es = EigenSolver(A, M, EigensolverConfig(num_eig=1, atol=1e-8, ncv=16))
+        es.set_st_type(STType.SINVERT)
+        es.set_target(0.0 + 0.74j)
+        es.set_st_pc_type("banded")
+        es.set_elements(cctx, A_el, M_el, np.asarray(bcs_pert.dirichlet_mask), dofs=dofs)
+        pairs = es.solve()
+        t_eig = time.time() - t0
+        sigma = pairs[0][0]
+        resid = float(eigen_residuals(A, M, pairs)[0])
+        timings["pipeline_seconds"] = time.time() - t_pipe
+        timings["pipeline_baseflow_s"] = t_base
+        timings["pipeline_assemble_s"] = t_asm
+        timings["pipeline_eigen_s"] = t_eig
+        timings["pipeline_sigma_re"] = sigma.real
+        timings["pipeline_sigma_im"] = sigma.imag
+        timings["pipeline_eig_residual"] = resid
+        log(
+            f"pipeline: {timings['pipeline_seconds']:.0f}s total "
+            f"(baseflow {t_base:.0f}s, assemble {t_asm:.0f}s, eigen {t_eig:.0f}s) "
+            f"sigma = {sigma.real:+.4f}{sigma.imag:+.4f}j resid {resid:.1e}"
+        )
+
+    stage("pipeline", _pipeline,
+          seconds=int(os.environ.get("BENCH_PIPELINE_TIMEOUT", "1300")))
 
     # ---------------- result ----------------
     apply_times = [

@@ -45,11 +45,28 @@ class BaseFlowSolver:
         self._initial_guess: np.ndarray | None = None
         self._ns_assembler: StationaryNavierStokesAssembler | None = None
 
-    def _solve_stokes_flow(self) -> np.ndarray:
+    def _solve_stokes_flow(self, linear_solver: str = "lu") -> np.ndarray:
         """Stokes flow as Newton initial guess
         (``Solver/baseflow.py:81-90``)."""
         logger.info("Solving Stokes flow as Newton initial guess.")
         A, b = StokesAssembler(self._ctx, self._mesh, self._bcs, re=self._re).get_matrix_forms()
+        if linear_solver == "banded":
+            # device band LU + GMRES (host SuperLU takes minutes at
+            # production sizes); the plan is shared with Newton's
+            # Jacobian (same pattern)
+            from lsafw_tpu.solver.band import BandedLU, plan_for_csr, regularize_saddle_data
+            from lsafw_tpu.solver.newton import _banded_gmres
+
+            plan = plan_for_csr(A)
+            data = regularize_saddle_data(A.data, None, A.pattern.diag_slots)
+            blu = BandedLU.factor(plan, data)
+            res = _banded_gmres(A, blu, b, tol=1e-10)
+            if bool(res.converged):
+                return np.asarray(res.x)
+            logger.warning(
+                "Banded Stokes solve stalled (res=%.2e); falling back to host LU",
+                float(res.residual),
+            )
         return direct_solve(A, np.asarray(b))
 
     def solve(
@@ -72,7 +89,7 @@ class BaseFlowSolver:
                 self._initial_guess = cached
                 return cached
         if self._initial_guess is None:
-            self._initial_guess = self._solve_stokes_flow()
+            self._initial_guess = self._solve_stokes_flow(linear_solver)
 
         re_ramp = (
             np.linspace(1.0, self._re, steps).tolist()
