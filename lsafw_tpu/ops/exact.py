@@ -99,9 +99,13 @@ def segment_sum_exact(
     # possible downward log2 rounding at exact powers of two, keeping
     # chunk magnitudes strictly below 2^CHUNK_BITS); robust to 0 input
     E = jnp.ceil(jnp.log2(jnp.maximum(max_abs, 1e-300))) + 1.0
-    # floor keeps every chunk quantum a nonzero normal f64 (all-zero
-    # inputs would otherwise divide by an underflowed quantum)
-    E = jnp.maximum(E, -900.0)
+    # clamp the anchor so every quantum and its reciprocal stay inside
+    # the f32 exponent range: this TPU's emulated f64 is an f32 pair,
+    # so exp2(|p| > ~126) flushes to 0/inf (measured), and an all-zero
+    # input would otherwise hit 0 * inf = NaN.  The window [-56, 110]
+    # keeps 2^(E - 16*chunks) and 2^(16*chunks - E) representable;
+    # values outside ~[2^-120, 2^110] are beyond FEM data anyway.
+    E = jnp.clip(E, -56.0, 110.0)
 
     out = jnp.zeros(num_segments, dtype=jnp.float64)
     r = values
