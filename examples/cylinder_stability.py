@@ -90,6 +90,11 @@ def main() -> int:
     ctx = AssemblyContext.build(spaces)
     print(f"setup {time.time()-t0:.1f}s, {spaces.num_dofs} DOFs", file=sys.stderr)
 
+    # device paths by default on TPU: banded Newton inner solves and the
+    # banded fused shift-invert (the band plan is shared across the whole
+    # Re sweep — one RCM/plan, one compiled factorization)
+    on_tpu = jax.default_backend() == "tpu"
+    lin = "banded" if on_tpu else "lu"
     results = []
     w = None
     re_values = np.arange(args.re[0], args.re[1] + 0.5 * args.re[2], args.re[2])
@@ -98,7 +103,8 @@ def main() -> int:
         solver = BaseFlowSolver(ctx, mesh, bcs, re=float(re))
         if w is not None:
             solver._initial_guess = w  # continuation across the Re sweep
-        w = solver.solve(ramp=(w is None), steps=4, tol=1e-9, max_it=40)
+        w = solver.solve(ramp=(w is None), steps=4, tol=1e-9, max_it=40,
+                         linear_solver=lin)
         L = compute_recirculation_length(ctx, w)
         cd = 2.0 * compute_drag(ctx, mesh, w, re=float(re), cylinder_marker=5)
         target = TARGETS.get(int(re), 0.03 + 0.74j)
@@ -107,6 +113,11 @@ def main() -> int:
         es = EigenSolver(A, M, EigensolverConfig(num_eig=3, atol=1e-9, ncv=40))
         es.set_st_type(STType.SINVERT)
         es.set_target(target)
+        if on_tpu:
+            A_el, M_el, dofs = asm.element_matrices()
+            es.set_st_pc_type("banded")
+            es.set_elements(ctx, A_el, M_el, np.asarray(bcs_pert.dirichlet_mask),
+                            dofs=dofs)
         pairs = es.solve()
         sigma = max((p[0] for p in pairs), key=lambda s: s.real)
         dt = time.time() - t0

@@ -302,15 +302,28 @@ def _solve_banded(band_re, band_im, dinv_r, dinv_i, br, bi, *, B, nb):
     """Forward + backward substitution through the factored band.
 
     ``br, bi``: (nblk, nb) f32 RHS blocks in permuted order.
+
+    The scans consume the FULL band arrays as xs and slice the L/U
+    parts per step: slicing the multi-GB band up front
+    (``band[:nblk, :B]``) materializes ~band-sized temporaries and OOMs
+    at production sizes (measured: 23.5 GB for a 10 GB band).  The B
+    trailing lookahead rows are unfactored identities; the RHS and
+    Dinv are padded to match and the padding outputs are dropped.
     """
+    rows_total = band_re.shape[0]
     nblk = dinv_r.shape[0]
-    Lr, Li = band_re[:nblk, :B], band_im[:nblk, :B]
-    Ur, Ui = band_re[:nblk, B + 1 : 2 * B + 1], band_im[:nblk, B + 1 : 2 * B + 1]
+    pad = rows_total - nblk
+    zb = jnp.zeros((pad, nb), br.dtype)
+    brp = jnp.concatenate([br, zb], axis=0)
+    bip = jnp.concatenate([bi, zb], axis=0)
+    eye = jnp.broadcast_to(jnp.eye(nb, dtype=dinv_r.dtype), (pad, nb, nb))
+    dvr = jnp.concatenate([dinv_r, eye], axis=0)
+    dvi = jnp.concatenate([dinv_i, jnp.zeros((pad, nb, nb), dinv_i.dtype)], axis=0)
 
     def fstep(carry, xs):
         Yr, Yi = carry  # Y[t] = y_{K-B+t}
-        lr, li, bkr, bki = xs
-        sr, si = _cmm(lr, li, Yr, Yi, "bij,bj->i")
+        rowr, rowi, bkr, bki = xs
+        sr, si = _cmm(rowr[:B], rowi[:B], Yr, Yi, "bij,bj->i")
         yr, yi = bkr - sr, bki - si
         carry = (
             jnp.concatenate([Yr[1:], yr[None]], axis=0),
@@ -321,12 +334,14 @@ def _solve_banded(band_re, band_im, dinv_r, dinv_i, br, bi, *, B, nb):
     z = jnp.zeros((B, nb), br.dtype)
     # unroll: the per-step compute is tiny (B block matvecs), so the
     # solve is loop-latency-bound; unrolling amortizes it
-    _, (yr, yi) = jax.lax.scan(fstep, (z, z), (Lr, Li, br, bi), unroll=4)
+    _, (yr, yi) = jax.lax.scan(fstep, (z, z), (band_re, band_im, brp, bip), unroll=4)
 
     def bstep(carry, xs):
         Xr, Xi = carry  # X[t] = x_{K+1+t}
-        ur, ui, dr, di, ykr, yki = xs
-        sr, si = _cmm(ur, ui, Xr, Xi, "bij,bj->i")
+        rowr, rowi, dr, di, ykr, yki = xs
+        sr, si = _cmm(
+            rowr[B + 1 : 2 * B + 1], rowi[B + 1 : 2 * B + 1], Xr, Xi, "bij,bj->i"
+        )
         zr, zi = ykr - sr, yki - si
         xr, xi = _cmm(dr, di, zr, zi, "ij,j->i")
         carry = (
@@ -336,9 +351,9 @@ def _solve_banded(band_re, band_im, dinv_r, dinv_i, br, bi, *, B, nb):
         return carry, (xr, xi)
 
     _, (xr, xi) = jax.lax.scan(
-        bstep, (z, z), (Ur, Ui, dinv_r, dinv_i, yr, yi), reverse=True, unroll=4
+        bstep, (z, z), (band_re, band_im, dvr, dvi, yr, yi), reverse=True, unroll=4
     )
-    return xr, xi
+    return xr[:nblk], xi[:nblk]
 
 
 @jax.tree_util.register_pytree_node_class
