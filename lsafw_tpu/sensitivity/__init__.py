@@ -117,6 +117,7 @@ class EigenSensitivitySolver:
         tol_baseflow: float = 1e-10,
         max_it: int = 200,
         max_modes: int = 5,
+        si_method: str = "lu",
     ) -> None:
         self._ctx = ctx
         self._mesh = mesh
@@ -130,6 +131,7 @@ class EigenSensitivitySolver:
         self._tol_baseflow = tol_baseflow
         self._max_it = max_it
         self._max_modes = max_modes
+        self._si_method = si_method  # "banded" = device band LU path
         if A is None or M is None:
             asm = LinearizedNavierStokesAssembler(
                 self._baseflow, ctx, re, self._pert_bcs, mesh
@@ -152,6 +154,7 @@ class EigenSensitivitySolver:
         if target is not None:
             es.set_st_type(STType.SINVERT)
             es.set_target(target)
+            es.set_st_pc_type(self._si_method)
         pairs = es.solve()
         if not pairs:
             raise RuntimeError("No eigenpairs returned by the eigensolver.")
@@ -179,6 +182,7 @@ class EigenSensitivitySolver:
             EigensolverConfig(num_eig=self._max_modes, atol=self._tol_adjoint, max_it=self._max_it),
         )
         es.set_st_type(STType.SINVERT)
+        es.set_st_pc_type(self._si_method)
         # conj(sigma) is an *exact* eigenvalue of A^T (same spectrum as A),
         # so shifting exactly there makes the shift-invert factorization
         # singular to machine precision and pollutes the eigenvector.
