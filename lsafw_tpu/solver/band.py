@@ -161,14 +161,28 @@ _PLAN_CACHE_MAX = 4
 
 def plan_for_csr(A, *, nb: int = 128, chunk: int = 128) -> BandPlan:
     """Cached :class:`BandPlan` for a CSRMatrix's sparsity pattern —
-    sigma sweeps and Newton refactorizations reuse one plan."""
+    sigma sweeps and Newton refactorizations reuse one plan.
+
+    (Ordering note: ordering the *value graph* of A's current data
+    looks attractive — pruned patterns RCM ~30% tighter — but the full
+    pattern's bandwidth under a pruned-graph ordering EXPLODES, because
+    the pruned cross-component couplings are exactly the edges that tie
+    each node's DOFs together; measured: bw 106 -> 994 on a 10x10
+    mixed pattern.  Structure RCM it is.  Also: never hand
+    ``A.pattern.indices/indptr`` to a scipy matrix without copying —
+    in-place ops like eliminate_zeros would corrupt the pattern.)
+    """
     key = (id(A.pattern), nb, chunk)
     hit = _PLAN_CACHE.get(key)
     if hit is not None and hit[0] is A.pattern:
         _PLAN_CACHE[key] = _PLAN_CACHE.pop(key)
         return hit[1]
     csr = sp.csr_matrix(
-        (np.ones(A.pattern.nnz, np.int8), A.pattern.indices, A.pattern.indptr),
+        (
+            np.ones(A.pattern.nnz, np.int8),
+            A.pattern.indices.copy(),
+            A.pattern.indptr.copy(),
+        ),
         shape=A.pattern.shape,
     )
     plan = BandPlan.build(csr, nb=nb, chunk=chunk)

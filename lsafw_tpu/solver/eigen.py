@@ -162,11 +162,21 @@ def banded_si_apply(
         return (rn > tol * floor) & (k < max_its)
 
     def body(st):
+        # minimal-residual correction: x += alpha d with the complex
+        # step alpha = <Cd, r> / <Cd, Cd>, so ||r|| is non-increasing
+        # even if the regularized preconditioner is far off
         xr, xi, rr, ri, k = st
         dr, di = op.blu.solve_pair(rr, ri)
-        xr, xi = xr + dr, xi + di
-        Cr, Ci = _si_apply_C(op, xr, xi)
-        return xr, xi, br - Cr, bi - Ci, k + 1
+        Cdr, Cdi = _si_apply_C(op, dr, di)
+        num_re = ddot(Cdr, rr) + ddot(Cdi, ri)
+        num_im = ddot(Cdr, ri) - ddot(Cdi, rr)
+        den = jnp.maximum(ddot(Cdr, Cdr) + ddot(Cdi, Cdi), 1e-300)
+        ar, ai = num_re / den, num_im / den
+        xr = xr + (ar * dr - ai * di)
+        xi = xi + (ar * di + ai * dr)
+        rr = rr - (ar * Cdr - ai * Cdi)
+        ri = ri - (ar * Cdi + ai * Cdr)
+        return xr, xi, rr, ri, k + 1
 
     xr, xi, *_ = jax.lax.while_loop(cond, body, (xr, xi, rr, ri, jnp.int32(0)))
     return xr, xi

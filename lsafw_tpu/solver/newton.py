@@ -34,20 +34,36 @@ from lsafw_tpu.utils.logging import get_logger
 logger = get_logger(__name__)
 
 
-@partial(jax.jit, static_argnames=("tol",))
-def _banded_gmres(J, blu, b, *, tol):
-    """GMRES on the real Jacobian, preconditioned by its f32 banded
-    factorization — the residual is non-increasing by construction
-    (plain refinement can diverge when the saddle-point regularization
-    perturbs the factor too far)."""
+@partial(jax.jit, static_argnames=("tol", "max_its"))
+def _banded_mr(J, blu, b, *, tol, max_its: int = 60):
+    """Minimal-residual refinement on the real Jacobian with the f32
+    banded preconditioner: x += alpha d, alpha = <Cd, r>/<Cd, Cd>, so
+    the residual is non-increasing by construction (plain refinement
+    can diverge when the saddle-point regularization perturbs the
+    factor too far; a GMRES wrapper inlines the band solve at 4+ call
+    sites and OOMs at 10 GB bands)."""
+    from lsafw_tpu.ops.dots import ddot
     from lsafw_tpu.ops.sparse import spmv
-    from lsafw_tpu.solver.linear import gmres
+    from lsafw_tpu.solver.linear import SolveResult
 
-    def pc(x):
-        y, _ = blu.solve_pair(x, jnp.zeros_like(x))
-        return y
+    bnorm = jnp.maximum(jnp.sqrt(ddot(b, b)), 1e-300)
+    x, _ = blu.solve_pair(b, jnp.zeros_like(b))
+    r = b - spmv(J, x)
 
-    return gmres(lambda v: spmv(J, v), b, tol=tol, restart=20, maxiter=100, M=pc)
+    def cond(st):
+        _, r, k = st
+        return (jnp.sqrt(ddot(r, r)) > tol * bnorm) & (k < max_its)
+
+    def body(st):
+        x, r, k = st
+        d, _ = blu.solve_pair(r, jnp.zeros_like(r))
+        Cd = spmv(J, d)
+        alpha = ddot(Cd, r) / jnp.maximum(ddot(Cd, Cd), 1e-300)
+        return x + alpha * d, r - alpha * Cd, k + 1
+
+    x, r, k = jax.lax.while_loop(cond, body, (x, r, jnp.int32(0)))
+    res = jnp.sqrt(ddot(r, r)) / bnorm
+    return SolveResult(x, k, res, res <= tol)
 
 
 @dataclass
@@ -94,10 +110,10 @@ class NewtonSolver:
             self._band_plan = plan_for_csr(J)
         data = regularize_saddle_data(J.data, None, J.pattern.diag_slots)
         blu = BandedLU.factor(self._band_plan, data)
-        res = _banded_gmres(J, blu, b, tol=self._linear_tol)
+        res = _banded_mr(J, blu, b, tol=self._linear_tol)
         if not bool(res.converged):
             logger.warning(
-                "Banded-preconditioned GMRES stalled at rel res %.2e",
+                "Banded MR refinement stalled at rel res %.2e",
                 float(res.residual),
             )
         return res.x
