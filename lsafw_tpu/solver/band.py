@@ -350,9 +350,17 @@ def _solve_banded(band_re, band_im, dinv_r, dinv_i, br, bi, *, B, nb):
     # solve is loop-latency-bound; unrolling amortizes it
     _, (yr, yi) = jax.lax.scan(fstep, (z, z), (band_re, band_im, brp, bip), unroll=4)
 
-    def bstep(carry, xs):
+    def bstep(carry, k):
+        # forward scan over descending indices: reverse=True on a
+        # multi-GB xs materializes a REVERSED COPY of the band (2 x
+        # 4.6 GB measured); dynamic per-step indexing reads in place
         Xr, Xi = carry  # X[t] = x_{K+1+t}
-        rowr, rowi, dr, di, ykr, yki = xs
+        rowr = jax.lax.dynamic_index_in_dim(band_re, k, 0, keepdims=False)
+        rowi = jax.lax.dynamic_index_in_dim(band_im, k, 0, keepdims=False)
+        dr = jax.lax.dynamic_index_in_dim(dvr, k, 0, keepdims=False)
+        di = jax.lax.dynamic_index_in_dim(dvi, k, 0, keepdims=False)
+        ykr = jax.lax.dynamic_index_in_dim(yr, k, 0, keepdims=False)
+        yki = jax.lax.dynamic_index_in_dim(yi, k, 0, keepdims=False)
         sr, si = _cmm(
             rowr[B + 1 : 2 * B + 1], rowi[B + 1 : 2 * B + 1], Xr, Xi, "bij,bj->i"
         )
@@ -364,10 +372,10 @@ def _solve_banded(band_re, band_im, dinv_r, dinv_i, br, bi, *, B, nb):
         )
         return carry, (xr, xi)
 
-    _, (xr, xi) = jax.lax.scan(
-        bstep, (z, z), (band_re, band_im, dvr, dvi, yr, yi), reverse=True, unroll=4
-    )
-    return xr[:nblk], xi[:nblk]
+    ks = jnp.arange(rows_total - 1, -1, -1, dtype=jnp.int32)
+    _, (xr, xi) = jax.lax.scan(bstep, (z, z), ks, unroll=4)
+    # outputs arrive in descending-k order: flip the small result
+    return xr[::-1][:nblk], xi[::-1][:nblk]
 
 
 @jax.tree_util.register_pytree_node_class
