@@ -334,9 +334,16 @@ def _solve_banded(band_re, band_im, dinv_r, dinv_i, br, bi, *, B, nb):
     dvr = jnp.concatenate([dinv_r, eye], axis=0)
     dvi = jnp.concatenate([dinv_i, jnp.zeros((pad, nb, nb), dinv_i.dtype)], axis=0)
 
-    def fstep(carry, xs):
+    def fstep(carry, k):
+        # per-step dynamic indexing: streaming the band through scan xs
+        # makes XLA materialize a copy of it when the scan sits inside
+        # an outer while loop (2 x 4.6 GB measured); dynamic
+        # indexing reads the loop-invariant band in place
         Yr, Yi = carry  # Y[t] = y_{K-B+t}
-        rowr, rowi, bkr, bki = xs
+        rowr = jax.lax.dynamic_index_in_dim(band_re, k, 0, keepdims=False)
+        rowi = jax.lax.dynamic_index_in_dim(band_im, k, 0, keepdims=False)
+        bkr = jax.lax.dynamic_index_in_dim(brp, k, 0, keepdims=False)
+        bki = jax.lax.dynamic_index_in_dim(bip, k, 0, keepdims=False)
         sr, si = _cmm(rowr[:B], rowi[:B], Yr, Yi, "bij,bj->i")
         yr, yi = bkr - sr, bki - si
         carry = (
@@ -348,7 +355,8 @@ def _solve_banded(band_re, band_im, dinv_r, dinv_i, br, bi, *, B, nb):
     z = jnp.zeros((B, nb), br.dtype)
     # unroll: the per-step compute is tiny (B block matvecs), so the
     # solve is loop-latency-bound; unrolling amortizes it
-    _, (yr, yi) = jax.lax.scan(fstep, (z, z), (band_re, band_im, brp, bip), unroll=4)
+    ks_f = jnp.arange(rows_total, dtype=jnp.int32)
+    _, (yr, yi) = jax.lax.scan(fstep, (z, z), ks_f, unroll=4)
 
     def bstep(carry, k):
         # forward scan over descending indices: reverse=True on a
