@@ -444,6 +444,17 @@ def _select_order(theta: np.ndarray, which: EpsWhich, target: complex | None) ->
     return np.argsort(_sort_key(which, target)(theta), kind="stable")
 
 
+def _use_fused_expand(n: int) -> bool:
+    """Whole-restart fusion policy: env override LSAFW_FUSED_EXPAND,
+    else fused everywhere except large problems on the TPU backend."""
+    import os
+
+    env = os.environ.get("LSAFW_FUSED_EXPAND")
+    if env is not None:
+        return env not in ("0", "false", "no")
+    return jax.default_backend() != "tpu" or n < 100_000
+
+
 def _make_fused_expand(ncv: int, traced_apply, dtype):
     """One jitted program per restart cycle: expand the Arnoldi
     factorization from k to ncv entirely on device (op applies + CGS2 +
@@ -550,6 +561,14 @@ def krylov_schur(
     H = np.zeros((ncv + 1, ncv), dtype=np.complex128)
 
     fused = device_op is not None and traced_apply is not None
+    if fused and not _use_fused_expand(n):
+        # large TPU programs with deeply nested apply loops have
+        # kernel-faulted the worker (observed at 167k DOFs, round 1 and
+        # round 2); fall back to one jitted apply per step — at that
+        # scale the ~2 dispatches/step are negligible next to the apply
+        japply = jax.jit(lambda op, v: traced_apply(op, v))
+        apply_op = lambda v: japply(device_op, v)  # noqa: E731
+        fused = False
     if fused:
         expand = _make_fused_expand(ncv, traced_apply, dtype)
     else:
