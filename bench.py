@@ -205,22 +205,24 @@ def main() -> None:
 
     stage("elementop_f32", _elementop)
 
-    # ---------------- ELL SpMV (f64) ----------------
+    # ---------------- ELL SpMV (f64, the library path) ----------------
     def _ell():
-        @jax.jit
-        def loop(dv, data, x, k):
-            data_ell = jnp.where(dv.ell_map >= 0, data[dv.ell_map], 0.0)
+        from lsafw_tpu.ops.sparse import CSRMatrix, spmv
 
+        A64 = CSRMatrix(ctx.pattern, data64)
+
+        @jax.jit
+        def loop(A, x, k):
             def body(i, y):
-                y = (data_ell * y[dv.ell_cols]).sum(axis=1)
+                y = spmv(A, y)
                 return y / jnp.linalg.norm(y)
 
             y = lax.fori_loop(0, k, body, x)
             return jnp.vdot(y, y)
 
-        t = slope(loop, (dev_ell, data64, x0, 1), (dev_ell, data64, x0, K + 1), K)
+        t = slope(loop, (A64, x0, 1), (A64, x0, K + 1), K)
         timings["ell_spmv_f64_ms"] = t * 1e3
-        log(f"ELL spmv f64: {t*1e3:.3f} ms/iter ({t_host/t:.2f}x scipy)")
+        log(f"ELL spmv f64 (hi/lo gathers): {t*1e3:.3f} ms/iter ({t_host/t:.2f}x scipy)")
 
     stage("ell_spmv_f64", _ell)
 
