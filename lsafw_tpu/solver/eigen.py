@@ -257,6 +257,20 @@ class ShiftInvertOperator:
             Cr, Ci = _si_apply_C(self.device_op, xr, xi)
             rr, ri = np.asarray(br - Cr), np.asarray(bi - Ci)
             rho = float(np.sqrt((rr**2 + ri**2).sum()))
+            if not np.isfinite(rho):
+                # pivot-free f32 factor overflowed on this operator:
+                # degrade to the host LU (the reference's
+                # MUMPS -> SuperLU degradation chain)
+                logger.warning(
+                    "Banded factor is not usable (non-finite calibration); "
+                    "falling back to host complex LU."
+                )
+                self.method = "lu"
+                self.device_op = None  # keep krylov_schur off the fused path
+                As = A.to_scipy().astype(np.complex128)
+                Ms = M.to_scipy() if M is not None else sp.identity(self._n)
+                self._lu = SparseLU((As - self.sigma * Ms).tocsc())
+                return
             rho = min(max(rho, 1e-14), 0.7)
             self._inner_tol = inner_tol
             self.refine_its = int(np.clip(2 * np.ceil(np.log(inner_tol) / np.log(rho)), 4, 24))

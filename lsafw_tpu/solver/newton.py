@@ -52,7 +52,10 @@ def _banded_mr(J, blu, b, *, tol, max_its: int = 60):
 
     def cond(st):
         _, r, k = st
-        return (jnp.sqrt(ddot(r, r)) > tol * bnorm) & (k < max_its)
+        rn = jnp.sqrt(ddot(r, r))
+        # exit on non-finite residuals (overflowed factor) so the
+        # caller's converged flag triggers the fallback path
+        return jnp.isfinite(rn) & (rn > tol * bnorm) & (k < max_its)
 
     def body(st):
         x, r, k = st
@@ -111,11 +114,17 @@ class NewtonSolver:
         data = regularize_saddle_data(J.data, None, J.pattern.diag_slots)
         blu = BandedLU.factor(self._band_plan, data)
         res = _banded_mr(J, blu, b, tol=self._linear_tol)
-        if not bool(res.converged):
+        ok = bool(res.converged) and bool(np.isfinite(np.asarray(res.x)).all())
+        if not ok:
+            # pivot-free f32 factors can overflow on unlucky operators;
+            # fall back to the host direct solve rather than feeding
+            # Newton a garbage update (the reference's MUMPS -> SuperLU
+            # -> default-PC degradation chain, Solver/eigen2.py:127-150)
             logger.warning(
-                "Banded MR refinement stalled at rel res %.2e",
+                "Banded MR solve failed (rel res %.2e); falling back to host LU",
                 float(res.residual),
             )
+            return jnp.asarray(SparseLU(J).solve(np.asarray(b)))
         return res.x
 
     def solve(
