@@ -95,6 +95,7 @@ class NewtonSolver:
         self._linear_solver = linear_solver
         self._linear_tol = linear_tol
         self._band_plan = None  # built lazily on the Jacobian pattern
+        self._banded_ok = True  # sticky: one failed factor -> stay on LU
 
     def _masked_residual(self, w: jnp.ndarray, re: float) -> jnp.ndarray:
         F = self._asm.residual(w, re)
@@ -109,23 +110,25 @@ class NewtonSolver:
         """
         from lsafw_tpu.solver.band import BandedLU, plan_for_csr, regularize_saddle_data
 
-        if self._band_plan is None:
-            self._band_plan = plan_for_csr(J)
-        data = regularize_saddle_data(J.data, None, J.pattern.diag_slots)
-        blu = BandedLU.factor(self._band_plan, data)
-        res = _banded_mr(J, blu, b, tol=self._linear_tol)
-        ok = bool(res.converged) and bool(np.isfinite(np.asarray(res.x)).all())
-        if not ok:
-            # pivot-free f32 factors can overflow on unlucky operators;
-            # fall back to the host direct solve rather than feeding
-            # Newton a garbage update (the reference's MUMPS -> SuperLU
-            # -> default-PC degradation chain, Solver/eigen2.py:127-150)
+        if self._banded_ok:
+            if self._band_plan is None:
+                self._band_plan = plan_for_csr(J)
+            data = regularize_saddle_data(J.data, None, J.pattern.diag_slots)
+            blu = BandedLU.factor(self._band_plan, data)
+            res = _banded_mr(J, blu, b, tol=self._linear_tol)
+            if bool(res.converged) and bool(np.isfinite(np.asarray(res.x)).all()):
+                return res.x
+            # pivot-free f32 factors can overflow or precondition badly
+            # on unlucky operators; degrade to the host direct solve for
+            # the REST of this Newton solve rather than paying a failed
+            # banded attempt per iteration (the reference's MUMPS ->
+            # SuperLU -> default-PC chain, Solver/eigen2.py:127-150)
             logger.warning(
-                "Banded MR solve failed (rel res %.2e); falling back to host LU",
-                float(res.residual),
+                "Banded MR solve failed (rel res %.2e); degrading this "
+                "Newton solve to host LU", float(res.residual),
             )
-            return jnp.asarray(SparseLU(J).solve(np.asarray(b)))
-        return res.x
+            self._banded_ok = False
+        return jnp.asarray(SparseLU(J).solve(np.asarray(b)))
 
     def solve(
         self,
