@@ -17,6 +17,8 @@ from lsafw_tpu.parallel.sharded import (
     device_mesh,
     shard_csr,
     shard_vector,
+    sharded_eigensolve,
+    sharded_solve,
 )
 from lsafw_tpu.parallel.partition import partition_cells
 
@@ -25,5 +27,7 @@ __all__ = [
     "shard_vector",
     "shard_csr",
     "ShardedOperator",
+    "sharded_solve",
+    "sharded_eigensolve",
     "partition_cells",
 ]

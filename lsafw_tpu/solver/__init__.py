@@ -10,6 +10,7 @@ from lsafw_tpu.solver.baseflow import (
     compute_drag,
     compute_recirculation_length,
 )
+from lsafw_tpu.solver.band import BandedLU, BandPlan, plan_for_csr
 from lsafw_tpu.solver.direct import SparseLU, direct_solve
 from lsafw_tpu.solver.eigen import (
     EigenSolver,
@@ -31,6 +32,9 @@ __all__ = [
     "compute_recirculation_length",
     "SparseLU",
     "direct_solve",
+    "BandedLU",
+    "BandPlan",
+    "plan_for_csr",
     "EigenSolver",
     "EigensolverConfig",
     "EpsProblemType",
