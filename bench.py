@@ -347,7 +347,14 @@ def main() -> None:
             "nnz": nnz,
             "ell_width": w_ell,
             "device": f"{dev.device_kind}",
-            **{k: (round(v, 4) if v is not None else None) for k, v in timings.items()},
+            **{
+                k: (
+                    float(f"{v:.3e}")
+                    if isinstance(v, float) and 0 < abs(v) < 1e-3
+                    else (round(v, 4) if v is not None else None)
+                )
+                for k, v in timings.items()
+            },
         },
     }
     print(json.dumps(result))
