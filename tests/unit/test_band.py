@@ -155,3 +155,19 @@ def test_newton_banded_inner_solver():
     got = NewtonSolver(asm, linear_solver="banded").solve(w0, 50.0, tol=1e-9)
     assert got.converged and ref.converged
     assert np.linalg.norm(got.w - ref.w) / np.linalg.norm(ref.w) < 1e-7
+
+
+def test_plan_build_does_not_mutate_pattern():
+    """Regression: handing pattern arrays to scipy without copying let
+    eliminate_zeros() corrupt them in place (round 2)."""
+    from lsafw_tpu.solver.band import plan_for_csr
+
+    A = _random_banded(120, 7, seed=9)
+    from lsafw_tpu.ops.sparse import CSRMatrix
+
+    Ac = CSRMatrix.from_scipy(A.real.tocsr())
+    idx0 = Ac.pattern.indices.copy()
+    ptr0 = Ac.pattern.indptr.copy()
+    plan_for_csr(Ac)
+    assert np.array_equal(Ac.pattern.indices, idx0)
+    assert np.array_equal(Ac.pattern.indptr, ptr0)
