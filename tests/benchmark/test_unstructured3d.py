@@ -103,3 +103,23 @@ def test_cylinder3d_mesh_generation_and_stokes():
     mask = np.asarray(bcs.dirichlet_mask)
     diag = np.asarray(A.diagonal())
     assert np.allclose(diag[mask], 1.0)
+
+
+def test_step3d_mesh_generation():
+    """3D extruded backward-facing step (the reference's extrusion,
+    Meshing/geometries.py:203-224) via distmesh3d."""
+    from lsafw_tpu.config import StepFlowGeometryConfig
+    from lsafw_tpu.meshing.geometries import step_flow_mesh
+
+    cfg = StepFlowGeometryConfig(
+        dim=3, inlet_length=2.0, step_height=0.5, outlet_length=4.0,
+        channel_height=1.0, resolution=0.35, width=1.0,
+    )
+    mesh = step_flow_mesh(cfg, max_iter=40, seed=2)
+    assert mesh.tdim == 3 and mesh.num_cells > 50
+    v = mesh.vertices[mesh.cells]
+    J = np.stack([v[:, 1] - v[:, 0], v[:, 2] - v[:, 0], v[:, 3] - v[:, 0]], axis=2)
+    vol = np.linalg.det(J) / 6.0
+    assert vol.min() > 0
+    exact = (2.0 * 1.0 + 4.0 * 1.5) * 1.0  # inlet + outlet volumes x width
+    assert abs(vol.sum() - exact) / exact < 0.06
