@@ -39,18 +39,25 @@ def _build_case(args):
     from lsafw_tpu.meshing import generate_mesh, mark_boundary_facets
     from lsafw_tpu.meshing.mesh import Shape
 
-    shape = Shape.from_string(args.shape)
-    kw = {}
-    if args.geometry_config:
-        if shape is Shape.CYLINDER_FLOW:
-            kw["config"] = load_cylinder_flow_config(args.geometry_config)
-        elif shape is Shape.STEP_FLOW:
-            kw["config"] = load_step_flow_config(args.geometry_config)
-    if args.n:
-        kw.update(dict(zip(("nx", "ny", "nz"), args.n)))
-        if shape is Shape.UNIT_INTERVAL:
-            kw = {"n": args.n[0]}
-    mesh = generate_mesh(shape, **kw)
+    if getattr(args, "from_file", None):
+        # mesh import path (parity: python -m Meshing import,
+        # /root/reference/Meshing/cli.py:106-121)
+        from lsafw_tpu.meshing.io import from_file
+
+        mesh = from_file(args.from_file)
+    else:
+        shape = Shape.from_string(args.shape)
+        kw = {}
+        if args.geometry_config:
+            if shape is Shape.CYLINDER_FLOW:
+                kw["config"] = load_cylinder_flow_config(args.geometry_config)
+            elif shape is Shape.STEP_FLOW:
+                kw["config"] = load_step_flow_config(args.geometry_config)
+        if args.n:
+            kw.update(dict(zip(("nx", "ny", "nz"), args.n)))
+            if shape is Shape.UNIT_INTERVAL:
+                kw = {"n": args.n[0]}
+        mesh = generate_mesh(shape, **kw)
     if args.facet_config:
         mark_boundary_facets(mesh, load_facet_config(args.facet_config))
     spaces = define_spaces(mesh, args.space_type)
@@ -70,6 +77,23 @@ def _add_case_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--space-type", default="taylor_hood")
 
 
+def _export_mesh_file(mesh, path: Path) -> None:
+    """Write a mesh to ``.msh`` or ``.xdmf`` by extension (parity:
+    ``_export_mesh``, ``/root/reference/Meshing/cli.py:38-59``)."""
+    path = Path(path)
+    if path.suffix == ".msh":
+        from lsafw_tpu.meshing.io import write_msh
+
+        write_msh(mesh, path)
+    elif path.suffix == ".xdmf":
+        from lsafw_tpu.io.xdmf import write_xdmf
+
+        write_xdmf(path, mesh)
+    else:
+        raise SystemExit(f"unsupported mesh export format: {path.suffix}")
+    logger.info("Mesh exported to %s", path)
+
+
 def _cmd_mesh(args) -> int:
     from lsafw_tpu.utils.cache import CacheStore
 
@@ -77,6 +101,44 @@ def _cmd_mesh(args) -> int:
     print(mesh.summary())
     if args.outdir:
         CacheStore(args.outdir).save_mesh(args.key or "mesh", mesh)
+    if args.export:
+        _export_mesh_file(mesh, args.export)
+    if args.plot:
+        from lsafw_tpu.plot import plot_mesh
+
+        plot_mesh(mesh, path=args.plot)
+    return 0
+
+
+def _cmd_benchmark(args) -> int:
+    """Generate a predefined CFD benchmark geometry (parity:
+    ``python -m Meshing benchmark``,
+    ``/root/reference/Meshing/cli.py:124-153``)."""
+    from lsafw_tpu.config import (
+        load_cylinder_flow_config,
+        load_facet_config,
+        load_step_flow_config,
+    )
+    from lsafw_tpu.meshing import generate_mesh, mark_boundary_facets
+    from lsafw_tpu.meshing.mesh import Shape
+
+    shape = Shape.from_string(args.geometry)
+    if shape is Shape.CYLINDER_FLOW:
+        cfg = load_cylinder_flow_config(args.config)
+    elif shape is Shape.STEP_FLOW:
+        cfg = load_step_flow_config(args.config)
+    else:
+        raise SystemExit(f"unsupported benchmark geometry: {args.geometry}")
+    mesh = generate_mesh(shape, config=cfg)
+    if args.facet_config:
+        mark_boundary_facets(mesh, load_facet_config(args.facet_config))
+    print(mesh.summary())
+    if args.export:
+        _export_mesh_file(mesh, args.export)
+    if args.plot:
+        from lsafw_tpu.plot import plot_mesh
+
+        plot_mesh(mesh, path=args.plot)
     return 0
 
 
@@ -189,11 +251,30 @@ def main(argv: list[str] | None = None) -> int:
     )
     sub = parser.add_subparsers(dest="command", required=True)
 
-    p_mesh = sub.add_parser("mesh", help="generate and tag a mesh")
+    p_mesh = sub.add_parser("mesh", help="generate or import and tag a mesh")
     _add_case_args(p_mesh)
+    p_mesh.add_argument(
+        "--from-file", type=Path, default=None,
+        help="import a .msh/.xdmf mesh instead of generating one",
+    )
+    p_mesh.add_argument("--export", type=Path, default=None,
+                        help="write the mesh to .msh or .xdmf")
+    p_mesh.add_argument("--plot", type=Path, default=None,
+                        help="save a mesh plot image")
     p_mesh.add_argument("--outdir", type=Path, default=None)
     p_mesh.add_argument("--key", default=None)
     p_mesh.set_defaults(fn=_cmd_mesh)
+
+    p_bench = sub.add_parser(
+        "benchmark", help="generate a predefined CFD benchmark geometry"
+    )
+    p_bench.add_argument("--geometry", default="cylinder_flow",
+                         choices=("cylinder_flow", "step_flow"))
+    p_bench.add_argument("--config", type=Path, required=True)
+    p_bench.add_argument("--facet-config", type=Path, default=None)
+    p_bench.add_argument("--export", type=Path, default=None)
+    p_bench.add_argument("--plot", type=Path, default=None)
+    p_bench.set_defaults(fn=_cmd_benchmark)
 
     def _solver_args(p):
         _add_case_args(p)

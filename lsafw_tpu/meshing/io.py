@@ -185,6 +185,11 @@ def from_file(path: Path | str) -> Mesh:
     path = Path(path)
     if path.suffix == ".msh":
         return read_msh(path)
+    if path.suffix == ".xdmf":
+        from lsafw_tpu.io.xdmf import read_xdmf
+
+        mesh, _, _ = read_xdmf(path)
+        return mesh
     if path.suffix == ".npz":
         z = np.load(path, allow_pickle=False)
         mesh = Mesh(z["vertices"], z["cells"], CellType(str(z["cell_type"])))

@@ -10,9 +10,10 @@ of PETSc's MatSetValues accumulation loop in the reference
 
 Scheme: decompose each value into ``num_chunks`` fixed-point chunks of
 ``CHUNK_BITS`` bits on a *global* power-of-two grid anchored at the
-input's maximum exponent.  Each chunk is an integer < 2^CHUNK_BITS in
-magnitude, exactly representable in f32; sums of up to
-2^(24 - CHUNK_BITS - 1) addends stay below 2^24 and are therefore
+input's maximum exponent.  Each chunk is a round-to-nearest integer
+with ``|chunk| <= 2^(CHUNK_BITS-1)``, exactly representable in f32;
+sums of up to ``MAX_ADDENDS = 2^(24 - CHUNK_BITS + 1)`` addends stay
+below 2^24 and are therefore
 *exact* in f32.  Recombination multiplies each chunk sum by its
 (power-of-two) quantum and adds in f64 — the only rounding in the whole
 pipeline is the final ``num_chunks - 1`` f64 additions.
@@ -32,7 +33,7 @@ import jax.numpy as jnp
 
 CHUNK_BITS = 16
 # Chunks are round-to-nearest, so |chunk| <= 2^(CHUNK_BITS-1); f32 sums
-# of such integer addends are exact while below 2^24: 256 addends.
+# of such integer addends are exact while below 2^24: 512 addends.
 MAX_ADDENDS = 2 ** (24 - CHUNK_BITS + 1)
 
 

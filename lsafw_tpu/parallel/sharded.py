@@ -100,7 +100,7 @@ def sharded_eigensolve(
     which="largest_magnitude",
     tol: float = 1e-10,
     max_restarts: int = 200,
-    locality: tuple[np.ndarray, int] | None = None,
+    locality: tuple[object, np.ndarray] | None = None,
     axis: str = "dof",
 ):
     """Multi-device Krylov-Schur on a row-sharded operator.
@@ -111,7 +111,7 @@ def sharded_eigensolve(
     reference gets from MPI-parallel SLEPc (SURVEY section 2.3 item 4,
     ``/root/reference/README.md:43``).
 
-    ``locality``: optional ``(cell_dofs, num_dofs)`` enabling
+    ``locality``: optional ``(geom_mesh, cell_dofs)`` enabling
     RCB-partition DOF renumbering (:mod:`lsafw_tpu.parallel.partition`)
     so each device's rows are mesh-local and the column gather stays
     halo-bounded.  Returns eigenpairs in the ORIGINAL dof numbering.
@@ -156,8 +156,6 @@ def sharded_eigensolve(
     # trim padding and undo the locality renumbering
     vecs = res.eigenvectors[:, : n]
     if perm is not None:
-        inv = np.empty(n, dtype=np.int64)
-        inv[perm] = np.arange(n)
         vecs = vecs[:, perm]
     res.eigenvectors = vecs
     return res

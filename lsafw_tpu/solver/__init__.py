@@ -10,7 +10,13 @@ from lsafw_tpu.solver.baseflow import (
     compute_drag,
     compute_recirculation_length,
 )
-from lsafw_tpu.solver.band import BandedLU, BandPlan, plan_for_csr
+from lsafw_tpu.solver.band import (
+    BandedLU,
+    BandPlan,
+    PivotedBandedLU,
+    factor_auto,
+    plan_for_csr,
+)
 from lsafw_tpu.solver.direct import SparseLU, direct_solve
 from lsafw_tpu.solver.eigen import (
     EigenSolver,
@@ -34,6 +40,8 @@ __all__ = [
     "direct_solve",
     "BandedLU",
     "BandPlan",
+    "PivotedBandedLU",
+    "factor_auto",
     "plan_for_csr",
     "EigenSolver",
     "EigensolverConfig",

@@ -220,10 +220,30 @@ def regularize_saddle_data(
 # ---------------------------------------------------------------------------
 
 
+def _band_precision():
+    """Matmul precision for the factorization/substitution einsums.
+
+    On TPU the DEFAULT f32 dot precision uses bf16 passes — enough to
+    visibly degrade elimination accuracy (the factor's contraction rho
+    was 5e-3..0.2 on TPU vs ~3e-4 for the same operator in true-f32 CPU
+    arithmetic).  The band kernels are HBM/latency-bound, not
+    MXU-bound, so full-f32 products are close to free; default HIGHEST,
+    env ``LSAFW_BAND_PRECISION=default`` opts out."""
+    import os
+
+    name = os.environ.get("LSAFW_BAND_PRECISION", "highest").lower()
+    return {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[name]
+
+
 def _cmm(Ar, Ai, Br, Bi, spec: str):
     """Complex matmul over (re, im) pairs with an einsum spec."""
-    re = jnp.einsum(spec, Ar, Br) - jnp.einsum(spec, Ai, Bi)
-    im = jnp.einsum(spec, Ar, Bi) + jnp.einsum(spec, Ai, Br)
+    prec = _band_precision()
+    re = jnp.einsum(spec, Ar, Br, precision=prec) - jnp.einsum(spec, Ai, Bi, precision=prec)
+    im = jnp.einsum(spec, Ar, Bi, precision=prec) + jnp.einsum(spec, Ai, Br, precision=prec)
     return re, im
 
 
@@ -238,7 +258,12 @@ def _cinv_emb(Dr, Di, delta):
     )
     s = jnp.mean(jnp.abs(jnp.diagonal(emb))) + 1e-30
     emb = emb + (delta * s) * jnp.eye(2 * nb, dtype=emb.dtype)
-    inv = jnp.linalg.inv(emb)
+    prec = _band_precision()
+    if prec == jax.lax.Precision.HIGHEST:
+        with jax.default_matmul_precision("float32"):
+            inv = jnp.linalg.inv(emb)
+    else:
+        inv = jnp.linalg.inv(emb)
     return inv[:nb, :nb], inv[nb:, :nb]
 
 
@@ -384,6 +409,397 @@ def _solve_banded(band_re, band_im, dinv_r, dinv_i, br, bi, *, B, nb):
     _, (xr, xi) = jax.lax.scan(bstep, (z, z), ks, unroll=4)
     # outputs arrive in descending-k order: flip the small result
     return xr[::-1][:nblk], xi[::-1][:nblk]
+
+
+# ---------------------------------------------------------------------------
+# Panel-pivoted factorization (the robust path)
+# ---------------------------------------------------------------------------
+
+
+def _panel_plu(Pr, Pi, *, nb: int, tiny: float = 1e-30):
+    """Complex partial-pivoted LU of a tall panel, in place.
+
+    ``Pr/Pi``: (m, nb) real/imag parts, m = (B+1)*nb.  Returns the
+    factored panel (U on/above the diagonal of the top nb rows, unit-L
+    multipliers below) and the composed row permutation ``perm`` such
+    that the factorization satisfies ``P_panel[perm] = L @ U``.
+
+    LAPACK-getrf semantics: row swaps are interleaved with the rank-1
+    updates inside the panel and later applied to the trailing columns
+    as one composed gather.  Growth is bounded by 2 per step — this is
+    the pivoting robustness the pivot-free fast path lacks (parity:
+    MUMPS partial pivoting, ``/root/reference/Solver/eigen2.py:129-146``).
+    """
+    m = Pr.shape[0]
+    rows = jnp.arange(m, dtype=jnp.int32)
+    cols = jnp.arange(nb, dtype=jnp.int32)
+
+    def col_step(j, st):
+        Pr, Pi, perm = st
+        colr = jax.lax.dynamic_index_in_dim(Pr, j, 1, keepdims=False)
+        coli = jax.lax.dynamic_index_in_dim(Pi, j, 1, keepdims=False)
+        mag = jnp.where(rows >= j, colr * colr + coli * coli, -1.0)
+        p = jnp.argmax(mag).astype(jnp.int32)
+        # swap rows j <-> p (correct also when p == j)
+        rj_r = jax.lax.dynamic_index_in_dim(Pr, j, 0, keepdims=False)
+        rp_r = jax.lax.dynamic_index_in_dim(Pr, p, 0, keepdims=False)
+        Pr = jax.lax.dynamic_update_index_in_dim(Pr, rp_r, j, 0)
+        Pr = jax.lax.dynamic_update_index_in_dim(Pr, rj_r, p, 0)
+        rj_i = jax.lax.dynamic_index_in_dim(Pi, j, 0, keepdims=False)
+        rp_i = jax.lax.dynamic_index_in_dim(Pi, p, 0, keepdims=False)
+        Pi = jax.lax.dynamic_update_index_in_dim(Pi, rp_i, j, 0)
+        Pi = jax.lax.dynamic_update_index_in_dim(Pi, rj_i, p, 0)
+        qj = jax.lax.dynamic_index_in_dim(perm, j, 0, keepdims=False)
+        qp = jax.lax.dynamic_index_in_dim(perm, p, 0, keepdims=False)
+        perm = jax.lax.dynamic_update_index_in_dim(perm, qp, j, 0)
+        perm = jax.lax.dynamic_update_index_in_dim(perm, qj, p, 0)
+
+        # pivot = (new) P[j, j]; guarded complex reciprocal
+        pvr = jax.lax.dynamic_index_in_dim(rp_r, j, 0, keepdims=False)
+        pvi = jax.lax.dynamic_index_in_dim(rp_i, j, 0, keepdims=False)
+        den = pvr * pvr + pvi * pvi
+        good = den > tiny
+        inv_r = jnp.where(good, pvr / jnp.where(good, den, 1.0), 0.0)
+        inv_i = jnp.where(good, -pvi / jnp.where(good, den, 1.0), 0.0)
+
+        # multipliers m = col / pivot for rows > j
+        colr = jax.lax.dynamic_index_in_dim(Pr, j, 1, keepdims=False)
+        coli = jax.lax.dynamic_index_in_dim(Pi, j, 1, keepdims=False)
+        low = (rows > j).astype(Pr.dtype)
+        mr = (colr * inv_r - coli * inv_i) * low
+        mi = (colr * inv_i + coli * inv_r) * low
+
+        # rank-1 update of the trailing columns (urow masked to cols > j)
+        umask = (cols > j).astype(Pr.dtype)
+        ur = rp_r * umask
+        ui = rp_i * umask
+        Pr = Pr - (mr[:, None] * ur[None, :] - mi[:, None] * ui[None, :])
+        Pi = Pi - (mr[:, None] * ui[None, :] + mi[:, None] * ur[None, :])
+        # store the multipliers in column j
+        newc_r = jnp.where(rows > j, mr, colr)
+        newc_i = jnp.where(rows > j, mi, coli)
+        Pr = jax.lax.dynamic_update_index_in_dim(Pr, newc_r, j, 1)
+        Pi = jax.lax.dynamic_update_index_in_dim(Pi, newc_i, j, 1)
+        return Pr, Pi, perm
+
+    perm0 = jnp.arange(m, dtype=jnp.int32)
+    return jax.lax.fori_loop(0, nb, col_step, (Pr, Pi, perm0))
+
+
+def _pfactor_step(carry, xs, *, B: int, nb: int, delta):
+    """One panel-pivoted block-row elimination.
+
+    carry: rows K..K+B-1 over columns K..K+2B (relative 0..2B);
+    xs: fresh row K+B in the compact R = 2B+1 layout, whose offsets
+    relative to anchor K are also exactly 0..2B.  Outputs the U row of
+    block row K (columns K..K+2B), the L panel (blocks (K+1..K+B, K)
+    after permutation), the inverses used by the solve, and the
+    composed (B+1)*nb row permutation.
+    """
+    Vr, Vi = carry
+    xr, xi = xs
+    R = 2 * B + 1
+    Wr = jnp.concatenate([Vr, xr[None]], axis=0)  # (B+1, 2B+1, nb, nb)
+    Wi = jnp.concatenate([Vi, xi[None]], axis=0)
+
+    pr, pi_, perm = _panel_plu(
+        Wr[:, 0].reshape((B + 1) * nb, nb), Wi[:, 0].reshape((B + 1) * nb, nb),
+        nb=nb,
+    )
+    L1r = jnp.tril(pr[:nb], -1) + jnp.eye(nb, dtype=pr.dtype)
+    L1i = jnp.tril(pi_[:nb], -1)
+    Upr = jnp.triu(pr[:nb])
+    Upi = jnp.triu(pi_[:nb])
+    L2r = pr[nb:].reshape(B, nb, nb)
+    L2i = pi_[nb:].reshape(B, nb, nb)
+    L1inv_r, L1inv_i = _cinv_emb(L1r, L1i, jnp.zeros((), pr.dtype))
+    Uinv_r, Uinv_i = _cinv_emb(Upr, Upi, delta)
+
+    # trailing columns K+1..K+2B as a ((B+1)nb, 2B*nb) matrix,
+    # permuted by the composed panel permutation
+    Tr = Wr[:, 1:].transpose(0, 2, 1, 3).reshape((B + 1) * nb, 2 * B * nb)
+    Ti = Wi[:, 1:].transpose(0, 2, 1, 3).reshape((B + 1) * nb, 2 * B * nb)
+    Tr = jnp.take(Tr, perm, axis=0)
+    Ti = jnp.take(Ti, perm, axis=0)
+    T0r, T0i = _cmm(L1inv_r, L1inv_i, Tr[:nb], Ti[:nb], "ij,jk->ik")
+    Sr, Si = _cmm(
+        L2r.reshape(B * nb, nb), L2i.reshape(B * nb, nb), T0r, T0i, "ij,jk->ik"
+    )
+    Tlr = Tr[nb:] - Sr
+    Tli = Ti[nb:] - Si
+
+    urow_r = jnp.concatenate(
+        [Upr[None], T0r.reshape(nb, 2 * B, nb).transpose(1, 0, 2)], axis=0
+    )  # (2B+1, nb, nb)
+    urow_i = jnp.concatenate(
+        [Upi[None], T0i.reshape(nb, 2 * B, nb).transpose(1, 0, 2)], axis=0
+    )
+
+    zpad = jnp.zeros((B, 1, nb, nb), Vr.dtype)
+    carry = (
+        jnp.concatenate(
+            [Tlr.reshape(B, nb, 2 * B, nb).transpose(0, 2, 1, 3), zpad], axis=1
+        ),
+        jnp.concatenate(
+            [Tli.reshape(B, nb, 2 * B, nb).transpose(0, 2, 1, 3), zpad], axis=1
+        ),
+    )
+    out = (urow_r, urow_i, L2r, L2i, L1inv_r, L1inv_i, Uinv_r, Uinv_i, perm)
+    return carry, out
+
+
+@partial(jax.jit, static_argnames=("chunk", "B", "nb"), donate_argnums=(0, 1))
+def _pfactor_chunk(band_re, band_im, Vr, Vi, k0, delta, *, chunk, B, nb):
+    """Panel-pivoted factorization of ``chunk`` block rows in place:
+    xs rows are read at k0+B in the compact input layout and the U rows
+    are written back at k0 (the band buffer's offsets are reinterpreted
+    as columns K..K+2B after factorization)."""
+    xs_r = jax.lax.dynamic_slice_in_dim(band_re, k0 + B, chunk, axis=0)
+    xs_i = jax.lax.dynamic_slice_in_dim(band_im, k0 + B, chunk, axis=0)
+    step = lambda c, x: _pfactor_step(c, x, B=B, nb=nb, delta=delta)
+    (Vr, Vi), outs = jax.lax.scan(step, (Vr, Vi), (xs_r, xs_i))
+    ur, ui = outs[0], outs[1]
+    band_re = jax.lax.dynamic_update_slice_in_dim(band_re, ur, k0, axis=0)
+    band_im = jax.lax.dynamic_update_slice_in_dim(band_im, ui, k0, axis=0)
+    return (band_re, band_im, Vr, Vi) + tuple(outs[2:])
+
+
+@partial(jax.jit, static_argnames=("B", "nb"))
+def _solve_pivoted(
+    band_re, band_im, L2r, L2i, L1inv_r, L1inv_i, Uinv_r, Uinv_i, perms,
+    br, bi, *, B, nb,
+):
+    """Substitution through the panel-pivoted factors.
+
+    Forward replays, per block row K, the composed panel permutation on
+    the RHS window (rows K..K+B), y_K = L1^-1 b_K, then the L2 update
+    of the lower window rows.  Backward: x_K = U_KK^-1 (y_K - sum_j
+    U_{K,K+j} x_{K+j}), j = 1..2B.  Same per-step dynamic-indexing
+    discipline as :func:`_solve_banded` (see the notes there).
+    """
+    nblk = L1inv_r.shape[0]
+    padb = jnp.zeros((B + 1, nb), br.dtype)
+    brp = jnp.concatenate([br, padb], axis=0)
+    bip = jnp.concatenate([bi, padb], axis=0)
+
+    def fstep(carry, k):
+        Wbr, Wbi = carry  # (B+1, nb): rows K..K+B
+        permk = jax.lax.dynamic_index_in_dim(perms, k, 0, keepdims=False)
+        fr = jnp.take(Wbr.reshape(-1), permk)
+        fi = jnp.take(Wbi.reshape(-1), permk)
+        l1r = jax.lax.dynamic_index_in_dim(L1inv_r, k, 0, keepdims=False)
+        l1i = jax.lax.dynamic_index_in_dim(L1inv_i, k, 0, keepdims=False)
+        yr, yi = _cmm(l1r, l1i, fr[:nb], fi[:nb], "ij,j->i")
+        l2r = jax.lax.dynamic_index_in_dim(L2r, k, 0, keepdims=False)
+        l2i = jax.lax.dynamic_index_in_dim(L2i, k, 0, keepdims=False)
+        sr, si = _cmm(
+            l2r.reshape(B * nb, nb), l2i.reshape(B * nb, nb), yr, yi, "ij,j->i"
+        )
+        lowr = fr[nb:] - sr
+        lowi = fi[nb:] - si
+        freshr = jax.lax.dynamic_index_in_dim(brp, k + B + 1, 0, keepdims=False)
+        freshi = jax.lax.dynamic_index_in_dim(bip, k + B + 1, 0, keepdims=False)
+        carry = (
+            jnp.concatenate([lowr.reshape(B, nb), freshr[None]], axis=0),
+            jnp.concatenate([lowi.reshape(B, nb), freshi[None]], axis=0),
+        )
+        return carry, (yr, yi)
+
+    ks = jnp.arange(nblk, dtype=jnp.int32)
+    _, (yr, yi) = jax.lax.scan(fstep, (brp[: B + 1], bip[: B + 1]), ks, unroll=4)
+
+    def bstep(carry, k):
+        Xr, Xi = carry  # (2B, nb): x rows K+1..K+2B
+        rowr = jax.lax.dynamic_index_in_dim(band_re, k, 0, keepdims=False)
+        rowi = jax.lax.dynamic_index_in_dim(band_im, k, 0, keepdims=False)
+        ykr = jax.lax.dynamic_index_in_dim(yr, k, 0, keepdims=False)
+        yki = jax.lax.dynamic_index_in_dim(yi, k, 0, keepdims=False)
+        sr, si = _cmm(rowr[1:], rowi[1:], Xr, Xi, "bij,bj->i")
+        zr, zi = ykr - sr, yki - si
+        uir = jax.lax.dynamic_index_in_dim(Uinv_r, k, 0, keepdims=False)
+        uii = jax.lax.dynamic_index_in_dim(Uinv_i, k, 0, keepdims=False)
+        xr_, xi_ = _cmm(uir, uii, zr, zi, "ij,j->i")
+        carry = (
+            jnp.concatenate([xr_[None], Xr[:-1]], axis=0),
+            jnp.concatenate([xi_[None], Xi[:-1]], axis=0),
+        )
+        return carry, (xr_, xi_)
+
+    z2 = jnp.zeros((2 * B, nb), br.dtype)
+    ks_b = jnp.arange(nblk - 1, -1, -1, dtype=jnp.int32)
+    _, (xr, xi) = jax.lax.scan(bstep, (z2, z2), ks_b, unroll=4)
+    return xr[::-1], xi[::-1]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class PivotedBandedLU:
+    """Panel-pivoted blocked band LU (the robust device direct solver).
+
+    Same contract as :class:`BandedLU` (``solve_pair``/``solve``), with
+    LAPACK-style partial pivoting inside each block-column panel so the
+    elimination never relies on saddle-point regularization or luck —
+    the fix for the round-2 degradations ("Banded MR solve failed")
+    on the reduced-cylinder Jacobians.  Costs ~1.5x the memory of the
+    pivot-free factor (the L panels and permutations are stored
+    separately; U widens to 2B upper block-bandwidth inside the same
+    band buffer).
+    """
+
+    band_re: jnp.ndarray  # (nblk_pad + B, 2B+1, nb, nb) f32: U rows (cols K..K+2B)
+    band_im: jnp.ndarray
+    L2r: jnp.ndarray  # (nblk_pad, B, nb, nb) f32
+    L2i: jnp.ndarray
+    L1inv_r: jnp.ndarray  # (nblk_pad, nb, nb) f32
+    L1inv_i: jnp.ndarray
+    Uinv_r: jnp.ndarray  # (nblk_pad, nb, nb) f32
+    Uinv_i: jnp.ndarray
+    perms: jnp.ndarray  # (nblk_pad, (B+1)*nb) i32
+    perm: jnp.ndarray  # (npad,) i32: padded permuted index -> original
+    iperm: jnp.ndarray  # (n,) i32
+    n: int
+    nb: int
+    B: int
+
+    def tree_flatten(self):
+        return (
+            (
+                self.band_re, self.band_im, self.L2r, self.L2i,
+                self.L1inv_r, self.L1inv_i, self.Uinv_r, self.Uinv_i,
+                self.perms, self.perm, self.iperm,
+            ),
+            (self.n, self.nb, self.B),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, *aux)
+
+    @classmethod
+    def factor(
+        cls,
+        plan: BandPlan,
+        data_re: jnp.ndarray,
+        data_im: jnp.ndarray | None = None,
+        *,
+        delta: float = 0.0,
+    ) -> "PivotedBandedLU":
+        """Fill the band from device CSR data and factor it with panel
+        pivoting, in donated chunks."""
+        t0 = time.time()
+        nb, B, R = plan.nb, plan.B, plan.R
+        if data_im is None:
+            data_im = jnp.zeros_like(data_re)
+        band_re, band_im = _fill_band(
+            plan.pos_row, plan.pos_off, plan.pad_row, plan.pad_off,
+            data_re, data_im,
+            rows_total=plan.rows_total, R=R, nb=nb,
+        )
+
+        # initial window anchored at K=0: rows 0..B-1 over columns
+        # 0..2B; band row i's compact offset r maps to column i - B + r
+        Vr = jnp.zeros((B, R, nb, nb), jnp.float32)
+        Vi = jnp.zeros_like(Vr)
+        for i in range(min(B, plan.nblk_pad)):
+            Vr = Vr.at[i, : B + i + 1].set(band_re[i, B - i :])
+            Vi = Vi.at[i, : B + i + 1].set(band_im[i, B - i :])
+
+        outs: list[list] = [[] for _ in range(7)]
+        for k0 in range(0, plan.nblk_pad, plan.chunk):
+            res = _pfactor_chunk(
+                band_re, band_im, Vr, Vi, k0, jnp.float32(delta),
+                chunk=plan.chunk, B=B, nb=nb,
+            )
+            band_re, band_im, Vr, Vi = res[:4]
+            for buf, part in zip(outs, res[4:]):
+                buf.append(part)
+        cat = [jnp.concatenate(buf, axis=0) for buf in outs]
+        L2r, L2i, L1inv_r, L1inv_i, Uinv_r, Uinv_i, perms = cat[:7]
+        Uinv_r.block_until_ready()
+        logger.info(
+            "PivotedBandedLU: factored n=%d B=%d in %.2f s (%d chunks)",
+            plan.n, B, time.time() - t0, plan.nblk_pad // plan.chunk,
+        )
+        return cls(
+            band_re, band_im, L2r, L2i, L1inv_r, L1inv_i, Uinv_r, Uinv_i,
+            perms, plan.perm_pad_d, plan.iperm_d, plan.n, nb, B,
+        )
+
+    @classmethod
+    def from_complex_csr(
+        cls,
+        C: sp.spmatrix,
+        *,
+        nb: int = 128,
+        chunk: int = 128,
+        delta: float = 0.0,
+        perm: np.ndarray | None = None,
+        plan: BandPlan | None = None,
+    ) -> "PivotedBandedLU":
+        C = C.tocsr()
+        if plan is None:
+            plan = BandPlan.build(C, nb=nb, chunk=chunk, perm=perm)
+        return cls.factor(
+            plan,
+            jnp.asarray(np.ascontiguousarray(C.data.real)),
+            jnp.asarray(np.ascontiguousarray(C.data.imag)),
+            delta=delta,
+        )
+
+    def solve_pair(self, br: jnp.ndarray, bi: jnp.ndarray):
+        """x = C^-1 b for an (re, im) pair of f64 vectors (unpermuted)."""
+        from lsafw_tpu.ops.exact import gather_f64_fast
+
+        nblk_pad = self.L1inv_r.shape[0]
+        npad = nblk_pad * self.nb
+        brp = jnp.pad(br, (0, npad - self.n))
+        bip = jnp.pad(bi, (0, npad - self.n))
+        brp = gather_f64_fast(brp, self.perm).astype(jnp.float32).reshape(nblk_pad, self.nb)
+        bip = gather_f64_fast(bip, self.perm).astype(jnp.float32).reshape(nblk_pad, self.nb)
+        xr, xi = _solve_pivoted(
+            self.band_re, self.band_im, self.L2r, self.L2i,
+            self.L1inv_r, self.L1inv_i, self.Uinv_r, self.Uinv_i, self.perms,
+            brp, bip, B=self.B, nb=self.nb,
+        )
+        xr = xr.reshape(-1).astype(jnp.float64)
+        xi = xi.reshape(-1).astype(jnp.float64)
+        return xr[self.iperm], xi[self.iperm]
+
+    def solve(self, z: np.ndarray) -> np.ndarray:
+        z = np.asarray(z, dtype=np.complex128)
+        xr, xi = self.solve_pair(jnp.asarray(z.real.copy()), jnp.asarray(z.imag.copy()))
+        return np.asarray(xr) + 1j * np.asarray(xi)
+
+
+def pivoted_extra_bytes(plan: BandPlan) -> int:
+    """Extra device bytes the pivoted factor needs beyond the band
+    buffer: L2 panels, the four block inverses, and the permutations."""
+    nb, B = plan.nb, plan.B
+    per_row = (B * nb * nb * 2 + 4 * nb * nb) * 4 + (B + 1) * nb * 4
+    return plan.nblk_pad * per_row
+
+
+def factor_auto(
+    plan: BandPlan,
+    data_re: jnp.ndarray,
+    data_im: jnp.ndarray | None = None,
+    *,
+    diag_slots=None,
+    delta: float = 0.0,
+):
+    """Factor with the robust pivoted elimination when its extra memory
+    fits the budget (env ``LSAFW_PIVOT_MEM_GB``, default 8), else the
+    pivot-free fast path with saddle regularization.  Returns
+    ``(lu, pivoted)``."""
+    import os
+
+    budget = float(os.environ.get("LSAFW_PIVOT_MEM_GB", "8")) * 1e9
+    band_bytes = plan.rows_total * plan.R * plan.nb * plan.nb * 2 * 4
+    if band_bytes + pivoted_extra_bytes(plan) <= budget:
+        return PivotedBandedLU.factor(plan, data_re, data_im, delta=delta), True
+    if diag_slots is not None:
+        data_re = regularize_saddle_data(data_re, data_im, diag_slots)
+    return BandedLU.factor(plan, data_re, data_im, delta=delta), False
 
 
 @jax.tree_util.register_pytree_node_class

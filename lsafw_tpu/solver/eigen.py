@@ -271,11 +271,34 @@ class ShiftInvertOperator:
                 Ms = M.to_scipy() if M is not None else sp.identity(self._n)
                 self._lu = SparseLU((As - self.sigma * Ms).tocsc())
                 return
-            rho = min(max(rho, 1e-14), 0.7)
+            # The refinement loop exits early once the residual meets
+            # inner_tol; max_its is a safety cap.  Size the cap from the
+            # measured contraction (MR refinement contracts at least as
+            # fast as Richardson, so the bound is conservative) and
+            # refuse to run silently inexact: if even the generous cap
+            # cannot reach inner_tol, degrade to host LU instead of
+            # returning ~rho^cap accuracy while reporting convergence
+            # (ADVICE round 2).
+            rho_c = min(max(rho, 1e-14), 0.999)
+            needed = int(2 * np.ceil(np.log(inner_tol) / np.log(rho_c)))
+            _CAP = 64
+            if needed > _CAP:
+                logger.warning(
+                    "Banded factor preconditions too weakly (contraction "
+                    "%.2e needs ~%d refinement its for tol %.0e, cap %d); "
+                    "falling back to host complex LU.",
+                    rho, needed, inner_tol, _CAP,
+                )
+                self.method = "lu"
+                self.device_op = None
+                As = A.to_scipy().astype(np.complex128)
+                Ms = M.to_scipy() if M is not None else sp.identity(self._n)
+                self._lu = SparseLU((As - self.sigma * Ms).tocsc())
+                return
             self._inner_tol = inner_tol
-            self.refine_its = int(np.clip(2 * np.ceil(np.log(inner_tol) / np.log(rho)), 4, 24))
+            self.refine_its = int(np.clip(needed, 4, _CAP))
             logger.info(
-                "Banded shift-invert: contraction %.2e -> %d refinement its "
+                "Banded shift-invert: contraction %.2e -> refinement cap %d "
                 "for tol %.0e", rho, self.refine_its, inner_tol,
             )
         elif method == "gmres":
@@ -319,7 +342,7 @@ class ShiftInvertOperator:
         saddle-point trick; without it the pivot-free elimination
         overflows f32 at production sizes (measured at 167k DOFs).
         """
-        from lsafw_tpu.solver.band import plan_for_csr, regularize_saddle_data
+        from lsafw_tpu.solver.band import factor_auto, plan_for_csr
 
         A, M = self.A, self.M
         if M is not None and M.pattern is A.pattern:
@@ -336,8 +359,8 @@ class ShiftInvertOperator:
             dre = jnp.asarray(np.ascontiguousarray(C.data.real))
             dim = jnp.asarray(np.ascontiguousarray(C.data.imag))
             A = Cc  # diag slots below come from this pattern
-        dre = regularize_saddle_data(dre, dim, A.pattern.diag_slots)
-        return BandedLU.factor(plan, dre, dim, delta=0.0)
+        blu, _ = factor_auto(plan, dre, dim, diag_slots=A.pattern.diag_slots)
+        return blu
 
     def traced_apply(self, op: BandedSIOp, v: CVec) -> CVec:
         """Jit-traceable apply for the fused per-restart Arnoldi

@@ -108,13 +108,14 @@ class NewtonSolver:
         once on J's pattern and reused every iteration — refactorizing
         is one on-device scatter + the factorization.
         """
-        from lsafw_tpu.solver.band import BandedLU, plan_for_csr, regularize_saddle_data
+        from lsafw_tpu.solver.band import factor_auto, plan_for_csr
 
         if self._banded_ok:
             if self._band_plan is None:
                 self._band_plan = plan_for_csr(J)
-            data = regularize_saddle_data(J.data, None, J.pattern.diag_slots)
-            blu = BandedLU.factor(self._band_plan, data)
+            blu, pivoted = factor_auto(
+                self._band_plan, J.data, diag_slots=J.pattern.diag_slots
+            )
             res = _banded_mr(J, blu, b, tol=self._linear_tol)
             if bool(res.converged) and bool(np.isfinite(np.asarray(res.x)).all()):
                 return res.x

@@ -131,3 +131,31 @@ def test_xdmf_roundtrip(tmp_path):
         assert np.array_equal(m2.cells, mesh.cells)
         assert np.allclose(pd2["u"], pd["u"]) and np.allclose(pd2["p"], pd["p"])
         assert np.array_equal(cd2["marker"], cd["marker"])
+
+
+def test_cli_mesh_import_export_roundtrip(tmp_path):
+    """CLI mesh export -> import parity (reference's
+    ``python -m Meshing {generate,import}``, Meshing/cli.py:62-121)."""
+    from lsafw_tpu.cli import main
+
+    msh = tmp_path / "m.msh"
+    rc = main(["mesh", "--shape", "unit_square", "--n", "4", "4",
+               "--export", str(msh)])
+    assert rc == 0 and msh.exists()
+    png = tmp_path / "m.png"
+    rc = main(["mesh", "--from-file", str(msh), "--plot", str(png)])
+    assert rc == 0 and png.exists()
+
+
+def test_cli_benchmark_geometry(tmp_path):
+    """CLI benchmark generation (reference's ``python -m Meshing
+    benchmark``, Meshing/cli.py:124-153)."""
+    from lsafw_tpu.cli import main
+
+    cfg = "config_files/2D/cylinder/geometry_small.toml"
+    facets = "config_files/2D/cylinder/facets_small.toml"
+    out = tmp_path / "bench.msh"
+    rc = main(["benchmark", "--geometry", "cylinder_flow",
+               "--config", cfg, "--facet-config", facets,
+               "--export", str(out)])
+    assert rc == 0 and out.exists()
