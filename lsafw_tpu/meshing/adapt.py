@@ -6,7 +6,10 @@ element-size field, writes a GMSH POS background field and remeshes
 through gmsh.  Natively, the same size field drives a distmesh
 regeneration: |u| is sampled at old-mesh vertices, mapped to sizes in
 [min_size, max_size] (fast flow -> fine cells), and interpolated as the
-``fh`` field of :func:`lsafw_tpu.meshing.geometries.distmesh2d`.
+``fh`` field of :func:`lsafw_tpu.meshing.geometries.distmesh2d`
+(triangles) or :func:`~lsafw_tpu.meshing.geometries.distmesh3d` (tets,
+the counterpart of the reference's 4-faces/tet POS background fields,
+``Meshing/adapt.py:102-138``).
 """
 
 from __future__ import annotations
@@ -63,8 +66,8 @@ def adapt_mesh(
             domains; pass the true SDF for domains with holes).
         pfix: fixed points (domain corners etc.).
     """
-    if mesh.tdim != 2:
-        raise NotImplementedError("Native adaptation is 2D-only.")
+    if mesh.tdim not in (2, 3):
+        raise NotImplementedError("Native adaptation supports 2D/3D simplex meshes.")
     mag = velocity_magnitude_p1(spaces, baseflow)
     sizes = scale_and_clamp(mag, min_size, max_size)
     tree = cKDTree(mesh.vertices)
@@ -73,23 +76,50 @@ def adapt_mesh(
         _, idx = tree.query(p)
         return sizes[idx]
 
-    if fd is None:
-        x0, y0 = mesh.vertices.min(axis=0)
-        x1, y1 = mesh.vertices.max(axis=0)
-        from lsafw_tpu.meshing.geometries import d_rectangle
+    lo = mesh.vertices.min(axis=0)
+    hi = mesh.vertices.max(axis=0)
+    if mesh.tdim == 2:
+        if fd is None:
+            from lsafw_tpu.meshing.geometries import d_rectangle
 
-        def fd(p):  # noqa: F811 - deliberate default
-            return d_rectangle(p, x0, x1, y0, y1)
+            (x0, y0), (x1, y1) = lo, hi
 
-        if pfix is None:
-            pfix = np.array([[x0, y0], [x1, y0], [x0, y1], [x1, y1]])
+            def fd(p):  # noqa: F811 - deliberate default
+                return d_rectangle(p, x0, x1, y0, y1)
 
-    bbox = (
-        float(mesh.vertices[:, 0].min()), float(mesh.vertices[:, 0].max()),
-        float(mesh.vertices[:, 1].min()), float(mesh.vertices[:, 1].max()),
-    )
-    pts, tris = distmesh2d(fd, fh, min_size, bbox, pfix, max_iter=max_iter, seed=seed)
-    new = Mesh(pts, tris, CellType.TRIANGLE)
+            if pfix is None:
+                pfix = np.array([[x0, y0], [x1, y0], [x0, y1], [x1, y1]])
+        bbox = (float(lo[0]), float(hi[0]), float(lo[1]), float(hi[1]))
+        pts, cells = distmesh2d(
+            fd, fh, min_size, bbox, pfix, max_iter=max_iter, seed=seed
+        )
+        new = Mesh(pts, cells, CellType.TRIANGLE)
+    else:
+        # 3D: graded tet regeneration through distmesh3d (parity:
+        # the reference's 4-faces/tet POS background remeshing,
+        # ``Meshing/adapt.py:102-138`` — here the size field drives the
+        # tet smoother directly, no POS round-trip needed)
+        from lsafw_tpu.meshing.geometries import d_box, distmesh3d
+
+        if fd is None:
+            (x0, y0, z0), (x1, y1, z1) = lo, hi
+
+            def fd(p):  # noqa: F811 - deliberate default
+                return d_box(p, x0, x1, y0, y1, z0, z1)
+
+            if pfix is None:
+                pfix = np.array(
+                    [[x, y, z] for x in (x0, x1) for y in (y0, y1) for z in (z0, z1)]
+                )
+        bbox = (
+            float(lo[0]), float(hi[0]),
+            float(lo[1]), float(hi[1]),
+            float(lo[2]), float(hi[2]),
+        )
+        pts, cells = distmesh3d(
+            fd, fh, min_size, bbox, pfix, max_iter=max_iter, seed=seed
+        )
+        new = Mesh(pts, cells, CellType.TETRAHEDRON)
     logger.info(
         "Adapted mesh: %d -> %d cells (h in [%.3g, %.3g])",
         mesh.num_cells, new.num_cells, min_size, max_size,

@@ -124,20 +124,39 @@ def plot_displacement(
     path=None,
 ):
     """Deformed mode shape (parity: ``plot_displacement``,
-    ``Elasticity/plot.py:50``; 2D tri / 3D surface reduced to plan view)."""
+    ``Elasticity/plot.py:50-270``): 2D deformed triangulation; 3D
+    deformed boundary-surface render (the reference's pyvista
+    boundary-surface extraction, here as a Poly3DCollection of the
+    mesh's boundary facets colored by |d|)."""
     mesh = space.mesh
     comp = {"real": np.real, "imag": np.imag, "abs": np.abs}[part]
     d = comp(np.asarray(v)).reshape(space.num_nodes, space.bs)
     nv = mesh.num_vertices
-    coords = mesh.vertices[:, :2] + scale * d[:nv, :2]
-    fig, ax = plt.subplots(figsize=(8, 6))
     if mesh.tdim == 2:
+        coords = mesh.vertices[:, :2] + scale * d[:nv, :2]
+        fig, ax = plt.subplots(figsize=(8, 6))
         ax.triplot(coords[:, 0], coords[:, 1], mesh.cells, lw=0.4)
+        ax.set_aspect("equal")
     else:
+        from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+        deformed = mesh.vertices + scale * d[:nv, : mesh.gdim]
+        btris = mesh.facets[mesh.boundary_facets]
         mag = np.linalg.norm(d[:nv], axis=1)
-        sc = ax.scatter(mesh.vertices[:, 0], mesh.vertices[:, 1], c=mag, s=4)
-        fig.colorbar(sc, ax=ax, label="|d|")
-    ax.set_aspect("equal")
+        face_val = mag[btris].mean(axis=1)
+        fig = plt.figure(figsize=(8, 6))
+        ax = fig.add_subplot(projection="3d")
+        polys = Poly3DCollection(
+            deformed[btris], linewidths=0.1, edgecolors="k", alpha=1.0
+        )
+        polys.set_array(face_val)
+        ax.add_collection3d(polys)
+        lo, hi = deformed.min(axis=0), deformed.max(axis=0)
+        ax.set_xlim(lo[0], hi[0])
+        ax.set_ylim(lo[1], hi[1])
+        ax.set_zlim(lo[2], hi[2])
+        ax.set_box_aspect(hi - lo + 1e-12)
+        fig.colorbar(polys, ax=ax, label="|d|", shrink=0.7)
     ax.set_title(title or f"mode shape ({part}, scale={scale:g})")
     return _finish(fig, path)
 

@@ -65,10 +65,17 @@ class EpsProblemType(Enum):
 
 
 class STType(Enum):
-    """Spectral transforms (parity: ``iSTType``, ``Solver/utils.py:131-149``)."""
+    """Spectral transforms (parity: ``iSTType``, ``Solver/utils.py:131-149``).
+
+    CAYLEY applies ``(A - sigma M)^-1 (A + nu M)`` (SLEPc's Cayley with
+    antishift ``nu``, default ``nu = sigma``); it shares the
+    shift-invert factorization and back-transforms via
+    ``lambda = (sigma theta + nu) / (theta - 1)``.
+    """
 
     SHIFT = "shift"
     SINVERT = "sinvert"
+    CAYLEY = "cayley"
 
 
 class EpsWhich(Enum):
@@ -115,6 +122,9 @@ class BandedSIOp(NamedTuple):
     sig_im: jnp.ndarray
     Cop: object | None = None  # CElementOperator
     Mop: object | None = None  # ElementOperator (bc_diag = 0)
+    # Cayley antishift (None -> plain shift-invert RHS M v)
+    nu_re: jnp.ndarray | None = None
+    nu_im: jnp.ndarray | None = None
 
 
 def _si_apply_C(op: BandedSIOp, xr, xi):
@@ -140,6 +150,22 @@ def _si_apply_M(op: BandedSIOp, xr, xi):
     return xr, xi
 
 
+def _si_rhs(op: BandedSIOp, xr, xi):
+    """RHS of the transformed apply: ``M v`` (shift-invert) or
+    ``A v + nu M v = C v + (sigma + nu) M v`` (Cayley — reuses the C
+    apply so the matrix-free element-operator path works unchanged)."""
+    Mr, Mi = _si_apply_M(op, xr, xi)
+    if op.nu_re is None:
+        return Mr, Mi
+    Cr, Ci = _si_apply_C(op, xr, xi)
+    ar = op.sig_re + op.nu_re
+    ai = op.sig_im + op.nu_im
+    return (
+        Cr + (ar * Mr - ai * Mi),
+        Ci + (ar * Mi + ai * Mr),
+    )
+
+
 def banded_si_apply(
     op: BandedSIOp, v: CVec, *, tol: float = 1e-9, max_its: int = 16
 ) -> CVec:
@@ -149,7 +175,7 @@ def banded_si_apply(
     one-factorization-many-solves shift-invert,
     ``Solver/eigen2.py:104-201``).  Fully traceable: usable inside the
     fused per-restart Arnoldi program."""
-    br, bi = _si_apply_M(op, v[0], v[1])
+    br, bi = _si_rhs(op, v[0], v[1])
     bnorm = jnp.sqrt(ddot(br, br) + ddot(bi, bi))
     floor = jnp.maximum(bnorm, 1e-300)
     xr, xi = op.blu.solve_pair(br, bi)
@@ -206,13 +232,17 @@ class ShiftInvertOperator:
         inner_tol: float = 1e-10,
         inner_maxiter: int = 2000,
         elements=None,
+        antishift: complex | None = None,
     ) -> None:
         """``elements``: optional ``(ctx, A_el, M_el, bc_mask)`` — the
         per-cell element matrices of (A, M); enables the matrix-free
-        refinement matvecs in the banded method."""
+        refinement matvecs in the banded method.  ``antishift``: when
+        given, apply the Cayley transform (A - sigma M)^-1 (A + nu M)
+        instead of plain shift-invert (same factorization)."""
         self.A = A
         self.M = M
         self.sigma = complex(sigma)
+        self.antishift = complex(antishift) if antishift is not None else None
         self.method = method
         self._n = A.shape[0]
         self._elements = elements
@@ -243,10 +273,14 @@ class ShiftInvertOperator:
                     Ael=M_el, cell_dofs=dofs, n=self._n,
                     bc_mask=jnp.asarray(bc_mask), bc_diag=0.0,
                 )
+            nu_re = nu_im = None
+            if self.antishift is not None:
+                nu_re = jnp.asarray(self.antishift.real)
+                nu_im = jnp.asarray(self.antishift.imag)
             self.device_op = BandedSIOp(
                 A, M, blu,
                 jnp.asarray(self.sigma.real), jnp.asarray(self.sigma.imag),
-                Cop, Mop,
+                Cop, Mop, nu_re, nu_im,
             )
             # calibrate refinement depth from the measured contraction
             rng = np.random.default_rng(11)
@@ -386,6 +420,14 @@ class ShiftInvertOperator:
             br, bi = spmv_pair(self.M, v[0], v[1])
         else:
             br, bi = v
+        if self.antishift is not None:
+            # Cayley RHS: A v + nu M v
+            Ar, Ai = spmv_pair(self.A, v[0], v[1])
+            nu = self.antishift
+            br, bi = (
+                Ar + (nu.real * br - nu.imag * bi),
+                Ai + (nu.real * bi + nu.imag * br),
+            )
         if self.method == "lu":
             z = self._lu.solve(np.asarray(br) + 1j * np.asarray(bi))
             return jnp.asarray(z.real.copy()), jnp.asarray(z.imag.copy())
@@ -396,7 +438,12 @@ class ShiftInvertOperator:
         return res.x[: self._n], res.x[self._n :]
 
     def back_transform(self, theta: np.ndarray) -> np.ndarray:
-        """theta -> lambda = sigma + 1/theta (``Solver/eigen2.py:210``)."""
+        """theta -> lambda = sigma + 1/theta (``Solver/eigen2.py:210``);
+        Cayley: lambda = (sigma theta + nu) / (theta - 1)."""
+        if self.antishift is not None:
+            den = theta - 1.0
+            den = np.where(np.abs(den) < 1e-300, 1e-300, den)
+            return (self.sigma * theta + self.antishift) / den
         return self.sigma + 1.0 / theta
 
 
@@ -758,6 +805,7 @@ class EigenSolver:
             self._warn_if_not_hermitian()
         self._st_type = STType.SHIFT
         self._target: complex | None = None
+        self._antishift: complex | None = None
         self._which = EpsWhich.LARGEST_MAGNITUDE
         self._si_method = "lu"
         self._elements = None
@@ -778,6 +826,11 @@ class EigenSolver:
 
     def set_target(self, target: complex) -> None:
         self._target = complex(target)
+
+    def set_cayley_antishift(self, nu: complex) -> None:
+        """Antishift for the CAYLEY transform (parity: SLEPc
+        ``ST.setCayleyAntishift``; defaults to the target)."""
+        self._antishift = complex(nu)
 
     def set_which_eigenpairs(self, which: EpsWhich | str) -> None:
         self._which = EpsWhich(which) if isinstance(which, str) else which
@@ -807,11 +860,16 @@ class EigenSolver:
         t0 = time.time()
 
         def _run(target: complex | None):
-            if self._st_type is STType.SINVERT:
+            if self._st_type in (STType.SINVERT, STType.CAYLEY):
+                nu = None
+                if self._st_type is STType.CAYLEY:
+                    # SLEPc semantics: antishift defaults to the shift
+                    nu = self._antishift if self._antishift is not None else target
                 op = ShiftInvertOperator(
                     self.A, self.M, target, method=self._si_method,
                     inner_tol=min(cfg.atol * 1e-2, 1e-10),
                     elements=self._elements,
+                    antishift=nu,
                 )
                 which = EpsWhich.LARGEST_MAGNITUDE  # largest theta = closest
             else:
@@ -827,12 +885,12 @@ class EigenSolver:
             )
             return op, result
 
-        if self._st_type is STType.SINVERT and self._target is None:
-            raise ValueError("SINVERT requires a target (set_target).")
+        if self._st_type in (STType.SINVERT, STType.CAYLEY) and self._target is None:
+            raise ValueError(f"{self._st_type.name} requires a target (set_target).")
         op, result = _run(self._target)
         lam = op.back_transform(result.eigenvalues)
 
-        if self._st_type is STType.SINVERT:
+        if self._st_type in (STType.SINVERT, STType.CAYLEY):
             # If the shift coincides with an exact eigenvalue the
             # factorization is numerically singular: eigenvalues look
             # perfect but eigenvectors are polluted.  Detect via true
@@ -858,7 +916,7 @@ class EigenSolver:
         logger.info("Eigensolve completed in %.2f s.", time.time() - t0)
         pairs = list(zip([complex(v) for v in lam], result.eigenvectors))
         # order by the *user's* selection on the transformed eigenvalues
-        if self._st_type is STType.SINVERT:
+        if self._st_type in (STType.SINVERT, STType.CAYLEY):
             order = np.argsort(np.abs(lam - self._target))
             pairs = [pairs[i] for i in order]
         return pairs[: cfg.num_eig]

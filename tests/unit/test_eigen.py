@@ -138,3 +138,34 @@ def test_membrane_small():
     exact = analytic_eigenvalues(2.0, 4.0, 5)
     rel = np.abs(got - exact) / exact
     assert rel.max() < 2e-3, rel
+
+
+def test_cayley_transform_matches_sinvert():
+    """CAYLEY (parity: iSTType.CAYLEY, Solver/utils.py:139) shares the
+    shift-invert factorization; eigenvalues near the target must match
+    plain SINVERT including the back-transform."""
+    rng = np.random.default_rng(9)
+    d = np.array([1.0, 2.5, 3.0, 4.0, 5.5, 6.0, 7.0, 9.0])
+    Mm = np.diag(rng.uniform(1.0, 2.0, 8))
+    A = _csr(np.diag(d) @ Mm)  # generalized: A x = lam M x with lam = d
+    M = _csr(Mm)
+    es = EigenSolver(A, M, EigensolverConfig(num_eig=2, atol=1e-10, ncv=6))
+    es.set_st_type(STType.CAYLEY)
+    es.set_target(4.2)
+    pairs = es.solve()
+    vals = sorted(p[0].real for p in pairs)
+    assert np.allclose(vals, [4.0, 5.5], atol=1e-8)
+    assert (eigen_residuals(A, M, pairs) < 1e-6).all()
+
+
+def test_cayley_explicit_antishift():
+    d = np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0])
+    A = _csr(np.diag(d))
+    M = _csr(np.eye(8))
+    es = EigenSolver(A, M, EigensolverConfig(num_eig=2, atol=1e-10, ncv=6))
+    es.set_st_type(STType.CAYLEY)
+    es.set_target(4.2)
+    es.set_cayley_antishift(1.3)
+    pairs = es.solve()
+    vals = sorted(p[0].real for p in pairs)
+    assert np.allclose(vals, [4.0, 5.0], atol=1e-8)

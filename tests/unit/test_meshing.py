@@ -155,3 +155,31 @@ def test_step_mesh_small():
     mesh = step_flow_mesh(cfg, max_iter=60)
     expected = 2.0 * 1.0 + 5.0 * 1.5
     assert abs(mesh.cell_volumes.sum() - expected) / expected < 0.02
+
+
+def test_3d_config_files_load_and_tag():
+    """The shipped 3D TOMLs (parity: /root/reference/config_files/3D)
+    drive cube tagging + BCs and the 3D step geometry loader."""
+    import numpy as np
+
+    from lsafw_tpu.config import (
+        load_bc_config,
+        load_facet_config,
+        load_step_flow_config,
+    )
+    from lsafw_tpu.fem.bcs import define_bcs
+    from lsafw_tpu.fem.spaces import define_spaces
+    from lsafw_tpu.meshing.mesh import unit_cube
+    from lsafw_tpu.meshing.tags import mark_boundary_facets
+
+    mesh = unit_cube(3, 3, 3)
+    marker = load_facet_config("config_files/3D/unit_cube/facets.toml")
+    mark_boundary_facets(mesh, marker)
+    tags = np.unique(mesh.facet_tags[mesh.facet_tags > 0])
+    assert set(tags) == {1, 2, 3, 4, 5, 6}
+    spaces = define_spaces(mesh)
+    bcs = define_bcs(mesh, spaces, load_bc_config("config_files/3D/unit_cube/bcs.toml"))
+    assert bcs.dirichlet_mask.any()
+    geo = load_step_flow_config("config_files/3D/step/geometry.toml")
+    assert geo.dim == 3 and geo.width == 0.4
+    assert load_facet_config("config_files/3D/step/facets.toml") is not None

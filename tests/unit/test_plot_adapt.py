@@ -52,3 +52,44 @@ def test_plot_functions(tmp_path):
     d = np.random.default_rng(0).standard_normal(vspace.num_dofs) * 0.01
     assert lplt.plot_displacement(d, vspace, path=tmp_path / "mode.png").exists()
     assert lplt.plot_residuals([1.0, 0.1, 1e-3], path=tmp_path / "res.png").exists()
+
+
+def test_adapt_3d_refines_fast_region():
+    """3D adaptation through distmesh3d (parity: the reference's
+    3D POS background remeshing, Meshing/adapt.py:102-138)."""
+    from lsafw_tpu.meshing.mesh import box_mesh
+
+    mesh = box_mesh((0.0, 0.0, 0.0), (1.0, 1.0, 1.0), 4, 4, 4)
+    spaces = define_spaces(mesh)
+    # shear flow: u = (z, 0, 0) -> fast near z=1
+    u = spaces.velocity.interpolate(
+        lambda p: np.stack(
+            [p[:, 2], np.zeros(p.shape[0]), np.zeros(p.shape[0])], axis=1
+        )
+    )
+    w = np.concatenate([u, np.zeros(spaces.num_pressure_dofs)])
+    new = adapt_mesh(mesh, spaces, w, min_size=0.18, max_size=0.45, max_iter=40)
+    assert new.tdim == 3 and new.num_cells > 0
+    cent = new.vertices[new.cells].mean(axis=1)
+    top = new.cell_volumes[cent[:, 2] > 0.7].mean()
+    bottom = new.cell_volumes[cent[:, 2] < 0.3].mean()
+    assert top < bottom
+
+
+def test_plot_displacement_3d_boundary_surface(tmp_path):
+    """3D mode shapes render the deformed boundary surface (parity:
+    Elasticity/plot.py:50-270)."""
+    import lsafw_tpu.plot as lplt
+    from lsafw_tpu.fem.spaces import make_vector_space
+    from lsafw_tpu.meshing.mesh import box_mesh
+
+    mesh = box_mesh((0.0, 0.0, 0.0), (2.0, 1.0, 1.0), 4, 2, 2)
+    vspace = make_vector_space(mesh, "p1")
+    # first-bending-like synthetic mode: w(x) ~ x^2 in z
+    pts = mesh.vertices
+    d = np.zeros((vspace.num_nodes, 3))
+    d[: mesh.num_vertices, 2] = pts[:, 0] ** 2 * 0.1
+    out = lplt.plot_displacement(
+        d.reshape(-1), vspace, scale=1.0, path=tmp_path / "mode3d.png"
+    )
+    assert out.exists()
