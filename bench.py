@@ -99,6 +99,20 @@ def main() -> None:
     dev = jax.devices()[0]
     log(f"bench device: {dev.device_kind} ({dev.platform})")
 
+    # Roofline rails (TPU v5e): 197 Tflop/s bf16 matmul peak, 819 GB/s
+    # HBM.  MFU numbers below are against the bf16 rail even for f32
+    # work (honest: f32-HIGHEST products cost multiple bf16 passes).
+    PEAK_TFLOPS = 197.0
+    PEAK_GBPS = 819.0
+
+    def roofline(bytes_moved: float, flops: float, seconds: float) -> str:
+        gbps = bytes_moved / seconds / 1e9
+        tf = flops / seconds / 1e12
+        return (
+            f"{gbps:.0f} GB/s ({100*gbps/PEAK_GBPS:.0f}% HBM), "
+            f"{tf:.2f} Tflop/s ({100*tf/PEAK_TFLOPS:.1f}% MXU)"
+        )
+
     nx = int(os.environ.get("BENCH_NX", "240"))
     budget = int(os.environ.get("BENCH_STAGE_TIMEOUT", "600"))
     K = int(os.environ.get("BENCH_K_SPMV", "100"))
@@ -158,7 +172,14 @@ def main() -> None:
         _ = As @ xh
     t_host = (time.time() - t0) / 10
     timings["scipy_spmv_ms"] = t_host * 1e3
-    log(f"scipy CSR baseline: {t_host*1e3:.2f} ms/iter")
+    # honest multi-rank proxy: the reference would run 8-rank PETSc
+    # MatMult, not single-process scipy; assume ~70% strong-scaling
+    # efficiency (the reference's own harness plots sub-linear scaling,
+    # tests/performance/data/mpi_efficiency.png)
+    t_petsc8 = t_host / (8 * 0.7)
+    timings["petsc8_proxy_ms"] = t_petsc8 * 1e3
+    log(f"scipy CSR baseline: {t_host*1e3:.2f} ms/iter "
+        f"(8-rank PETSc proxy ~{t_petsc8*1e3:.2f} ms at 70% efficiency)")
 
     # ---------------- stencil operator (f32 then f64) ----------------
     def _stencil(dtype, label):
@@ -177,7 +198,11 @@ def main() -> None:
 
         t = slope(loop, (op, xp0, 1), (op, xp0, K + 1), K)
         timings[label] = t * 1e3
-        log(f"{label}: {t*1e3:.3f} ms/iter ({t_host/t:.1f}x scipy)")
+        s = np.dtype(dtype).itemsize
+        bytes_moved = op.coeffs.size * s + 2 * n * s
+        timings[label.replace("_ms", "_gbps")] = bytes_moved / t / 1e9
+        log(f"{label}: {t*1e3:.3f} ms/iter ({t_host/t:.1f}x scipy; "
+            f"{roofline(bytes_moved, 2.0 * nnz, t)})")
 
     stage("stencil_f32", lambda: _stencil(jnp.float32, "stencil_f32_ms"))
     stage("stencil_f64", lambda: _stencil(jnp.float64, "stencil_f64_ms"))
@@ -201,7 +226,10 @@ def main() -> None:
 
         t = slope(loop, (cd, Ael32, x32, 1), (cd, Ael32, x32, K + 1), K)
         timings["elementop_f32_ms"] = t * 1e3
-        log(f"element-op f32: {t*1e3:.3f} ms/iter ({t_host/t:.1f}x scipy)")
+        bytes_moved = (nc * 15 * 15 + 4 * nc * 15 + 2 * n) * 4
+        timings["elementop_f32_gbps"] = bytes_moved / t / 1e9
+        log(f"element-op f32: {t*1e3:.3f} ms/iter ({t_host/t:.1f}x scipy; "
+            f"{roofline(bytes_moved, 2.0 * nc * 225, t)})")
 
     stage("elementop_f32", _elementop)
 
@@ -222,7 +250,10 @@ def main() -> None:
 
         t = slope(loop, (A64, x0, 1), (A64, x0, K + 1), K)
         timings["ell_spmv_f64_ms"] = t * 1e3
-        log(f"ELL spmv f64 (hi/lo gathers): {t*1e3:.3f} ms/iter ({t_host/t:.2f}x scipy)")
+        bytes_moved = nnz * (8 + 4 + 8) + 2 * n * 8
+        timings["spmv_gbps"] = bytes_moved / t / 1e9
+        log(f"ELL spmv f64 (hi/lo gathers): {t*1e3:.3f} ms/iter "
+            f"({t_host/t:.2f}x scipy; {roofline(bytes_moved, 2.0 * nnz, t)})")
 
     stage("ell_spmv_f64", _ell)
 
@@ -327,6 +358,23 @@ def main() -> None:
             f"(baseflow {t_base:.0f}s, assemble {t_asm:.0f}s, eigen {t_eig:.0f}s) "
             f"sigma = {sigma.real:+.4f}{sigma.imag:+.4f}j resid {resid:.1e}"
         )
+        # direct-solver roofline: warm factorization Tflop/s / MFU
+        # (first factor of a shape carries the compile; take the min)
+        from lsafw_tpu.solver.band import FACTOR_STATS
+
+        if FACTOR_STATS:
+            best = min(FACTOR_STATS, key=lambda d: d["seconds"] / d["flops"])
+            tf = best["flops"] / best["seconds"] / 1e12
+            timings["factor_tflops"] = tf
+            timings["factor_mfu_pct"] = 100 * tf / PEAK_TFLOPS
+            timings["factor_seconds_warm"] = best["seconds"]
+            timings["factor_pivoted"] = float(best["pivoted"])
+            log(
+                f"band factor (warm, n={best['n']} B={best['B']}"
+                f"{' pivoted' if best['pivoted'] else ''}): "
+                f"{best['seconds']:.2f}s = {tf:.2f} Tflop/s "
+                f"({100*tf/PEAK_TFLOPS:.1f}% of bf16 MXU peak)"
+            )
 
     stage("pipeline", _pipeline,
           seconds=int(os.environ.get("BENCH_PIPELINE_TIMEOUT", "1300")))

@@ -42,6 +42,12 @@ def _load() -> ctypes.CDLL | None:
     if _LIB_PATH.exists():
         try:
             lib = ctypes.CDLL(str(_LIB_PATH))
+            if hasattr(lib, "lsafw_rcm"):
+                lib.lsafw_rcm.restype = ctypes.c_int64
+                lib.lsafw_rcm.argtypes = [
+                    ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_int64, ctypes.c_void_p,
+                ]
             lib.lsafw_build_pattern.restype = ctypes.c_int64
             lib.lsafw_build_pattern.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p,
@@ -82,3 +88,21 @@ def build_pattern_native(
     if nnz < 0:
         raise ValueError("native sparsity builder: DOF index out of range")
     return indptr, indices[:nnz].copy(), slots
+
+
+def rcm_native(indptr: np.ndarray, indices: np.ndarray, n: int) -> np.ndarray | None:
+    """Reverse Cuthill-McKee permutation via the C++ implementation, or
+    None if the library is unavailable.  The pattern must be
+    structurally symmetric (same contract as scipy's
+    ``reverse_cuthill_mckee(symmetric_mode=True)``, which this replaces
+    — scipy costs 30-80 s at 520k DOFs, the native sweep ~0.5 s)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "lsafw_rcm"):
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    perm = np.empty(n, dtype=np.int32)
+    rc = lib.lsafw_rcm(indptr.ctypes.data, indices.ctypes.data, n, perm.ctypes.data)
+    if rc != 0:
+        return None
+    return perm.astype(np.int64)

@@ -5,11 +5,13 @@ bound (~0.2 ms/block-row; the per-step compute is a handful of
 (B*nb, nb) matvecs while the band row DMA is ~1.7 MB).  These kernels
 run the whole substitution as ONE Pallas program: the carry window
 lives in VMEM, band rows stream from HBM with double-buffered async
-copies, and the RHS/solution vectors sit wholly in VMEM (<1 MB).
+copies, and the RHS/solution vectors sit wholly in VMEM.
 
-Used as the fast path of :func:`lsafw_tpu.solver.band._solve_banded`
-on the TPU backend; the XLA scan remains the portable fallback (CPU,
-interpret tests, and any Mosaic regression).
+Production wiring: :meth:`lsafw_tpu.solver.band.BandedLU.solve_pair`
+dispatches to :func:`solve_banded_pallas` (forward + backward + Dinv)
+when the factor lives on a real TPU and the kernel's VMEM budget fits
+(see ``BandedLU._pallas_ok``); the XLA scan remains the portable
+fallback (CPU, virtual-device meshes, oversized windows).
 """
 
 from __future__ import annotations
@@ -116,3 +118,139 @@ def fwd_substitute_pallas(band_re, band_im, br, bi, *, B, nb):
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(band_re, band_im, br, bi)
     return yr, yi
+
+
+def _bwd_kernel(band_re, band_im, dinv_r, dinv_i, yr, yi, xr_out, xi_out,
+                scr_r, scr_i, dscr_r, dscr_i, sem_r, sem_i, dsem_r, dsem_i,
+                *, B, nb, rows_total):
+    """Backward substitution with the diagonal-inverse application:
+    x_K = Dinv_K (y_K - sum_t U[K, B+1+t] @ x_{K+1+t}), K descending."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    def dma(slot, k):
+        k = jnp.asarray(k, jnp.int32)
+        slot = jnp.asarray(slot, jnp.int32)
+        return (
+            pltpu.make_async_copy(
+                band_re.at[k, B + 1 : 2 * B + 1], scr_r.at[slot], sem_r.at[slot]
+            ),
+            pltpu.make_async_copy(
+                band_im.at[k, B + 1 : 2 * B + 1], scr_i.at[slot], sem_i.at[slot]
+            ),
+            pltpu.make_async_copy(dinv_r.at[k], dscr_r.at[slot], dsem_r.at[slot]),
+            pltpu.make_async_copy(dinv_i.at[k], dscr_i.at[slot], dsem_i.at[slot]),
+        )
+
+    last = jnp.int32(rows_total - 1)
+    one = jnp.int32(1)
+    two = jnp.int32(2)
+    for c in dma(0, last):
+        c.start()
+
+    def body(i, carry):
+        Xr, Xi = carry  # (B, nb): x rows K+1..K+B
+        k = jax.lax.sub(last, i)
+        slot = jax.lax.rem(i, two)
+        nxt = jax.lax.rem(jax.lax.add(i, one), two)
+        # prefetch the next (descending) row, clamped at 0
+        for c in dma(nxt, jax.lax.max(jax.lax.sub(k, one), jnp.int32(0))):
+            c.start()
+        cur = dma(slot, k)
+        for c in cur:
+            c.wait()
+        Ur = scr_r[slot]  # (B, nb, nb)
+        Ui = scr_i[slot]
+        Xrb = Xr[:, None, :]
+        Xib = Xi[:, None, :]
+        sr = (Ur * Xrb - Ui * Xib).sum(axis=(0, 2))
+        si = (Ur * Xib + Ui * Xrb).sum(axis=(0, 2))
+        zr = yr[k] - sr
+        zi = yi[k] - si
+        Dr = dscr_r[slot]  # (nb, nb)
+        Di = dscr_i[slot]
+        xkr = (Dr * zr[None, :] - Di * zi[None, :]).sum(axis=1)
+        xki = (Dr * zi[None, :] + Di * zr[None, :]).sum(axis=1)
+        xr_out[k, :] = xkr
+        xi_out[k, :] = xki
+        Xr = jnp.concatenate([xkr[None], Xr[:-1]], axis=0)
+        Xi = jnp.concatenate([xki[None], Xi[:-1]], axis=0)
+        return Xr, Xi
+
+    z = jnp.zeros((B, nb), jnp.float32)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(rows_total), body, (z, z))
+    # drain the dangling final prefetch
+    for c in dma(rows_total % 2, 0):
+        c.wait()
+
+
+@partial(jax.jit, static_argnames=("B", "nb"))
+def bwd_substitute_pallas(band_re, band_im, dinv_r, dinv_i, yr, yi, *, B, nb):
+    """(rows_total, nb) backward substitution + Dinv application as a
+    single Pallas program.  ``dinv`` rows beyond its first dimension are
+    never touched (the padded lookahead rows of the band are identity
+    and produce x = y there via the XLA path; here the caller passes
+    dinv padded to rows_total)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows_total = band_re.shape[0]
+    kernel = partial(_bwd_kernel, B=B, nb=nb, rows_total=rows_total)
+    xr, xi = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((rows_total, nb), jnp.float32),
+            jax.ShapeDtypeStruct((rows_total, nb), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, B, nb, nb), jnp.float32),
+            pltpu.VMEM((2, B, nb, nb), jnp.float32),
+            pltpu.VMEM((2, nb, nb), jnp.float32),
+            pltpu.VMEM((2, nb, nb), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(band_re, band_im, dinv_r, dinv_i, yr, yi)
+    return xr, xi
+
+
+def pallas_vmem_bytes(B: int, nb: int, rows_total: int) -> int:
+    """VMEM footprint estimate of the substitution kernels: the larger
+    (backward) kernel's scratch + resident vectors."""
+    scr = 2 * 2 * B * nb * nb * 4 + 2 * 2 * nb * nb * 4
+    vecs = 4 * rows_total * nb * 4
+    return scr + vecs
+
+
+@partial(jax.jit, static_argnames=("B", "nb"))
+def solve_banded_pallas(band_re, band_im, dinv_r, dinv_i, br, bi, *, B, nb):
+    """Full banded solve (forward + backward) through the Pallas
+    kernels.  Same contract as ``band._solve_banded``: (nblk, nb) RHS
+    blocks in, (nblk, nb) solution blocks out; the B padded lookahead
+    rows are handled by padding the RHS and Dinv with identities."""
+    rows_total = band_re.shape[0]
+    nblk = dinv_r.shape[0]
+    pad = rows_total - nblk
+    zb = jnp.zeros((pad, nb), br.dtype)
+    brp = jnp.concatenate([br, zb], axis=0)
+    bip = jnp.concatenate([bi, zb], axis=0)
+    eye = jnp.broadcast_to(jnp.eye(nb, dtype=dinv_r.dtype), (pad, nb, nb))
+    dvr = jnp.concatenate([dinv_r, eye], axis=0)
+    dvi = jnp.concatenate([dinv_i, jnp.zeros((pad, nb, nb), dinv_i.dtype)], axis=0)
+    yr, yi = fwd_substitute_pallas(band_re, band_im, brp, bip, B=B, nb=nb)
+    xr, xi = bwd_substitute_pallas(band_re, band_im, dvr, dvi, yr, yi, B=B, nb=nb)
+    return xr[:nblk], xi[:nblk]

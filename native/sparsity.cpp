@@ -125,3 +125,100 @@ int64_t lsafw_build_pattern(const int32_t* cell_rows, const int32_t* cell_cols,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Reverse Cuthill-McKee ordering.
+//
+// Native replacement for scipy.sparse.csgraph.reverse_cuthill_mckee,
+// which costs 30-80 s at 520k DOFs (the band planner's host
+// bottleneck; ROADMAP round-3 item 3).  Standard George-Liu
+// pseudo-peripheral start per connected component + Cuthill-McKee BFS
+// with degree-sorted neighbor insertion, reversed at the end.
+// The input pattern must be structurally symmetric.
+// ---------------------------------------------------------------------------
+
+static int64_t bfs_levels(const int64_t* indptr, const int32_t* indices,
+                          int32_t start, std::vector<int32_t>& level,
+                          std::vector<int32_t>& queue, int32_t mark) {
+  // BFS from start over nodes with level[v] == -mark sentinel semantics:
+  // level[v] >= 0 means visited this sweep.  Returns eccentricity; the
+  // queue holds the visit order.
+  queue.clear();
+  queue.push_back(start);
+  level[start] = 0;
+  int64_t ecc = 0;
+  for (size_t qi = 0; qi < queue.size(); ++qi) {
+    const int32_t u = queue[qi];
+    for (int64_t e = indptr[u]; e < indptr[u + 1]; ++e) {
+      const int32_t v = indices[e];
+      if (level[v] == -1) {
+        level[v] = level[u] + 1;
+        if (level[v] > ecc) ecc = level[v];
+        queue.push_back(v);
+      }
+    }
+  }
+  (void)mark;
+  return ecc;
+}
+
+extern "C" int64_t lsafw_rcm(const int64_t* indptr, const int32_t* indices,
+                             int64_t n, int32_t* perm_out) {
+  std::vector<int32_t> degree(n);
+  for (int64_t i = 0; i < n; ++i)
+    degree[i] = static_cast<int32_t>(indptr[i + 1] - indptr[i]);
+
+  std::vector<uint8_t> visited(n, 0);
+  std::vector<int32_t> level(n), queue, tmp;
+  std::vector<int32_t> order;
+  order.reserve(n);
+
+  for (int64_t seed = 0; seed < n; ++seed) {
+    if (visited[seed]) continue;
+    // pseudo-peripheral node (George-Liu): iterate BFS from a
+    // min-degree node of the deepest level until eccentricity stalls
+    int32_t start = static_cast<int32_t>(seed);
+    {
+      std::fill(level.begin(), level.end(), -1);
+      // restrict sweeps to this component: mark others visited via level
+      for (int64_t v = 0; v < n; ++v)
+        if (visited[v]) level[v] = -2;
+      int64_t ecc = bfs_levels(indptr, indices, start, level, queue, 0);
+      for (int iter = 0; iter < 8; ++iter) {
+        // min-degree node in the last level
+        int32_t best = -1;
+        for (int64_t qi = (int64_t)queue.size() - 1; qi >= 0; --qi) {
+          const int32_t v = queue[qi];
+          if (level[v] != ecc) break;
+          if (best < 0 || degree[v] < degree[best]) best = v;
+        }
+        if (best < 0) break;
+        for (int64_t v = 0; v < n; ++v)
+          if (level[v] >= 0) level[v] = -1;
+        int64_t ecc2 = bfs_levels(indptr, indices, best, level, queue, 0);
+        if (ecc2 <= ecc) { start = best; break; }
+        ecc = ecc2;
+        start = best;
+      }
+    }
+    // Cuthill-McKee from start: append unvisited neighbors by degree
+    order.push_back(start);
+    visited[start] = 1;
+    for (size_t oi = order.size() - 1; oi < order.size(); ++oi) {
+      const int32_t u = order[oi];
+      tmp.clear();
+      for (int64_t e = indptr[u]; e < indptr[u + 1]; ++e) {
+        const int32_t v = indices[e];
+        if (!visited[v]) { visited[v] = 1; tmp.push_back(v); }
+      }
+      std::sort(tmp.begin(), tmp.end(), [&](int32_t a2, int32_t b2) {
+        return degree[a2] < degree[b2];
+      });
+      for (int32_t v : tmp) order.push_back(v);
+    }
+  }
+  if ((int64_t)order.size() != n) return -1;
+  for (int64_t i = 0; i < n; ++i)
+    perm_out[i] = order[n - 1 - i];  // reverse
+  return 0;
+}

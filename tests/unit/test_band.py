@@ -282,3 +282,85 @@ def test_factor_auto_policy():
         xr, xi = l.solve_pair(jnp.asarray(b.real.copy()), jnp.asarray(b.imag.copy()))
         x = np.asarray(xr) + 1j * np.asarray(xi)
         assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) < 1e-4
+
+
+def test_native_rcm_matches_scipy_quality():
+    """The C++ RCM (native/sparsity.cpp::lsafw_rcm) must produce a
+    valid permutation with bandwidth no worse than ~1.3x scipy's (it is
+    usually tighter thanks to the George-Liu start)."""
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    from lsafw_tpu.ops.native import rcm_native
+
+    rng = np.random.default_rng(7)
+    n = 1500
+    # random planar-ish pattern: 2D grid + a few random extra couplings
+    g = 38
+    A = sp.lil_matrix((n, n), dtype=np.int8)
+    for i in range(n):
+        A[i, i] = 1
+        if i + 1 < n and (i + 1) % g:
+            A[i, i + 1] = 1
+        if i + g < n:
+            A[i, i + g] = 1
+    for _ in range(60):
+        i, j = rng.integers(0, n, 2)
+        A[i, j] = 1
+    S = (A.tocsr() + A.tocsr().T).tocsr()
+    S.data[:] = 1
+    perm = rcm_native(S.indptr, S.indices, n)
+    if perm is None:
+        import pytest as _pytest
+
+        _pytest.skip("native library unavailable")
+    assert sorted(perm) == list(range(n))
+
+    def bw(p):
+        ip = np.empty(n, dtype=np.int64)
+        ip[p] = np.arange(n)
+        coo = S.tocoo()
+        return int(np.abs(ip[coo.row] - ip[coo.col]).max())
+
+    b_nat = bw(perm)
+    b_sci = bw(np.asarray(reverse_cuthill_mckee(S, symmetric_mode=True)))
+    assert b_nat <= max(int(1.3 * b_sci), b_sci + 5)
+
+
+def test_truncated_band_preconditioner():
+    """A band-memory budget clips B; the factorization of the
+    band-truncated operator still works as a preconditioner with
+    minimal-residual refinement against the TRUE operator (the
+    O(n*b) memory-wall escape, VERDICT round-3 item 2)."""
+    import jax.numpy as jnp
+
+    from lsafw_tpu.solver.band import BandPlan, PivotedBandedLU
+
+    n, bw, nb = 400, 30, 8
+    A = _random_banded(n, bw, seed=11)
+    full = BandPlan.build(A.tocsr(), nb=nb, chunk=8)
+    assert full.B == 4
+    small = BandPlan.build(
+        A.tocsr(), nb=nb, chunk=8,
+        max_bytes=(full.nblk_pad + 2) * 5 * nb * nb * 8 + 1,
+    )
+    assert small.B < full.B
+    lu = PivotedBandedLU.factor(
+        small,
+        jnp.asarray(np.ascontiguousarray(A.data.real)),
+        jnp.asarray(np.ascontiguousarray(A.data.imag)),
+    )
+    rng = np.random.default_rng(12)
+    b = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    x = np.zeros(n, dtype=np.complex128)
+    r = b.copy()
+    rho_hist = []
+    for _ in range(50):
+        d = lu.solve(r)
+        Cd = A @ d
+        alpha = np.vdot(Cd, r) / max(np.vdot(Cd, Cd).real, 1e-300)
+        x = x + alpha * d
+        r = r - alpha * Cd
+        rho_hist.append(np.linalg.norm(r) / np.linalg.norm(b))
+        if rho_hist[-1] < 1e-10:
+            break
+    assert rho_hist[-1] < 1e-10, f"refinement stalled: {rho_hist[-5:]}"

@@ -1,10 +1,11 @@
-"""Pallas band-substitution kernel (solver/band_pallas.py).
+"""Pallas band-substitution kernels (solver/band_pallas.py).
 
-Round-1 VERDICT flagged the Pallas layer as aspirational (nothing ran
-on hardware); this kernel is validated on a real TPU v5e (forward
-substitution to f32 accuracy, rel err ~3e-8).  On CPU-only runners the
-hardware case skips and the reference recursion is still exercised
-against the XLA scan path through solver/band tests.
+Validated on a real TPU v5e: forward substitution to f32 accuracy
+(rel err ~3e-8) and the full production solve (forward + backward +
+Dinv) against the XLA scan path through the wired
+``BandedLU.solve_pair`` dispatch (``use_pallas``).  On CPU-only
+runners the hardware cases skip and the XLA scan path is still
+exercised through solver/band tests.
 """
 
 import jax
@@ -52,3 +53,38 @@ def test_fwd_substitution_matches_numpy_on_tpu():
     mag = max(np.abs(ref_r).max(), np.abs(ref_i).max())
     err = max(np.abs(np.asarray(yr) - ref_r).max(), np.abs(np.asarray(yi) - ref_i).max())
     assert err / mag < 1e-5
+
+
+@pytest.mark.skipif(not _have_real_tpu(), reason="needs TPU hardware")
+def test_full_pallas_solve_matches_xla_scan_on_tpu():
+    """Forward + backward + Dinv through the Pallas kernels vs the XLA
+    scan path, on a real factored operator (production wiring check)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from lsafw_tpu.solver.band import BandedLU
+
+    rng = np.random.default_rng(5)
+    n, bw = 1500, 150
+    diags, offs = [], range(-bw, bw + 1)
+    for o in offs:
+        m = n - abs(o)
+        diags.append((rng.standard_normal(m) + 1j * rng.standard_normal(m)) * 0.05)
+    A = sp.diags(diags, list(offs), format="csr").astype(np.complex128)
+    A = A + sp.identity(n, format="csr") * (2.0 * bw * 0.05 + 1.0)
+    b = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+
+    tpu = jax.devices("tpu")[0]
+    with jax.default_device(tpu):
+        # nb must be 128 (Mosaic lane tiling) for the Pallas path
+        lu = BandedLU.from_complex_csr(A, nb=128, chunk=4)
+        assert lu.use_pallas, "factor on TPU must enable the Pallas solve"
+        x_pallas = lu.solve(b)
+        lu_scan = dataclasses.replace(lu, use_pallas=False)
+        x_scan = lu_scan.solve(b)
+    rel = np.linalg.norm(x_pallas - x_scan) / np.linalg.norm(x_scan)
+    assert rel < 1e-5, f"pallas vs scan mismatch: {rel:.2e}"
+    res = np.linalg.norm(A @ x_pallas - b) / np.linalg.norm(b)
+    assert res < 1e-4
