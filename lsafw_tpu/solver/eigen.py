@@ -76,6 +76,14 @@ class STType(Enum):
     SHIFT = "shift"
     SINVERT = "sinvert"
     CAYLEY = "cayley"
+    # Preconditioned (inexact) shift-and-invert: same transform as
+    # SINVERT but the inner solve is iterative-with-preconditioner by
+    # construction (SLEPc's STPRECOND role).
+    PRECOND = "precond"
+    # Chebyshev polynomial filter (SLEPc's STFILTER role): amplifies an
+    # extremal spectral window of a Hermitian operator without any
+    # factorization; eigenvalues recovered by Rayleigh quotients.
+    FILTER = "filter"
 
 
 class EpsWhich(Enum):

@@ -36,6 +36,7 @@ class KSPType(Enum):
 
     CG = "cg"
     GMRES = "gmres"
+    FGMRES = "fgmres"
     BICGSTAB = "bcgs"
     PREONLY = "preonly"
 
@@ -193,6 +194,94 @@ def gmres(
 
 
 # ---------------------------------------------------------------------------
+# FGMRES (right-preconditioned, flexible)
+# ---------------------------------------------------------------------------
+
+
+def fgmres(
+    matvec: Matvec,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    *,
+    tol: float = 1e-10,
+    restart: int = 30,
+    maxiter: int = 1000,
+    M: Matvec | None = None,
+) -> SolveResult:
+    """Flexible (right-preconditioned) restarted GMRES (parity:
+    PETSc ``fgmres``, ``Solver/utils.py:96-128``).
+
+    Unlike :func:`gmres` (left preconditioning), the residual minimized
+    — and reported — is the TRUE residual ``||b - A x|| / ||b||``, so
+    convergence is meaningful even under severely ill-conditioned
+    preconditioners (e.g. regularized saddle-point factors), and ``M``
+    may change between iterations (flexible).  Costs one extra stored
+    basis ``Z``.
+    """
+    M = M or _identity
+    n = b.shape[0]
+    dtype = b.dtype
+    x = jnp.zeros_like(b) if x0 is None else x0
+    bnorm = jnp.linalg.norm(b)
+    bnorm = jnp.where(bnorm == 0, 1.0, bnorm)
+    m = restart
+    max_cycles = -(-maxiter // m)
+    eps_floor = jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-30, dtype)
+
+    def cycle(x):
+        r = b - matvec(x)
+        beta = jnp.linalg.norm(r)
+        V = jnp.zeros((m + 1, n), dtype=dtype)
+        V = V.at[0].set(r / jnp.maximum(beta, eps_floor))
+        Z = jnp.zeros((m, n), dtype=dtype)
+        H = jnp.zeros((m + 1, m), dtype=dtype)
+
+        def step(j, carry):
+            V, Z, H = carry
+            z = M(V[j])
+            w = matvec(z)
+            mask = (jnp.arange(m + 1) <= j).astype(dtype)
+            h1 = (V * w).sum(axis=1) * mask
+            w = w - V.T @ h1
+            h2 = (V * w).sum(axis=1) * mask
+            w = w - V.T @ h2
+            h = h1 + h2
+            hj1 = jnp.linalg.norm(w)
+            V = V.at[j + 1].set(w / jnp.maximum(hj1, eps_floor))
+            Z = Z.at[j].set(z)
+            H = H.at[:, j].set(h)
+            H = H.at[j + 1, j].set(hj1)
+            return (V, Z, H)
+
+        V, Z, H = lax.fori_loop(0, m, step, (V, Z, H))
+        g = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta)
+        Q, R = jnp.linalg.qr(H, mode="reduced")
+        rhs = Q.T @ g
+        diag = jnp.diagonal(R)
+        safe = jnp.where(jnp.abs(diag) > eps_floor, diag, 1.0)
+        Rsafe = R + jnp.diag(safe - diag)
+        y = jax.scipy.linalg.solve_triangular(Rsafe, rhs, lower=False)
+        return x + Z.T @ y
+
+    def cond(st):
+        x, k, res, hist = st
+        return (res > tol) & (k < max_cycles)
+
+    def body(st):
+        x, k, _, hist = st
+        x = cycle(x)
+        res = jnp.linalg.norm(b - matvec(x)) / bnorm
+        hist = hist.at[k].set(res)
+        return (x, k + 1, res, hist)
+
+    res0 = jnp.linalg.norm(b - matvec(x)) / bnorm
+    hist0 = jnp.full(max_cycles, res0, dtype=bnorm.dtype)
+    x, k, res, hist = lax.while_loop(cond, body, (x, jnp.int32(0), res0, hist0))
+    hist = jnp.where(jnp.arange(max_cycles) < k, hist, res)
+    return SolveResult(x, k * m, res, res <= tol, hist)
+
+
+# ---------------------------------------------------------------------------
 # BiCGStab
 # ---------------------------------------------------------------------------
 
@@ -260,6 +349,8 @@ def solve(
     ksp_type = KSPType.from_string(ksp_type) if isinstance(ksp_type, str) else ksp_type
     if ksp_type is KSPType.CG:
         return cg(matvec, b, x0, tol=tol, maxiter=maxiter, M=M)
+    if ksp_type is KSPType.FGMRES:
+        return fgmres(matvec, b, x0, tol=tol, restart=restart, maxiter=maxiter, M=M)
     if ksp_type is KSPType.GMRES:
         return gmres(matvec, b, x0, tol=tol, maxiter=maxiter, restart=restart, M=M)
     if ksp_type is KSPType.BICGSTAB:

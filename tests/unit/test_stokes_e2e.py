@@ -89,7 +89,7 @@ def test_stokes_direct(channel):
     assert err < 1e-9
 
 
-@pytest.mark.parametrize("ksp", [KSPType.GMRES, KSPType.BICGSTAB])
+@pytest.mark.parametrize("ksp", [KSPType.GMRES, KSPType.FGMRES, KSPType.BICGSTAB])
 def test_stokes_iterative(channel, ksp):
     mesh, spaces, bcs, ctx = channel
     A, b = StokesAssembler(ctx, mesh, bcs, re=RE).get_matrix_forms()
