@@ -40,7 +40,7 @@ from typing import NamedTuple
 
 from lsafw_tpu.ops.dots import ddot
 from lsafw_tpu.ops.cvec import CVec, basis_combine, basis_project, basis_subtract
-from lsafw_tpu.ops.sparse import CSRMatrix, spmv_pair
+from lsafw_tpu.ops.sparse import CSRMatrix, spmv, spmv_pair
 from lsafw_tpu.solver.band import BandedLU
 from lsafw_tpu.solver.direct import SparseLU
 from lsafw_tpu.utils.logging import get_logger
@@ -481,6 +481,81 @@ def _si_gmres_2n(C, M, b2n, blu, si, *, tol, maxiter):
     return _gmres(matvec2n, b2n, tol=tol, restart=40, maxiter=maxiter, M=pc2n)
 
 
+class ChebyshevFilterOperator:
+    """Chebyshev polynomial spectral filter (parity: the STFILTER role,
+    ``/root/reference/Solver/utils.py:131-149``): amplifies the
+    eigenvalues of a Hermitian operator below ``cutoff`` (or above, for
+    LARGEST) without any factorization — degree-``d`` Chebyshev
+    T_d(g(A)) with the unwanted spectral window affinely mapped onto
+    [-1, 1], so wanted eigenvalues land where |T_d| grows like
+    cosh(d arccosh |g|).  Eigenvalues are NOT recoverable from the
+    filter's Ritz values; the caller recovers them as Rayleigh
+    quotients of the converged vectors.
+
+    Standard Hermitian problems only (M = None); generalized pairs go
+    through SINVERT/CAYLEY instead.
+    """
+
+    def __init__(
+        self,
+        A: CSRMatrix,
+        cutoff: float,
+        *,
+        degree: int = 30,
+        smallest: bool = True,
+        bound_its: int = 30,
+    ) -> None:
+        self.A = A
+        self.degree = int(degree)
+        n = A.shape[0]
+        # spectral bound via power iteration on the host-facing apply
+        rng = np.random.default_rng(5)
+        v = jnp.asarray(rng.standard_normal(n))
+        lam_max = 0.0
+        for _ in range(bound_its):
+            w = spmv(A, v)
+            lam_max = float(jnp.linalg.norm(w))
+            v = w / lam_max
+        lam_max *= 1.05  # safety margin on the Rayleigh estimate
+        lam_min = -lam_max  # symmetric-safe lower bound
+        if smallest:
+            lo, hi = float(cutoff), lam_max
+        else:
+            lo, hi = lam_min, float(cutoff)
+        # affine map g(x) = (2x - (hi+lo)) / (hi-lo): unwanted -> [-1,1]
+        self._e = (hi + lo) / 2.0
+        self._c = (hi - lo) / 2.0
+
+    def apply(self, v: CVec) -> CVec:
+        """T_d(g(A)) v by the three-term recurrence (d matvecs)."""
+        from lsafw_tpu.ops.sparse import spmv_pair
+
+        e, c, d = self._e, self._c, self.degree
+        A = self.A
+
+        def g(xr, xi):
+            wr, wi = spmv_pair(A, xr, xi)
+            return (wr - e * xr) / c, (wi - e * xi) / c
+
+        t0r, t0i = v
+        t1r, t1i = g(t0r, t0i)
+        for _ in range(d - 1):
+            wr, wi = g(t1r, t1i)
+            t2r = 2.0 * wr - t0r
+            t2i = 2.0 * wi - t0i
+            t0r, t0i, t1r, t1i = t1r, t1i, t2r, t2i
+        # NOTE: no per-apply normalization — that would make the
+        # operator nonlinear and corrupt the Arnoldi relation.  The
+        # caller bounds the degree so T_d magnitudes stay inside f64.
+        return t1r, t1i
+
+    def back_transform(self, theta: np.ndarray) -> np.ndarray:
+        raise RuntimeError(
+            "filter Ritz values carry no eigenvalue information; use "
+            "Rayleigh quotients (EigenSolver handles this)"
+        )
+
+
 class PlainOperator:
     """op v = A v (optionally M^-1 A v via LU) for non-transformed solves."""
 
@@ -817,6 +892,7 @@ class EigenSolver:
         self._which = EpsWhich.LARGEST_MAGNITUDE
         self._si_method = "lu"
         self._elements = None
+        self._filter_degree = 30
 
     def _warn_if_not_hermitian(self) -> None:
         """(parity: Hermiticity validation warnings, ``Solver/eigen.py:88-108``)."""
@@ -860,6 +936,46 @@ class EigenSolver:
             dofs = ctx.mixed_cell_dofs
         self._elements = (dofs, A_el, M_el, bc_mask)
 
+    def set_filter_degree(self, degree: int) -> None:
+        """Chebyshev filter polynomial degree (FILTER transform)."""
+        self._filter_degree = int(degree)
+
+    def _solve_filtered(self, cfg, t0):
+        """FILTER path: Krylov-Schur on the Chebyshev-filtered
+        operator, eigenvalues recovered as Rayleigh quotients (filter
+        Ritz values carry no spectral information).  Hermitian standard
+        problems; the target plays SLEPc's interval-boundary (cutoff)
+        role."""
+        if self.M is not None:
+            raise ValueError(
+                "FILTER supports standard Hermitian problems; "
+                "generalized pairs go through SINVERT/CAYLEY."
+            )
+        smallest = self._which in (
+            EpsWhich.SMALLEST_REAL, EpsWhich.SMALLEST_MAGNITUDE,
+            EpsWhich.LARGEST_MAGNITUDE,  # default selection -> smallest window
+        )
+        op = ChebyshevFilterOperator(
+            self.A, float(np.real(self._target)),
+            degree=self._filter_degree, smallest=smallest,
+        )
+        n = self.A.shape[0]
+        result = krylov_schur(
+            op.apply, n,
+            nev=cfg.num_eig, ncv=min(cfg.ncv, n),
+            which=EpsWhich.LARGEST_MAGNITUDE,
+            tol=cfg.atol, max_restarts=cfg.max_it,
+        )
+        As = self.A.to_scipy()
+        pairs = []
+        for x in result.eigenvectors:
+            xn = x / np.linalg.norm(x)
+            lam = complex(np.vdot(xn, As @ xn))
+            pairs.append((lam, xn))
+        pairs.sort(key=lambda p: p[0].real if smallest else -p[0].real)
+        logger.info("Filtered eigensolve completed in %.2f s.", time.time() - t0)
+        return pairs[: cfg.num_eig]
+
     def solve(self) -> list[tuple[complex, np.ndarray]]:
         """Run the eigensolve, return eigenpairs sorted by selection
         (parity: ``EigenSolver.solve``, ``Solver/eigen.py:125-155``)."""
@@ -868,13 +984,18 @@ class EigenSolver:
         t0 = time.time()
 
         def _run(target: complex | None):
-            if self._st_type in (STType.SINVERT, STType.CAYLEY):
+            if self._st_type in (STType.SINVERT, STType.CAYLEY, STType.PRECOND):
                 nu = None
                 if self._st_type is STType.CAYLEY:
                     # SLEPc semantics: antishift defaults to the shift
                     nu = self._antishift if self._antishift is not None else target
+                method = self._si_method
+                if self._st_type is STType.PRECOND:
+                    # STPRECOND: inexact shift-invert with an iterative,
+                    # preconditioned inner solve by definition
+                    method = "gmres"
                 op = ShiftInvertOperator(
-                    self.A, self.M, target, method=self._si_method,
+                    self.A, self.M, target, method=method,
                     inner_tol=min(cfg.atol * 1e-2, 1e-10),
                     elements=self._elements,
                     antishift=nu,
@@ -893,12 +1014,14 @@ class EigenSolver:
             )
             return op, result
 
-        if self._st_type in (STType.SINVERT, STType.CAYLEY) and self._target is None:
+        if self._st_type is not STType.SHIFT and self._target is None:
             raise ValueError(f"{self._st_type.name} requires a target (set_target).")
+        if self._st_type is STType.FILTER:
+            return self._solve_filtered(cfg, t0)
         op, result = _run(self._target)
         lam = op.back_transform(result.eigenvalues)
 
-        if self._st_type in (STType.SINVERT, STType.CAYLEY):
+        if self._st_type in (STType.SINVERT, STType.CAYLEY, STType.PRECOND):
             # If the shift coincides with an exact eigenvalue the
             # factorization is numerically singular: eigenvalues look
             # perfect but eigenvectors are polluted.  Detect via true
@@ -924,7 +1047,7 @@ class EigenSolver:
         logger.info("Eigensolve completed in %.2f s.", time.time() - t0)
         pairs = list(zip([complex(v) for v in lam], result.eigenvectors))
         # order by the *user's* selection on the transformed eigenvalues
-        if self._st_type in (STType.SINVERT, STType.CAYLEY):
+        if self._st_type in (STType.SINVERT, STType.CAYLEY, STType.PRECOND):
             order = np.argsort(np.abs(lam - self._target))
             pairs = [pairs[i] for i in order]
         return pairs[: cfg.num_eig]

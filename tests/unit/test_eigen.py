@@ -169,3 +169,38 @@ def test_cayley_explicit_antishift():
     pairs = es.solve()
     vals = sorted(p[0].real for p in pairs)
     assert np.allclose(vals, [4.0, 5.0], atol=1e-8)
+
+
+def test_precond_st_matches_sinvert():
+    """STPRECOND role: inexact preconditioned shift-invert (parity:
+    iSTType.PRECOND, Solver/utils.py:141)."""
+    d = np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0])
+    A = _csr(np.diag(d))
+    M = _csr(np.eye(8))
+    es = EigenSolver(A, M, EigensolverConfig(num_eig=2, atol=1e-9, ncv=6))
+    es.set_st_type(STType.PRECOND)
+    es.set_target(4.2)
+    pairs = es.solve()
+    vals = sorted(p[0].real for p in pairs)
+    assert np.allclose(vals, [4.0, 5.0], atol=1e-7)
+
+
+def test_filter_st_smallest_eigenvalues():
+    """STFILTER role: Chebyshev-filtered Krylov-Schur finds the lowest
+    eigenvalues of a Hermitian operator with NO factorization (parity:
+    iSTType.FILTER, Solver/utils.py:143)."""
+    import scipy.sparse as ssp
+
+    n = 120
+    # 1D Dirichlet Laplacian: lam_k = 2 - 2 cos(k pi / (n+1))
+    L = ssp.diags([2.0 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)], [0, -1, 1])
+    A = CSRMatrix.from_scipy(ssp.csr_matrix(L))
+    ref = 2.0 - 2.0 * np.cos(np.arange(1, 4) * np.pi / (n + 1))
+    es = EigenSolver(A, None, EigensolverConfig(num_eig=3, atol=1e-10, ncv=20))
+    es.set_st_type(STType.FILTER)
+    es.set_target(float(ref[-1] * 2.0))  # cutoff above the wanted window
+    es.set_which_eigenpairs(EpsWhich.SMALLEST_REAL)
+    es.set_filter_degree(60)
+    pairs = es.solve()
+    got = np.sort([p[0].real for p in pairs])
+    assert np.allclose(got, ref, rtol=1e-6), (got, ref)
