@@ -22,9 +22,11 @@ C = sp.csr_matrix((d["data"], d["indices"], d["indptr"]), shape=tuple(d["shape"]
 n = C.shape[0]
 print(f"{name}: n={n} nnz={C.nnz} dtype={C.dtype}", flush=True)
 
+NB = int(os.environ.get("DEV_NB", "128"))
+CHUNK = int(os.environ.get("DEV_CHUNK", "64"))
 t0 = time.time()
-plan = BandPlan.build(C, nb=128, chunk=64)
-print(f"plan: B={plan.B} nblk_pad={plan.nblk_pad} ({time.time()-t0:.1f}s)", flush=True)
+plan = BandPlan.build(C, nb=NB, chunk=CHUNK)
+print(f"plan: nb={NB} B={plan.B} nblk_pad={plan.nblk_pad} ({time.time()-t0:.1f}s)", flush=True)
 
 dre = jnp.asarray(np.ascontiguousarray(C.data.real.astype(np.float64)))
 dim = jnp.asarray(np.ascontiguousarray(C.data.imag.astype(np.float64)))
@@ -32,6 +34,14 @@ dim = jnp.asarray(np.ascontiguousarray(C.data.imag.astype(np.float64)))
 t0 = time.time()
 if mode == "pivot":
     lu = PivotedBandedLU.factor(plan, dre, dim)
+    t_warm0 = time.time()
+    lu = PivotedBandedLU.factor(plan, dre, dim)
+    print(f"warm factor: {time.time()-t_warm0:.2f}s", flush=True)
+elif mode == "nopivot_warm":
+    lu = BandedLU.factor(plan, dre, dim)
+    t_warm0 = time.time()
+    lu = BandedLU.factor(plan, dre, dim)
+    print(f"warm factor: {time.time()-t_warm0:.2f}s", flush=True)
 else:
     # mimic the production path: saddle regularization on diag slots
     diag = C.diagonal()
