@@ -111,6 +111,9 @@ class BandPlan:
     B: int
     nblk_pad: int
     chunk: int
+    band_dtype: str  # "f32" | "bf16" (bf16: half-memory band storage;
+    # elimination arithmetic stays f32 in the carry window, only the
+    # at-rest rows are rounded — measured contraction 8e-3 vs 0-ish)
     perm: np.ndarray  # (n,) permuted index -> original
     pos_row: jnp.ndarray  # (nnz,) int32 band block-row per CSR entry
     pos_off: jnp.ndarray  # (nnz,) int32 offset within block-row
@@ -177,9 +180,20 @@ class BandPlan:
         nblk = -(-n // nb)
         nblk_pad = -(-nblk // chunk) * chunk
         dropped = 0
+        band_dtype = "f32"
         if max_bytes is not None:
-            while B > 1 and (nblk_pad + B) * (2 * B + 1) * nb * nb * 8 > max_bytes:
-                B -= 1
+            def _bytes(B_, per_entry):
+                return (nblk_pad + B_) * (2 * B_ + 1) * nb * nb * per_entry
+
+            if _bytes(B, 8) > max_bytes and _bytes(B, 4) <= max_bytes:
+                # memory ladder step 1: halve the at-rest storage (the
+                # elimination arithmetic stays f32; measured refinement
+                # contraction 8e-3 on the 43k cylinder operator)
+                band_dtype = "bf16"
+            elif _bytes(B, 8) > max_bytes:
+                band_dtype = "bf16"
+                while B > 1 and _bytes(B, 4) > max_bytes:
+                    B -= 1
         R = 2 * B + 1
 
         I = pi // nb
@@ -194,10 +208,11 @@ class BandPlan:
         pad = np.arange(n, (nblk_pad + B) * nb, dtype=np.int64)
         pad_off = (B * nb * nb) + (pad % nb) * nb + (pad % nb)
         logger.info(
-            "BandPlan: n=%d bandwidth=%d B=%d nblk=%d (band %.2f GB on device, "
+            "BandPlan: n=%d bandwidth=%d B=%d nblk=%d (band %.2f GB %s on device, "
             "%.1fs plan%s)",
             n, bw, B, nblk,
-            (nblk_pad + B) * R * nb * nb * 2 * 4 / 1e9, time.time() - t0,
+            (nblk_pad + B) * R * nb * nb * 2
+            * (2 if band_dtype == "bf16" else 4) / 1e9, band_dtype, time.time() - t0,
             f"; TRUNCATED: {dropped}/{len(pi)} entries outside the "
             f"{B * nb}-band dropped (preconditioner-only factor)"
             if dropped else "",
@@ -206,7 +221,8 @@ class BandPlan:
             [perm, np.arange(n, nblk_pad * nb, dtype=np.int64)]
         )
         return cls(
-            n=n, nb=nb, B=B, nblk_pad=nblk_pad, chunk=chunk, perm=perm,
+            n=n, nb=nb, B=B, nblk_pad=nblk_pad, chunk=chunk,
+            band_dtype=band_dtype, perm=perm,
             pos_row=jnp.asarray(I.astype(np.int32)),
             pos_off=jnp.asarray(off.astype(np.int32)),
             pad_row=jnp.asarray((pad // nb).astype(np.int32)),
@@ -385,23 +401,23 @@ def _factor_step(carry, xs, *, B: int, nb: int, delta):
 )
 def _factor_chunk(band_re, band_im, Vr, Vi, k0, delta, *, chunk, B, nb):
     """Factor ``chunk`` block rows in place (donated band buffers)."""
-    xs_r = jax.lax.dynamic_slice_in_dim(band_re, k0 + B, chunk, axis=0)
-    xs_i = jax.lax.dynamic_slice_in_dim(band_im, k0 + B, chunk, axis=0)
+    xs_r = jax.lax.dynamic_slice_in_dim(band_re, k0 + B, chunk, axis=0).astype(jnp.float32)
+    xs_i = jax.lax.dynamic_slice_in_dim(band_im, k0 + B, chunk, axis=0).astype(jnp.float32)
     step = lambda c, x: _factor_step(c, x, B=B, nb=nb, delta=delta)
     (Vr, Vi), (yr, yi, dXr, dXi) = jax.lax.scan(step, (Vr, Vi), (xs_r, xs_i))
-    band_re = jax.lax.dynamic_update_slice_in_dim(band_re, yr, k0, axis=0)
-    band_im = jax.lax.dynamic_update_slice_in_dim(band_im, yi, k0, axis=0)
+    band_re = jax.lax.dynamic_update_slice_in_dim(band_re, yr.astype(band_re.dtype), k0, axis=0)
+    band_im = jax.lax.dynamic_update_slice_in_dim(band_im, yi.astype(band_im.dtype), k0, axis=0)
     return band_re, band_im, Vr, Vi, dXr, dXi
 
 
-@partial(jax.jit, static_argnames=("rows_total", "R", "nb"))
+@partial(jax.jit, static_argnames=("rows_total", "R", "nb", "out_dtype"))
 def _fill_band(plan_pos_row, plan_pos_off, pad_row, pad_off, dre, dim_,
-               *, rows_total, R, nb):
-    """Scatter CSR data (f64) into the f32 band buffer on device."""
-    flat = jnp.zeros((rows_total, R * nb * nb), jnp.float32)
-    bre = flat.at[plan_pos_row, plan_pos_off].set(dre.astype(jnp.float32))
+               *, rows_total, R, nb, out_dtype=jnp.float32):
+    """Scatter CSR data (f64) into the f32/bf16 band buffer on device."""
+    flat = jnp.zeros((rows_total, R * nb * nb), out_dtype)
+    bre = flat.at[plan_pos_row, plan_pos_off].set(dre.astype(out_dtype))
     bre = bre.at[pad_row, pad_off].set(1.0)
-    bim = flat.at[plan_pos_row, plan_pos_off].set(dim_.astype(jnp.float32))
+    bim = flat.at[plan_pos_row, plan_pos_off].set(dim_.astype(out_dtype))
     return (
         bre.reshape(rows_total, R, nb, nb),
         bim.reshape(rows_total, R, nb, nb),
@@ -442,8 +458,8 @@ def _solve_banded(band_re, band_im, dinv_r, dinv_i, br, bi, *, B, nb):
         # an outer while loop (2 x 4.6 GB measured); dynamic
         # indexing reads the loop-invariant band in place
         Yr, Yi = carry  # Y[t] = y_{K-B+t}
-        rowr = jax.lax.dynamic_index_in_dim(band_re, k, 0, keepdims=False)
-        rowi = jax.lax.dynamic_index_in_dim(band_im, k, 0, keepdims=False)
+        rowr = jax.lax.dynamic_index_in_dim(band_re, k, 0, keepdims=False).astype(jnp.float32)
+        rowi = jax.lax.dynamic_index_in_dim(band_im, k, 0, keepdims=False).astype(jnp.float32)
         bkr = jax.lax.dynamic_index_in_dim(brp, k, 0, keepdims=False)
         bki = jax.lax.dynamic_index_in_dim(bip, k, 0, keepdims=False)
         sr, si = _cmm(rowr[:B], rowi[:B], Yr, Yi, "bij,bj->i")
@@ -465,8 +481,8 @@ def _solve_banded(band_re, band_im, dinv_r, dinv_i, br, bi, *, B, nb):
         # multi-GB xs materializes a REVERSED COPY of the band (2 x
         # 4.6 GB measured); dynamic per-step indexing reads in place
         Xr, Xi = carry  # X[t] = x_{K+1+t}
-        rowr = jax.lax.dynamic_index_in_dim(band_re, k, 0, keepdims=False)
-        rowi = jax.lax.dynamic_index_in_dim(band_im, k, 0, keepdims=False)
+        rowr = jax.lax.dynamic_index_in_dim(band_re, k, 0, keepdims=False).astype(jnp.float32)
+        rowi = jax.lax.dynamic_index_in_dim(band_im, k, 0, keepdims=False).astype(jnp.float32)
         dr = jax.lax.dynamic_index_in_dim(dvr, k, 0, keepdims=False)
         di = jax.lax.dynamic_index_in_dim(dvi, k, 0, keepdims=False)
         ykr = jax.lax.dynamic_index_in_dim(yr, k, 0, keepdims=False)
@@ -953,10 +969,11 @@ class BandedLU:
         nb, B, R = plan.nb, plan.B, plan.R
         if data_im is None:
             data_im = jnp.zeros_like(data_re)
+        out_dtype = jnp.bfloat16 if plan.band_dtype == "bf16" else jnp.float32
         band_re, band_im = _fill_band(
             plan.pos_row, plan.pos_off, plan.pad_row, plan.pad_off,
             data_re, data_im,
-            rows_total=plan.rows_total, R=R, nb=nb,
+            rows_total=plan.rows_total, R=R, nb=nb, out_dtype=out_dtype,
         )
 
         # initial window: rows 0..B-1 anchored at K=0 (index = J + B,
@@ -965,8 +982,8 @@ class BandedLU:
         Vr = jnp.zeros((B, W3, nb, nb), jnp.float32)
         Vi = jnp.zeros_like(Vr)
         for i in range(min(B, plan.nblk_pad)):
-            Vr = Vr.at[i, i : i + R].set(band_re[i])
-            Vi = Vi.at[i, i : i + R].set(band_im[i])
+            Vr = Vr.at[i, i : i + R].set(band_re[i].astype(jnp.float32))
+            Vi = Vi.at[i, i : i + R].set(band_im[i].astype(jnp.float32))
 
         dinvs_r, dinvs_i = [], []
         for k0 in range(0, plan.nblk_pad, plan.chunk):

@@ -60,8 +60,8 @@ def _fwd_kernel(band_re, band_im, br, bi, yr_out, yi_out,
         dr, di = dma(slot, k)
         dr.wait()
         di.wait()
-        Lr = scr_r[slot]  # (B, nb, nb)
-        Li = scr_i[slot]
+        Lr = scr_r[slot].astype(jnp.float32)  # (B, nb, nb)
+        Li = scr_i[slot].astype(jnp.float32)
         # VPU broadcast-multiply + reduce (Mosaic's tpu.matmul cannot
         # express the batched (t, j) contraction)
         Yrb = Yr[:, None, :]
@@ -110,8 +110,8 @@ def fwd_substitute_pallas(band_re, band_im, br, bi, *, B, nb):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, B, nb, nb), jnp.float32),
-            pltpu.VMEM((2, B, nb, nb), jnp.float32),
+            pltpu.VMEM((2, B, nb, nb), band_re.dtype),
+            pltpu.VMEM((2, B, nb, nb), band_im.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -158,8 +158,8 @@ def _bwd_kernel(band_re, band_im, dinv_r, dinv_i, yr, yi, xr_out, xi_out,
         cur = dma(slot, k)
         for c in cur:
             c.wait()
-        Ur = scr_r[slot]  # (B, nb, nb)
-        Ui = scr_i[slot]
+        Ur = scr_r[slot].astype(jnp.float32)  # (B, nb, nb)
+        Ui = scr_i[slot].astype(jnp.float32)
         Xrb = Xr[:, None, :]
         Xib = Xi[:, None, :]
         sr = (Ur * Xrb - Ui * Xib).sum(axis=(0, 2))
@@ -214,8 +214,8 @@ def bwd_substitute_pallas(band_re, band_im, dinv_r, dinv_i, yr, yi, *, B, nb):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, B, nb, nb), jnp.float32),
-            pltpu.VMEM((2, B, nb, nb), jnp.float32),
+            pltpu.VMEM((2, B, nb, nb), band_re.dtype),
+            pltpu.VMEM((2, B, nb, nb), band_im.dtype),
             pltpu.VMEM((2, nb, nb), jnp.float32),
             pltpu.VMEM((2, nb, nb), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),

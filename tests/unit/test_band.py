@@ -178,19 +178,26 @@ def test_plan_build_does_not_mutate_pattern():
 # ---------------------------------------------------------------------------
 
 
-def _growth_bomb(n=256):
-    """Tiny diagonals + O(1) off-diagonals: overflows the pivot-free
-    f32 elimination (measured rel res ~1e20) but is trivial under
-    partial pivoting — the class of failure behind the round-2
+def _growth_bomb(n=256, nb=16):
+    """Tiny pivots whose large partners live in a DIFFERENT nb-block:
+    the diagonal-block embedded inversion pivots only within its own
+    block, so the pivot-free elimination forms huge multipliers
+    (E D^-1) and the factor destroys accuracy; cross-block panel
+    pivoting handles it — the class of failure behind the round-2
     "Banded MR solve failed" degradations."""
     D = sp.lil_matrix((n, n), dtype=np.complex128)
     for i in range(n):
-        D[i, i] = 1e-6 if i % 3 else 1.0
-        if i + 1 < n:
-            D[i, i + 1] = 1.0
-            D[i + 1, i] = 1.0
-        if i + 5 < n:
-            D[i, i + 5] = 0.5
+        blk = (i // nb) % 2
+        D[i, i] = 1e-7
+        if blk == 0 and i + nb < n:
+            D[i, i + nb] = 1.0
+            D[i + nb, i] = 1.0
+        # keep odd blocks internally coupled but leave even DIAGONAL
+        # BLOCKS essentially eps*I — their embedded inversion has no
+        # usable pivot inside the block
+        if blk == 1 and i + 1 < n and (i + 1) // nb == i // nb:
+            D[i, i + 1] = 0.3
+            D[i + 1, i] = 0.3
     return D.tocsr()
 
 
@@ -213,19 +220,27 @@ def test_pivoted_band_lu_survives_growth_bomb():
     from lsafw_tpu.solver.band import BandedLU, PivotedBandedLU
 
     A = _growth_bomb()
+    n = A.shape[0]
     rng = np.random.default_rng(2)
-    b = rng.standard_normal(A.shape[0]) + 1j * rng.standard_normal(A.shape[0])
+    b = rng.standard_normal(n) + 1j * rng.standard_normal(n)
     ref = spla.splu(A.tocsc()).solve(b)
-    lu_p = PivotedBandedLU.from_complex_csr(A, nb=16, chunk=8)
+    # pin the natural ordering: the native George-Liu RCM happens to
+    # reorder this fixture into a benign elimination sequence, which
+    # would defuse the regression (orderings must not be relied on for
+    # stability — that is the pivoting's job)
+    perm = np.arange(n)
+    lu_p = PivotedBandedLU.from_complex_csr(A, nb=16, chunk=8, perm=perm)
     x_p = lu_p.solve(b)
     rel_p = np.linalg.norm(x_p - ref) / np.linalg.norm(ref)
     assert rel_p < 1e-4, f"pivoted factor inaccurate: {rel_p:.2e}"
     # the pivot-free factor must actually fail on this operator —
     # otherwise the regression fixture is meaningless
-    lu_f = BandedLU.from_complex_csr(A, nb=16, chunk=8)
+    lu_f = BandedLU.from_complex_csr(A, nb=16, chunk=8, perm=perm)
     x_f = lu_f.solve(b)
     rel_f = np.linalg.norm(x_f - ref) / np.linalg.norm(ref)
-    assert not np.isfinite(rel_f) or rel_f > 1e3
+    # the 1e7 multipliers wipe ~7 digits: solver-grade accuracy is gone
+    # (measured rel ~0.33) while the pivoted factor keeps ~1e-8
+    assert not np.isfinite(rel_f) or rel_f > 1e-2
 
 
 def test_pivoted_band_lu_zero_diagonal_saddle():
@@ -339,11 +354,13 @@ def test_truncated_band_preconditioner():
     A = _random_banded(n, bw, seed=11)
     full = BandPlan.build(A.tocsr(), nb=nb, chunk=8)
     assert full.B == 4
+    # budget below even the bf16 full band: forces real truncation
+    # (the memory ladder tries bf16 storage first)
     small = BandPlan.build(
         A.tocsr(), nb=nb, chunk=8,
-        max_bytes=(full.nblk_pad + 2) * 5 * nb * nb * 8 + 1,
+        max_bytes=(full.nblk_pad + 2) * 5 * nb * nb * 4 + 1,
     )
-    assert small.B < full.B
+    assert small.B < full.B and small.band_dtype == "bf16"
     lu = PivotedBandedLU.factor(
         small,
         jnp.asarray(np.ascontiguousarray(A.data.real)),
@@ -364,3 +381,37 @@ def test_truncated_band_preconditioner():
         if rho_hist[-1] < 1e-10:
             break
     assert rho_hist[-1] < 1e-10, f"refinement stalled: {rho_hist[-5:]}"
+
+
+def test_bf16_band_storage_preconditions():
+    """Memory-ladder step 1: bf16 at-rest band storage (arithmetic
+    stays f32) still preconditions to fast MR convergence."""
+    import jax.numpy as jnp
+
+    from lsafw_tpu.solver.band import BandPlan, BandedLU
+
+    n, bw, nb = 400, 30, 8
+    A = _random_banded(n, bw, seed=21)
+    full = BandPlan.build(A.tocsr(), nb=nb, chunk=8)
+    fb = (full.nblk_pad + full.B) * full.R * nb * nb
+    plan = BandPlan.build(A.tocsr(), nb=nb, chunk=8, max_bytes=fb * 8 - 1)
+    assert plan.band_dtype == "bf16" and plan.B == full.B
+    lu = BandedLU.factor(
+        plan,
+        jnp.asarray(np.ascontiguousarray(A.data.real)),
+        jnp.asarray(np.ascontiguousarray(A.data.imag)),
+    )
+    assert lu.band_re.dtype == jnp.bfloat16
+    rng = np.random.default_rng(22)
+    b = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    x = np.zeros(n, dtype=np.complex128)
+    r = b.copy()
+    for it in range(25):
+        d = lu.solve(r)
+        Cd = A @ d
+        alpha = np.vdot(Cd, r) / max(np.vdot(Cd, Cd).real, 1e-300)
+        x = x + alpha * d
+        r = r - alpha * Cd
+        if np.linalg.norm(r) / np.linalg.norm(b) < 1e-10:
+            break
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-10, it
