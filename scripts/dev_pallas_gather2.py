@@ -25,18 +25,22 @@ from jax import lax
 
 def timeit(f, x0, *args, iters=30):
     # thread the accumulator through the gathered operand so XLA cannot
-    # hoist the loop-invariant gather out of the fori_loop
+    # hoist the loop-invariant gather out of the fori_loop; all arrays
+    # are jit ARGUMENTS (closing over them embeds them as constants and
+    # blows up the remote-compile payload)
     def loop(iters_):
-        def body(i, st):
-            x_, acc = st
-            y = f(x_, *args)
-            s_ = y.sum() * 1e-30
-            return x_ + s_, acc + s_
-        return jax.jit(lambda x_: lax.fori_loop(0, iters_, body, (x_, jnp.float32(0)))[1])
-    g = loop(iters); float(g(x0))
-    t0 = time.time(); float(g(x0)); t1 = time.time()
-    g1 = loop(1); float(g1(x0))
-    t2 = time.time(); float(g1(x0)); t3 = time.time()
+        @jax.jit
+        def run(x_, *a):
+            def body(i, st):
+                xx, acc = st
+                s_ = f(xx, *a).sum() * 1e-30
+                return xx + s_, acc + s_
+            return lax.fori_loop(0, iters_, body, (x_, jnp.float32(0)))[1]
+        return run
+    g = loop(iters); float(g(x0, *args))
+    t0 = time.time(); float(g(x0, *args)); t1 = time.time()
+    g1 = loop(1); float(g1(x0, *args))
+    t2 = time.time(); float(g1(x0, *args)); t3 = time.time()
     return ((t1 - t0) - (t3 - t2)) / (iters - 1)
 
 
