@@ -17,6 +17,15 @@ host-side :func:`plan_two_pass` splits each ELL row's entries into
 "rounds" with a greedy residue coloring — FEM rows hit 1-3 rounds in
 practice — and the apply sums the rounds' lane-products, which *is*
 the ELL SpMV row reduction: no scatter anywhere.
+
+MEASURED (round 3, TPU v5e via scripts/dev_pallas_gather2.py): XLA
+lowers both take_along_axis passes to the same generic gather — 32
+ns/element vs 8.6 for the plain gather — and Mosaic rejects the axis-0
+pass in-kernel ("Only 2D gather is supported" covers the LANE axis
+only).  The module is therefore correct-but-not-faster on current
+toolchains; it is kept as the ready-made integration point for the day
+Mosaic grows a sublane gather, and the numbers above are the recorded
+evidence for why the ELL SpMV stays on the hi/lo-split plain gather.
 """
 
 from __future__ import annotations
