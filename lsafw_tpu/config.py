@@ -37,8 +37,47 @@ class BoundaryConditionsConfig:
 
     marker: int
     type: str
-    value: float | tuple[float, ...] | tuple[int, int]
+    value: float | tuple[float, ...] | tuple[int, int] | Callable
     robin_alpha: float | None = None
+
+
+_BC_EXPR_NAMES = {
+    "pi": np.pi, "e": np.e,
+    "sin": np.sin, "cos": np.cos, "tan": np.tan, "tanh": np.tanh,
+    "exp": np.exp, "log": np.log, "sqrt": np.sqrt, "abs": np.abs,
+    "minimum": np.minimum, "maximum": np.maximum, "where": np.where,
+}
+
+
+def _compile_bc_expr(exprs: list[str], *, scalar: bool):
+    """Compile TOML expression strings like ``"4*y*(1 - y)"`` into the
+    coordinate callables :func:`lsafw_tpu.fem.bcs.define_bcs` accepts
+    (value = "..." for scalars, value = ["...", "..."] per component
+    for vectors).  Evaluation uses a restricted numpy namespace with
+    ``x``/``y``/``z`` bound to node coordinates — the counterpart of
+    passing a Python callable in code (``FEM/bcs.py`` interpolated
+    Dirichlet values)."""
+    codes = [compile(e, f"<bc expr {e!r}>", "eval") for e in exprs]
+
+    def fn(coords: np.ndarray) -> np.ndarray:
+        env = dict(_BC_EXPR_NAMES)
+        env["x"] = coords[:, 0]
+        if coords.shape[1] > 1:
+            env["y"] = coords[:, 1]
+        if coords.shape[1] > 2:
+            env["z"] = coords[:, 2]
+        cols = [
+            np.broadcast_to(
+                np.asarray(eval(c, {"__builtins__": {}}, env), dtype=np.float64),
+                (coords.shape[0],),
+            )
+            for c in codes
+        ]
+        if scalar:
+            return cols[0]
+        return np.stack(cols, axis=1)
+
+    return fn
 
 
 def load_bc_config(path: Path | str) -> Sequence[BoundaryConditionsConfig]:
@@ -57,6 +96,10 @@ def load_bc_config(path: Path | str) -> Sequence[BoundaryConditionsConfig]:
             ):
                 raise TypeError("A periodic BC needs a pair of integer facet markers as its value.")
             value = (raw[0], raw[1])
+        elif isinstance(raw, str):
+            value = _compile_bc_expr([raw], scalar=True)
+        elif isinstance(raw, list) and any(isinstance(v, str) for v in raw):
+            value = _compile_bc_expr([str(v) for v in raw], scalar=False)
         elif isinstance(raw, list):
             value = tuple(float(v) for v in raw)
         elif isinstance(raw, (int, float)):

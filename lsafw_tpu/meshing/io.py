@@ -32,8 +32,32 @@ _TO_GMSH = {v[0]: k for k, v in _GMSH_TYPES.items()}
 
 def read_msh(path: Path | str) -> Mesh:
     """Read a gmsh ASCII .msh file (v2.2 or v4.1), keeping the
-    highest-dimensional cell block and facet physical tags when present."""
-    lines = Path(path).read_text().splitlines()
+    highest-dimensional cell block and facet physical tags when present.
+
+    Raises ``ValueError`` with the file name and a parse-stage hint on
+    malformed input (binary .msh, truncated sections, unknown element
+    types) instead of a bare index/unpack error."""
+    try:
+        text = Path(path).read_text()
+    except UnicodeDecodeError as exc:
+        raise ValueError(
+            f"{path}: binary .msh files are not supported — re-export "
+            "with gmsh's ASCII format (`gmsh -format msh2` / save-ascii)."
+        ) from exc
+    lines = text.splitlines()
+    try:
+        return _read_msh_lines(path, lines)
+    except (IndexError, KeyError, ValueError) as exc:
+        if isinstance(exc, ValueError) and str(exc).startswith(str(path)):
+            raise
+        raise ValueError(
+            f"{path}: malformed .msh content ({type(exc).__name__}: {exc}) — "
+            "supported formats are ASCII v2.2 and v4.1 with simplex/"
+            "tensor cells."
+        ) from exc
+
+
+def _read_msh_lines(path, lines) -> Mesh:
     it = iter(enumerate(lines))
     version = None
     nodes: dict[int, np.ndarray] = {}

@@ -183,3 +183,59 @@ def test_3d_config_files_load_and_tag():
     geo = load_step_flow_config("config_files/3D/step/geometry.toml")
     assert geo.dim == 3 and geo.width == 0.4
     assert load_facet_config("config_files/3D/step/facets.toml") is not None
+
+
+def test_bc_expression_values_from_toml(tmp_path):
+    """TOML BC values as coordinate expressions (callable-BC parity:
+    the reference interpolates Python callables, FEM/bcs.py:77-195)."""
+    import numpy as np
+
+    from lsafw_tpu.config import load_bc_config
+    from lsafw_tpu.fem.bcs import define_bcs
+    from lsafw_tpu.fem.spaces import define_spaces
+    from lsafw_tpu.meshing.mesh import unit_square
+    from lsafw_tpu.meshing.tags import mark_boundary_facets
+
+    toml = tmp_path / "bcs.toml"
+    toml.write_text(
+        '[[BC]]\nmarker = 1\ntype = "dirichlet_velocity"\n'
+        'value = ["4*y*(1 - y)", "0.0"]\n'
+        '[[BC]]\nmarker = 2\ntype = "dirichlet_pressure"\nvalue = "sin(pi*y)"\n'
+    )
+    mesh = unit_square(4, 4)
+
+    def marker(x):
+        out = np.zeros(x.shape[0], dtype=np.int32)
+        out[np.isclose(x[:, 0], 0.0)] = 1
+        out[np.isclose(x[:, 0], 1.0)] = 2
+        return out
+
+    mark_boundary_facets(mesh, marker)
+    spaces = define_spaces(mesh)
+    bcs = define_bcs(mesh, spaces, load_bc_config(toml))
+    # inlet u_x follows the parabola at each constrained velocity dof
+    nu = spaces.num_velocity_dofs
+    vdofs = np.nonzero(bcs.dirichlet_mask[:nu])[0]
+    ux = vdofs[vdofs % 2 == 0]
+    yc = spaces.velocity.dof_coords[ux][:, 1]
+    assert np.allclose(bcs.dirichlet_values[ux], 4 * yc * (1 - yc))
+    pdofs = np.nonzero(bcs.dirichlet_mask[nu:])[0]
+    yp = spaces.pressure.node_coords[pdofs][:, 1]
+    assert np.allclose(bcs.dirichlet_values[nu + pdofs], np.sin(np.pi * yp))
+
+
+def test_msh_error_messages(tmp_path):
+    """Malformed .msh inputs fail with actionable errors, not bare
+    IndexError/KeyError (ROADMAP quality item)."""
+    import pytest
+
+    from lsafw_tpu.meshing.io import read_msh
+
+    bad = tmp_path / "trunc.msh"
+    bad.write_text("$MeshFormat\n2.2 0 8\n$EndMeshFormat\n$Nodes\n5\n1 0 0 0\n")
+    with pytest.raises(ValueError, match="malformed|No mesh data"):
+        read_msh(bad)
+    binary = tmp_path / "bin.msh"
+    binary.write_bytes(b"$MeshFormat\n2.2 1 8\n" + bytes(range(256)))
+    with pytest.raises(ValueError, match="binary|malformed"):
+        read_msh(binary)
