@@ -507,11 +507,19 @@ def _solve_banded(band_re, band_im, dinv_r, dinv_i, br, bi, *, B, nb):
 def _pallas_ok(band_arr, B: int, nb: int, rows_total: int) -> bool:
     """Decide at factor time (eager, concrete arrays) whether the
     substitution can run through the Pallas kernels: a real TPU device
-    and a VMEM footprint under budget.  Env ``LSAFW_PALLAS_BAND=0``
-    opts out."""
+    and a VMEM footprint under budget.
+
+    Default OFF (opt in with ``LSAFW_PALLAS_BAND=1``): the kernels are
+    hardware-validated and fast standalone, but embedding them inside
+    iterative jitted loops (MR refinement, fused Arnoldi) sends the
+    axon remote compiler into multi-minute compiles PER PROCESS that
+    the persistent cache does not absorb (measured: the Stokes MR went
+    700 s where the XLA-scan path solves in seconds).  Until the
+    compile cost is diagnosed, the XLA scan is the production path.
+    """
     import os
 
-    if os.environ.get("LSAFW_PALLAS_BAND", "1").lower() in ("0", "false", "no"):
+    if os.environ.get("LSAFW_PALLAS_BAND", "0").lower() in ("0", "false", "no"):
         return False
     try:
         dev = next(iter(band_arr.devices()))

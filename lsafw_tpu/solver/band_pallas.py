@@ -9,9 +9,13 @@ copies, and the RHS/solution vectors sit wholly in VMEM.
 
 Production wiring: :meth:`lsafw_tpu.solver.band.BandedLU.solve_pair`
 dispatches to :func:`solve_banded_pallas` (forward + backward + Dinv)
-when the factor lives on a real TPU and the kernel's VMEM budget fits
-(see ``BandedLU._pallas_ok``); the XLA scan remains the portable
-fallback (CPU, virtual-device meshes, oversized windows).
+when ``LSAFW_PALLAS_BAND=1`` is set, the factor lives on a real TPU,
+and the kernel's VMEM budget fits (see ``band._pallas_ok``).  The path
+is opt-in for now: standalone the kernels beat the XLA scan, but
+embedded inside jitted refinement loops they trigger multi-minute
+remote compiles on the axon toolchain (see ``_pallas_ok``); the XLA
+scan remains the production default and the portable fallback (CPU,
+virtual-device meshes, oversized windows).
 """
 
 from __future__ import annotations

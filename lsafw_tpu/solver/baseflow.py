@@ -54,12 +54,11 @@ class BaseFlowSolver:
             # device band LU + GMRES (host SuperLU takes minutes at
             # production sizes); the plan is shared with Newton's
             # Jacobian (same pattern)
-            from lsafw_tpu.solver.band import BandedLU, plan_for_csr, regularize_saddle_data
+            from lsafw_tpu.solver.band import factor_auto, plan_for_csr
             from lsafw_tpu.solver.newton import _banded_mr
 
             plan = plan_for_csr(A)
-            data = regularize_saddle_data(A.data, None, A.pattern.diag_slots)
-            blu = BandedLU.factor(plan, data)
+            blu, _ = factor_auto(plan, A.data, diag_slots=A.pattern.diag_slots)
             res = _banded_mr(A, blu, b, tol=1e-10)
             if bool(res.converged):
                 return np.asarray(res.x)

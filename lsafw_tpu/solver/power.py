@@ -31,20 +31,23 @@ class PowerResult(NamedTuple):
     residual: jnp.ndarray  # |K x - lam M x| / |x|
 
 
-def _eigh3(A: jnp.ndarray):
-    """Symmetric 3x3 eigendecomposition by cyclic Jacobi rotations.
+def _eigh_small(A: jnp.ndarray, sweeps: int = 8):
+    """Symmetric kxk eigendecomposition by cyclic Jacobi rotations.
 
     The TPU backend's ``jnp.linalg.eigh`` under emulated f64 carries
     ~1e-7 residuals (measured; CPU gives 1e-15), which wrecks LOBPCG's
-    Rayleigh-Ritz.  Plain f64 arithmetic on TPU is accurate, so eight
+    Rayleigh-Ritz.  Plain f64 arithmetic on TPU is accurate, so cyclic
     explicit Jacobi sweeps recover full precision.  Returns (w, V)
-    with eigenvalues ascending.
+    with eigenvalues ascending.  Intended for the small Ritz blocks
+    (k = 3 for single-vector LOBPCG, 3m for the blocked solver); the
+    scan is k(k-1)/2 * sweeps steps of kxk matmuls.
 
     TPU's emulated f64 carries the f32 exponent range, so tau**2
     overflows around |tau| ~ 1e19; for large |tau| the rotation is
     t ~ 1/(2 tau), which the guarded branch below uses instead.
     """
-    V = jnp.eye(3, dtype=A.dtype)
+    k = A.shape[0]
+    V = jnp.eye(k, dtype=A.dtype)
 
     def rotate(AV, pq):
         A, V = AV
@@ -57,15 +60,21 @@ def _eigh3(A: jnp.ndarray):
         t = jnp.where(apq == 0, 0.0, t)
         c = 1.0 / jnp.sqrt(1.0 + t * t)
         s = t * c
-        R = jnp.eye(3, dtype=A.dtype)
+        R = jnp.eye(k, dtype=A.dtype)
         R = R.at[p, p].set(c).at[q, q].set(c).at[p, q].set(s).at[q, p].set(-s)
         return (R.T @ A @ R, V @ R), None
 
-    pairs = [(0, 1), (0, 2), (1, 2)] * 8
+    pairs = [(p, q) for p in range(k) for q in range(p + 1, k)] * sweeps
     (A, V), _ = lax.scan(rotate, (A, V), jnp.asarray(pairs))
     w = jnp.diagonal(A)
     order = jnp.argsort(w)
     return w[order], V[:, order]
+
+
+def _eigh3(A: jnp.ndarray):
+    """3x3 case of :func:`_eigh_small` (kept as the single-vector
+    LOBPCG's Ritz solve)."""
+    return _eigh_small(A, sweeps=8)
 
 
 def _cg_fixed(matvec, b, x0, iters: int, inv_diag):
@@ -251,6 +260,185 @@ def lobpcg_smallest_pc(
     """LOBPCG with a general preconditioner pytree exposing
     ``pc.apply(r)`` (e.g. :class:`lsafw_tpu.solver.multigrid.MultigridPC`)."""
     return _lobpcg_core(K, M, x0, pc.apply, tol, max_iter)
+
+
+class BlockPowerResult(NamedTuple):
+    eigenvalues: jnp.ndarray  # (m,) ascending Ritz values
+    eigenvectors: jnp.ndarray  # (m, n) packed rows
+    iterations: jnp.ndarray
+    residuals: jnp.ndarray  # (m,) |K x - lam M x| / |M x|
+
+
+def _orthonormalize_col(K, M, v, against):
+    """M-orthonormalize ``v`` against M-orthonormal ``(u, Ku, Mu)``
+    columns — the blocked counterpart of the nested helper in
+    :func:`_lobpcg_core` (same CGS2 + fresh-product design, see the
+    rationale there).  Dead columns (rank-deficient after projection)
+    come back as zeros with ok=False; zeros project to zero so dead
+    columns are safe to keep in ``against`` lists."""
+
+    def mdot(a, Mb):
+        return ddot(a, Mb)
+
+    Mv = M.matvec(v)
+    n0 = jnp.sqrt(jnp.maximum(mdot(v, Mv), 0.0))
+    for _ in range(2):
+        for u, Ku, Mu in against:
+            a = mdot(u, Mv)
+            v, Mv = v - a * u, Mv - a * Mu
+    n1 = jnp.sqrt(jnp.maximum(mdot(v, Mv), 0.0))
+    ok = n1 > 1e-8 * n0
+    s = jnp.where(ok, 1.0 / jnp.where(ok, n1, 1.0), 0.0)
+    v = v * s
+    Kv = K.matvec(v)
+    Mv = M.matvec(v)
+    for u, Ku, Mu in against:
+        a = mdot(u, Mv)
+        v, Kv, Mv = v - a * u, Kv - a * Ku, Mv - a * Mu
+    n2 = jnp.sqrt(jnp.maximum(mdot(v, Mv), 0.0))
+    ok = ok & (n2 > 0.5)
+    s2 = jnp.where(ok, 1.0 / jnp.where(ok, n2, 1.0), 0.0)
+    return v * s2, Kv * s2, Mv * s2, ok
+
+
+def _lobpcg_block_core(K, M, X0, apply_pc, tol, max_iter) -> BlockPowerResult:
+    """Blocked (multi-pair) LOBPCG: Rayleigh-Ritz over the 3m-column
+    basis [X, W, P] per iteration.
+
+    Numerical design is inherited from the hardened single-vector core
+    (:func:`_lobpcg_core`): vector-level CGS2 M-orthonormalization of
+    the whole basis (so the Ritz problem is a *standard* 3m x 3m
+    eigenproblem, B = I to roundoff), FRESH K/M products on the final
+    orthonormalized columns, Gram entries via explicit VPU ddots (the
+    emulated-f64 MXU matmul reduction drops the low word), and the
+    full-precision Jacobi :func:`_eigh_small` for the Ritz solve.
+    Dead basis columns (converged W directions, the first iteration's
+    zero P) are masked with a 1e30 diagonal so they sort past every
+    live Ritz value.
+
+    Convergence is on the max per-pair residual; the stagnation guard
+    matches the single-vector core (TPU emulated-f64 residual floor).
+
+    Parity: SLEPc's LOBPCG/Krylov-Schur multi-pair paths for the
+    membrane/elasticity SPD pencils
+    (/root/reference/Solver/eigen.py EPS with nev>1).
+    """
+    m = X0.shape[0]
+
+    # --- initial M-orthonormal block + Rayleigh quotients ---
+    cols = []
+    for i in range(m):
+        v, Kv, Mv, _ok = _orthonormalize_col(K, M, X0[i], cols)
+        cols.append((v, Kv, Mv))
+    X = jnp.stack([c[0] for c in cols])
+    KX = jnp.stack([c[1] for c in cols])
+    MX = jnp.stack([c[2] for c in cols])
+    lams = jnp.stack([ddot(c[0], c[1]) for c in cols])
+    P = jnp.zeros_like(X)
+    res0 = jnp.full((m,), jnp.inf, dtype=X.dtype)
+
+    def cond(st):
+        X, KX, MX, lams, P, res, it, best, stall = st
+        maxres = jnp.max(res)
+        stagnated = (stall >= 25) & (maxres <= 1e4 * tol)
+        return (maxres > tol) & (it < max_iter) & ~stagnated
+
+    def body(st):
+        X, KX, MX, lams, P, _, it, best, stall = st
+        basis = []  # (v, Kv, Mv) triples, M-orthonormal
+        dead = []
+        for i in range(m):
+            v, Kv, Mv, ok = _orthonormalize_col(K, M, X[i], basis)
+            basis.append((v, Kv, Mv))
+            dead.append(~ok)
+        for i in range(m):
+            r = KX[i] - lams[i] * MX[i]
+            w = apply_pc(r)
+            v, Kv, Mv, ok = _orthonormalize_col(K, M, w, basis)
+            basis.append((v, Kv, Mv))
+            dead.append(~ok)
+        for i in range(m):
+            v, Kv, Mv, ok = _orthonormalize_col(K, M, P[i], basis)
+            basis.append((v, Kv, Mv))
+            dead.append(~ok)
+
+        k = 3 * m
+        A = jnp.zeros((k, k), dtype=X.dtype)
+        for i in range(k):
+            for j in range(i, k):
+                a = ddot(basis[i][0], basis[j][1])
+                A = A.at[i, j].set(a).at[j, i].set(a)
+        A = A + jnp.diag(jnp.where(jnp.stack(dead), 1e30, 0.0))
+        _lam_all, Y = _eigh_small(A)
+
+        Xn, KXn, MXn = [], [], []
+        lamn, resn, Pn = [], [], []
+        for j in range(m):
+            y = Y[:, j]
+            p_new = sum(y[i] * basis[i][0] for i in range(m, k))
+            x_new = sum(y[i] * basis[i][0] for i in range(m)) + p_new
+            Kx = K.matvec(x_new)
+            Mx = M.matvec(x_new)
+            nrm = jnp.sqrt(jnp.maximum(ddot(x_new, Mx), 1e-30))
+            x_new, Kx, Mx = x_new / nrm, Kx / nrm, Mx / nrm
+            # fresh Rayleigh quotient, not the Ritz value (see
+            # _lobpcg_core: the Ritz solve only picks directions)
+            lam = ddot(x_new, Kx)
+            res = jnp.linalg.norm(Kx - lam * Mx) / jnp.maximum(
+                jnp.linalg.norm(Mx), 1e-30
+            )
+            Xn.append(x_new)
+            KXn.append(Kx)
+            MXn.append(Mx)
+            lamn.append(lam)
+            resn.append(res)
+            Pn.append(p_new)
+        resv = jnp.stack(resn)
+        maxres = jnp.max(resv)
+        improved = maxres < 0.98 * best
+        best_new = jnp.minimum(best, maxres)
+        stall_new = jnp.where(improved, 0, stall + 1)
+        return (
+            jnp.stack(Xn), jnp.stack(KXn), jnp.stack(MXn), jnp.stack(lamn),
+            jnp.stack(Pn), resv, it + 1, best_new, stall_new,
+        )
+
+    st0 = (X, KX, MX, lams, P, res0, 0, jnp.inf, 0)
+    X, KX, MX, lams, P, res, it, _, _ = lax.while_loop(cond, body, st0)
+    order = jnp.argsort(lams)
+    return BlockPowerResult(
+        eigenvalues=lams[order], eigenvectors=X[order],
+        iterations=it, residuals=res[order],
+    )
+
+
+@jax.jit
+def lobpcg_block(
+    K: StencilOperator,
+    M: StencilOperator,
+    X0: jnp.ndarray,
+    inv_diag: jnp.ndarray,
+    tol: float = 1e-10,
+    max_iter: int = 500,
+) -> BlockPowerResult:
+    """Smallest m eigenpairs of the SPD pencil K x = lam M x by blocked
+    LOBPCG with a Jacobi preconditioner.  ``X0`` is (m, n) — m packed
+    start vectors as rows."""
+    return _lobpcg_block_core(K, M, X0, lambda r: inv_diag * r, tol, max_iter)
+
+
+@jax.jit
+def lobpcg_block_pc(
+    K: StencilOperator,
+    M: StencilOperator,
+    X0: jnp.ndarray,
+    pc,
+    tol: float = 1e-10,
+    max_iter: int = 500,
+) -> BlockPowerResult:
+    """Blocked LOBPCG with a general preconditioner pytree exposing
+    ``pc.apply(r)`` (e.g. :class:`lsafw_tpu.solver.multigrid.MultigridPC`)."""
+    return _lobpcg_block_core(K, M, X0, pc.apply, tol, max_iter)
 
 
 @jax.jit

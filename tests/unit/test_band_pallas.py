@@ -56,9 +56,12 @@ def test_fwd_substitution_matches_numpy_on_tpu():
 
 
 @pytest.mark.skipif(not _have_real_tpu(), reason="needs TPU hardware")
-def test_full_pallas_solve_matches_xla_scan_on_tpu():
+def test_full_pallas_solve_matches_xla_scan_on_tpu(monkeypatch):
     """Forward + backward + Dinv through the Pallas kernels vs the XLA
-    scan path, on a real factored operator (production wiring check)."""
+    scan path, on a real factored operator (wiring check; the path is
+    opt-in pending the in-loop compile-cost diagnosis — see
+    band._pallas_ok)."""
+    monkeypatch.setenv("LSAFW_PALLAS_BAND", "1")
     import dataclasses
 
     import jax.numpy as jnp
