@@ -162,14 +162,18 @@ class BandPlan:
                 (np.ones(csr.nnz, np.int8), csr.indices, csr.indptr), shape=csr.shape
             )
             perm = rcm_permutation(pat + pat.T)
-        perm = np.asarray(perm, dtype=np.int64)
-        iperm = np.empty(n, dtype=np.int64)
-        iperm[perm] = np.arange(n, dtype=np.int64)
+        # int32 throughout: this VM's numpy has no SIMD path for int64
+        # floor-divide / abs (measured ~600x slower than int32 at 5M
+        # elements — 424 s plans at 520k DOFs); n and every offset
+        # below fit int32 comfortably.
+        perm = np.asarray(perm, dtype=np.int32)
+        iperm = np.empty(n, dtype=np.int32)
+        iperm[perm] = np.arange(n, dtype=np.int32)
 
         # permuted coordinates of every CSR entry, in CSR storage order
-        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(csr.indptr))
+        rows = np.repeat(np.arange(n, dtype=np.int32), np.diff(csr.indptr))
         pi = iperm[rows]
-        pj = iperm[csr.indices.astype(np.int64)]
+        pj = iperm[csr.indices.astype(np.int32)]
 
         bw = int(np.abs(pi - pj).max()) if len(pi) else 0
         B = max(1, -(-bw // nb))
@@ -205,7 +209,7 @@ class BandPlan:
             # sentinel row past the buffer: XLA drops the scatter update
             I = np.where(out, (nblk_pad + B), I)
             off = np.where(out, 0, off)
-        pad = np.arange(n, (nblk_pad + B) * nb, dtype=np.int64)
+        pad = np.arange(n, (nblk_pad + B) * nb, dtype=np.int32)
         pad_off = (B * nb * nb) + (pad % nb) * nb + (pad % nb)
         logger.info(
             "BandPlan: n=%d bandwidth=%d B=%d nblk=%d (band %.2f GB %s on device, "
@@ -218,7 +222,7 @@ class BandPlan:
             if dropped else "",
         )
         perm_pad = np.concatenate(
-            [perm, np.arange(n, nblk_pad * nb, dtype=np.int64)]
+            [perm, np.arange(n, nblk_pad * nb, dtype=np.int32)]
         )
         return cls(
             n=n, nb=nb, B=B, nblk_pad=nblk_pad, chunk=chunk,
