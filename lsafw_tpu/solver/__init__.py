@@ -14,6 +14,8 @@ from lsafw_tpu.solver.band import (
     BandedLU,
     BandPlan,
     PivotedBandedLU,
+    RealBandedLU,
+    RealPivotedBandedLU,
     factor_auto,
     plan_for_csr,
 )
@@ -41,6 +43,8 @@ __all__ = [
     "BandedLU",
     "BandPlan",
     "PivotedBandedLU",
+    "RealBandedLU",
+    "RealPivotedBandedLU",
     "factor_auto",
     "plan_for_csr",
     "EigenSolver",

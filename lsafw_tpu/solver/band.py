@@ -60,18 +60,22 @@ FACTOR_STATS: list[dict] = []
 _FACTOR_STATS_MAX = 64
 
 
-def _record_factor(n, B, nb, nblk, seconds, *, pivoted: bool) -> None:
+def _record_factor(n, B, nb, nblk, seconds, *, pivoted: bool, real: bool = False) -> None:
     # complex Schur update dominates: 8*B^2*nb^3 real flops per block
     # row for the pivot-free elimination, ~2x that (2B-wide trailing)
     # for the pivoted one; plus the 2nb x 2nb embedded inversions
-    # (2*(2nb)^3/3 each) and the L = E D^-1 panel matmuls.
+    # (2*(2nb)^3/3 each) and the L = E D^-1 panel matmuls.  The
+    # real-only elimination does one real product where the pair
+    # kernels need four (and a plain nb inversion).
     inv = 2.0 * (2 * nb) ** 3 / 3.0
-    if pivoted:
+    if real:
+        flops = nblk * (2.0 * B * B * nb**3 + 2.0 * B * nb**3 + 2.0 * nb**3 / 3.0)
+    elif pivoted:
         flops = nblk * (16.0 * B * B * nb**3 + 8.0 * B * nb**3 + 2 * inv)
     else:
         flops = nblk * (8.0 * B * B * nb**3 + 8.0 * B * nb**3 + inv)
     FACTOR_STATS.append(
-        dict(n=n, B=B, nb=nb, seconds=seconds, flops=flops, pivoted=pivoted)
+        dict(n=n, B=B, nb=nb, seconds=seconds, flops=flops, pivoted=pivoted, real=real)
     )
     del FACTOR_STATS[:-_FACTOR_STATS_MAX]
 
@@ -114,6 +118,7 @@ class BandPlan:
     band_dtype: str  # "f32" | "bf16" (bf16: half-memory band storage;
     # elimination arithmetic stays f32 in the carry window, only the
     # at-rest rows are rounded — measured contraction 8e-3 vs 0-ish)
+    real: bool  # plan sized for a single real band (no imag channel)
     perm: np.ndarray  # (n,) permuted index -> original
     pos_row: jnp.ndarray  # (nnz,) int32 band block-row per CSR entry
     pos_off: jnp.ndarray  # (nnz,) int32 offset within block-row
@@ -140,6 +145,7 @@ class BandPlan:
         perm: np.ndarray | None = None,
         max_bytes: int | None = None,
         min_B: int | None = None,
+        real: bool = False,
     ) -> "BandPlan":
         """Plan the band of the (pattern of) ``csr``.  Data values are
         ignored; only the sparsity is used.
@@ -186,17 +192,20 @@ class BandPlan:
         dropped = 0
         band_dtype = "f32"
         if max_bytes is not None:
+            # per-entry bytes: complex keeps an (re, im) pair
+            f32_b, bf16_b = (4, 2) if real else (8, 4)
+
             def _bytes(B_, per_entry):
                 return (nblk_pad + B_) * (2 * B_ + 1) * nb * nb * per_entry
 
-            if _bytes(B, 8) > max_bytes and _bytes(B, 4) <= max_bytes:
+            if _bytes(B, f32_b) > max_bytes and _bytes(B, bf16_b) <= max_bytes:
                 # memory ladder step 1: halve the at-rest storage (the
                 # elimination arithmetic stays f32; measured refinement
                 # contraction 8e-3 on the 43k cylinder operator)
                 band_dtype = "bf16"
-            elif _bytes(B, 8) > max_bytes:
+            elif _bytes(B, f32_b) > max_bytes:
                 band_dtype = "bf16"
-                while B > 1 and _bytes(B, 4) > max_bytes:
+                while B > 1 and _bytes(B, bf16_b) > max_bytes:
                     B -= 1
         R = 2 * B + 1
 
@@ -212,10 +221,10 @@ class BandPlan:
         pad = np.arange(n, (nblk_pad + B) * nb, dtype=np.int32)
         pad_off = (B * nb * nb) + (pad % nb) * nb + (pad % nb)
         logger.info(
-            "BandPlan: n=%d bandwidth=%d B=%d nblk=%d (band %.2f GB %s on device, "
+            "BandPlan: n=%d bandwidth=%d B=%d nblk=%d (%sband %.2f GB %s on device, "
             "%.1fs plan%s)",
-            n, bw, B, nblk,
-            (nblk_pad + B) * R * nb * nb * 2
+            n, bw, B, nblk, "real " if real else "",
+            (nblk_pad + B) * R * nb * nb * (1 if real else 2)
             * (2 if band_dtype == "bf16" else 4) / 1e9, band_dtype, time.time() - t0,
             f"; TRUNCATED: {dropped}/{len(pi)} entries outside the "
             f"{B * nb}-band dropped (preconditioner-only factor)"
@@ -226,7 +235,7 @@ class BandPlan:
         )
         return cls(
             n=n, nb=nb, B=B, nblk_pad=nblk_pad, chunk=chunk,
-            band_dtype=band_dtype, perm=perm,
+            band_dtype=band_dtype, real=real, perm=perm,
             pos_row=jnp.asarray(I.astype(np.int32)),
             pos_off=jnp.asarray(off.astype(np.int32)),
             pad_row=jnp.asarray((pad // nb).astype(np.int32)),
@@ -253,7 +262,8 @@ def band_mem_budget() -> int:
     return int(float(os.environ.get("LSAFW_BAND_MEM_GB", "12")) * 1e9)
 
 
-def plan_for_csr(A, *, nb: int = 128, chunk: int = 128, max_bytes: int | None = None) -> BandPlan:
+def plan_for_csr(A, *, nb: int = 128, chunk: int = 128, max_bytes: int | None = None,
+                 real: bool = False) -> BandPlan:
     """Cached :class:`BandPlan` for a CSRMatrix's sparsity pattern —
     sigma sweeps and Newton refactorizations reuse one plan.
     ``max_bytes`` defaults to :func:`band_mem_budget`.
@@ -269,7 +279,7 @@ def plan_for_csr(A, *, nb: int = 128, chunk: int = 128, max_bytes: int | None = 
     """
     if max_bytes is None:
         max_bytes = band_mem_budget()
-    key = (id(A.pattern), nb, chunk, max_bytes)
+    key = (id(A.pattern), nb, chunk, max_bytes, real)
     hit = _PLAN_CACHE.get(key)
     if hit is not None and hit[0] is A.pattern:
         _PLAN_CACHE[key] = _PLAN_CACHE.pop(key)
@@ -282,7 +292,7 @@ def plan_for_csr(A, *, nb: int = 128, chunk: int = 128, max_bytes: int | None = 
         ),
         shape=A.pattern.shape,
     )
-    plan = BandPlan.build(csr, nb=nb, chunk=chunk, max_bytes=max_bytes)
+    plan = BandPlan.build(csr, nb=nb, chunk=chunk, max_bytes=max_bytes, real=real)
     while len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
         _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
     _PLAN_CACHE[key] = (A.pattern, plan)
@@ -508,6 +518,122 @@ def _solve_banded(band_re, band_im, dinv_r, dinv_i, br, bi, *, B, nb):
     return xr[::-1][:nblk], xi[::-1][:nblk]
 
 
+# ---------------------------------------------------------------------------
+# Real-only kernels: half the band memory and HBM solve traffic, and one
+# real einsum where the (re, im)-pair kernels need four.  Stokes operators
+# and Newton Jacobians are real; only shift-invert with Im(sigma) != 0
+# needs the complex pair.  (This is what broke the 500k-DOF OOM: the
+# complex-pair band of the REAL Stokes operator was 9.7 GB where 4.9
+# suffices.)
+# ---------------------------------------------------------------------------
+
+
+def _rmm(A, B_, spec: str):
+    """Real matmul with the band precision policy (see _band_precision)."""
+    return jnp.einsum(spec, A, B_, precision=_band_precision())
+
+
+def _rinv(D, delta):
+    """Real nb x nb inverse with a traced Tikhonov ridge (relative to
+    the mean diagonal magnitude), mirroring :func:`_cinv_emb`."""
+    s = jnp.mean(jnp.abs(jnp.diagonal(D))) + 1e-30
+    Dd = D + (delta * s) * jnp.eye(D.shape[0], dtype=D.dtype)
+    if _band_precision() == jax.lax.Precision.HIGHEST:
+        with jax.default_matmul_precision("float32"):
+            return jnp.linalg.inv(Dd)
+    return jnp.linalg.inv(Dd)
+
+
+def _factor_step_real(carry, xs, *, B: int, nb: int, delta):
+    """Real single-channel :func:`_factor_step` (same window layout)."""
+    V = carry
+    x = xs
+    dtype = V.dtype
+    pad = jnp.zeros((B, nb, nb), dtype)
+    row = jnp.concatenate([V, jnp.concatenate([pad, x], axis=0)[None]], axis=0)
+
+    X = _rinv(row[0, B], delta)  # D^-1
+    E = row[1:, B]  # blocks (K+i, K)
+    L = _rmm(E, X, "bij,jk->bik")  # L = E D^-1
+    U = row[0, B + 1 : 2 * B + 1]
+    P = _rmm(L, U, "bij,cjk->bcik")  # Schur update
+    row = row.at[1:, B + 1 : 2 * B + 1].add(-P)
+    row = row.at[1:, B].set(L)
+
+    out = (row[0, : 2 * B + 1], X)
+    zpad = jnp.zeros((B, 1, nb, nb), dtype)
+    carry = jnp.concatenate([row[1:, 1:], zpad], axis=1)
+    return carry, out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("chunk", "B", "nb"),
+    donate_argnums=(0,),
+)
+def _factor_chunk_real(band, V, k0, delta, *, chunk, B, nb):
+    """Real :func:`_factor_chunk` (donated single band buffer)."""
+    xs = jax.lax.dynamic_slice_in_dim(band, k0 + B, chunk, axis=0).astype(jnp.float32)
+    step = lambda c, x: _factor_step_real(c, x, B=B, nb=nb, delta=delta)
+    V, (y, dX) = jax.lax.scan(step, V, xs)
+    band = jax.lax.dynamic_update_slice_in_dim(band, y.astype(band.dtype), k0, axis=0)
+    return band, V, dX
+
+
+@partial(jax.jit, static_argnames=("rows_total", "R", "nb", "out_dtype"))
+def _fill_band_real(plan_pos_row, plan_pos_off, pad_row, pad_off, dre,
+                    *, rows_total, R, nb, out_dtype=jnp.float32):
+    """Scatter real CSR data into the single band buffer (one in-place
+    chain — peak memory is exactly one band)."""
+    band = (
+        jnp.zeros((rows_total, R * nb * nb), out_dtype)
+        .at[plan_pos_row, plan_pos_off].set(dre.astype(out_dtype))
+        .at[pad_row, pad_off].set(1.0)
+    )
+    return band.reshape(rows_total, R, nb, nb)
+
+
+@partial(jax.jit, static_argnames=("B", "nb"))
+def _solve_banded_real(band, dinv, b, *, B, nb):
+    """Real forward + backward substitution; ``b`` is (nblk, nb, m) f32
+    RHS blocks in permuted order (m columns solved in one band pass —
+    the substitution is HBM-bound on the band, so a pair of RHS columns
+    costs the same as one).  Same per-step dynamic-indexing discipline
+    as :func:`_solve_banded` (see the notes there)."""
+    rows_total = band.shape[0]
+    nblk = dinv.shape[0]
+    m = b.shape[2]
+    pad = rows_total - nblk
+    bp = jnp.concatenate([b, jnp.zeros((pad, nb, m), b.dtype)], axis=0)
+    eye = jnp.broadcast_to(jnp.eye(nb, dtype=dinv.dtype), (pad, nb, nb))
+    dv = jnp.concatenate([dinv, eye], axis=0)
+
+    def fstep(carry, k):
+        Y = carry  # (B, nb, m): y_{K-B}..y_{K-1}
+        row = jax.lax.dynamic_index_in_dim(band, k, 0, keepdims=False).astype(jnp.float32)
+        bk = jax.lax.dynamic_index_in_dim(bp, k, 0, keepdims=False)
+        s = _rmm(row[:B], Y, "bij,bjm->im")
+        y = bk - s
+        return jnp.concatenate([Y[1:], y[None]], axis=0), y
+
+    z = jnp.zeros((B, nb, m), b.dtype)
+    ks_f = jnp.arange(rows_total, dtype=jnp.int32)
+    _, y = jax.lax.scan(fstep, z, ks_f, unroll=4)
+
+    def bstep(carry, k):
+        X = carry  # (B, nb, m): x_{K+1}..x_{K+B}
+        row = jax.lax.dynamic_index_in_dim(band, k, 0, keepdims=False).astype(jnp.float32)
+        d = jax.lax.dynamic_index_in_dim(dv, k, 0, keepdims=False)
+        yk = jax.lax.dynamic_index_in_dim(y, k, 0, keepdims=False)
+        s = _rmm(row[B + 1 : 2 * B + 1], X, "bij,bjm->im")
+        x = _rmm(d, yk - s, "ij,jm->im")
+        return jnp.concatenate([x[None], X[:-1]], axis=0), x
+
+    ks_b = jnp.arange(rows_total - 1, -1, -1, dtype=jnp.int32)
+    _, x = jax.lax.scan(bstep, z, ks_b, unroll=4)
+    return x[::-1][:nblk]
+
+
 def _pallas_ok(band_arr, B: int, nb: int, rows_total: int) -> bool:
     """Decide at factor time (eager, concrete arrays) whether the
     substitution can run through the Pallas kernels: a real TPU device
@@ -538,6 +664,130 @@ def _pallas_ok(band_arr, B: int, nb: int, rows_total: int) -> bool:
     from lsafw_tpu.solver.band_pallas import pallas_vmem_bytes
 
     return pallas_vmem_bytes(B, nb, rows_total) < 12 * 2**20
+
+
+def _panel_plu_real(P, *, nb: int, tiny: float = 1e-30):
+    """Real single-channel :func:`_panel_plu` (LAPACK-getrf semantics,
+    same composed-permutation contract)."""
+    m = P.shape[0]
+    rows = jnp.arange(m, dtype=jnp.int32)
+    cols = jnp.arange(nb, dtype=jnp.int32)
+
+    def col_step(j, st):
+        P, perm = st
+        col = jax.lax.dynamic_index_in_dim(P, j, 1, keepdims=False)
+        mag = jnp.where(rows >= j, col * col, -1.0)
+        p = jnp.argmax(mag).astype(jnp.int32)
+        rj = jax.lax.dynamic_index_in_dim(P, j, 0, keepdims=False)
+        rp = jax.lax.dynamic_index_in_dim(P, p, 0, keepdims=False)
+        P = jax.lax.dynamic_update_index_in_dim(P, rp, j, 0)
+        P = jax.lax.dynamic_update_index_in_dim(P, rj, p, 0)
+        qj = jax.lax.dynamic_index_in_dim(perm, j, 0, keepdims=False)
+        qp = jax.lax.dynamic_index_in_dim(perm, p, 0, keepdims=False)
+        perm = jax.lax.dynamic_update_index_in_dim(perm, qp, j, 0)
+        perm = jax.lax.dynamic_update_index_in_dim(perm, qj, p, 0)
+
+        pv = jax.lax.dynamic_index_in_dim(rp, j, 0, keepdims=False)
+        good = pv * pv > tiny
+        inv = jnp.where(good, 1.0 / jnp.where(good, pv, 1.0), 0.0)
+
+        col = jax.lax.dynamic_index_in_dim(P, j, 1, keepdims=False)
+        low = (rows > j).astype(P.dtype)
+        mlt = col * inv * low
+
+        umask = (cols > j).astype(P.dtype)
+        u = rp * umask
+        P = P - mlt[:, None] * u[None, :]
+        newc = jnp.where(rows > j, mlt, col)
+        P = jax.lax.dynamic_update_index_in_dim(P, newc, j, 1)
+        return P, perm
+
+    perm0 = jnp.arange(m, dtype=jnp.int32)
+    return jax.lax.fori_loop(0, nb, col_step, (P, perm0))
+
+
+def _pfactor_step_real(carry, xs, *, B: int, nb: int, delta):
+    """Real single-channel :func:`_pfactor_step` (same layouts)."""
+    V = carry
+    x = xs
+    W = jnp.concatenate([V, x[None]], axis=0)  # (B+1, 2B+1, nb, nb)
+
+    p, perm = _panel_plu_real(W[:, 0].reshape((B + 1) * nb, nb), nb=nb)
+    L1 = jnp.tril(p[:nb], -1) + jnp.eye(nb, dtype=p.dtype)
+    Up = jnp.triu(p[:nb])
+    L2 = p[nb:].reshape(B, nb, nb)
+    L1inv = _rinv(L1, jnp.zeros((), p.dtype))
+    Uinv = _rinv(Up, delta)
+
+    T = W[:, 1:].transpose(0, 2, 1, 3).reshape((B + 1) * nb, 2 * B * nb)
+    T = jnp.take(T, perm, axis=0)
+    T0 = _rmm(L1inv, T[:nb], "ij,jk->ik")
+    S = _rmm(L2.reshape(B * nb, nb), T0, "ij,jk->ik")
+    Tl = T[nb:] - S
+
+    urow = jnp.concatenate(
+        [Up[None], T0.reshape(nb, 2 * B, nb).transpose(1, 0, 2)], axis=0
+    )  # (2B+1, nb, nb)
+
+    zpad = jnp.zeros((B, 1, nb, nb), V.dtype)
+    carry = jnp.concatenate(
+        [Tl.reshape(B, nb, 2 * B, nb).transpose(0, 2, 1, 3), zpad], axis=1
+    )
+    out = (urow, L2, L1inv, Uinv, perm)
+    return carry, out
+
+
+@partial(jax.jit, static_argnames=("chunk", "B", "nb"), donate_argnums=(0,))
+def _pfactor_chunk_real(band, V, k0, delta, *, chunk, B, nb):
+    """Real :func:`_pfactor_chunk` (donated single band buffer)."""
+    xs = jax.lax.dynamic_slice_in_dim(band, k0 + B, chunk, axis=0)
+    step = lambda c, x: _pfactor_step_real(c, x, B=B, nb=nb, delta=delta)
+    V, outs = jax.lax.scan(step, V, xs)
+    band = jax.lax.dynamic_update_slice_in_dim(band, outs[0], k0, axis=0)
+    return (band, V) + tuple(outs[1:])
+
+
+@partial(jax.jit, static_argnames=("B", "nb"))
+def _solve_pivoted_real(band, L2, L1inv, Uinv, perms, b, *, B, nb):
+    """Real substitution through the panel-pivoted factors; ``b`` is
+    (nblk, nb, m) f32 RHS blocks in permuted order (multi-column, same
+    band pass).  Same structure as :func:`_solve_pivoted`."""
+    nblk = L1inv.shape[0]
+    m = b.shape[2]
+    padb = jnp.zeros((B + 1, nb, m), b.dtype)
+    bp = jnp.concatenate([b, padb], axis=0)
+
+    def fstep(carry, k):
+        Wb = carry  # (B+1, nb, m): rows K..K+B
+        permk = jax.lax.dynamic_index_in_dim(perms, k, 0, keepdims=False)
+        f = jnp.take(Wb.reshape(-1, m), permk, axis=0)
+        l1 = jax.lax.dynamic_index_in_dim(L1inv, k, 0, keepdims=False)
+        y = _rmm(l1, f[:nb], "ij,jm->im")
+        l2 = jax.lax.dynamic_index_in_dim(L2, k, 0, keepdims=False)
+        s = _rmm(l2.reshape(B * nb, nb), y, "ij,jm->im")
+        low = f[nb:] - s
+        fresh = jax.lax.dynamic_index_in_dim(bp, k + B + 1, 0, keepdims=False)
+        carry = jnp.concatenate([low.reshape(B, nb, m), fresh[None]], axis=0)
+        return carry, y
+
+    ks = jnp.arange(nblk, dtype=jnp.int32)
+    _, y = jax.lax.scan(fstep, bp[: B + 1], ks, unroll=4)
+
+    def bstep(carry, k):
+        X = carry  # (2B, nb, m): x rows K+1..K+2B
+        row = jax.lax.dynamic_index_in_dim(band, k, 0, keepdims=False)
+        yk = jax.lax.dynamic_index_in_dim(y, k, 0, keepdims=False)
+        s = _rmm(row[1:], X, "bij,bjm->im")
+        z = yk - s
+        ui = jax.lax.dynamic_index_in_dim(Uinv, k, 0, keepdims=False)
+        x = _rmm(ui, z, "ij,jm->im")
+        carry = jnp.concatenate([x[None], X[:-1]], axis=0)
+        return carry, x
+
+    z2 = jnp.zeros((2 * B, nb, m), b.dtype)
+    ks_b = jnp.arange(nblk - 1, -1, -1, dtype=jnp.int32)
+    _, x = jax.lax.scan(bstep, z2, ks_b, unroll=4)
+    return x[::-1]
 
 
 # ---------------------------------------------------------------------------
@@ -902,11 +1152,118 @@ class PivotedBandedLU:
         return np.asarray(xr) + 1j * np.asarray(xi)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class RealPivotedBandedLU:
+    """Real single-channel :class:`PivotedBandedLU`: the robust panel-
+    pivoted factor at half the memory and a quarter of the flops, for
+    real operators (Newton Jacobians, Stokes).  Same ``solve_pair`` /
+    ``solve`` contract; ``solve_vec`` solves one real RHS."""
+
+    band: jnp.ndarray  # (nblk_pad + B, 2B+1, nb, nb) f32: U rows
+    L2: jnp.ndarray  # (nblk_pad, B, nb, nb) f32
+    L1inv: jnp.ndarray  # (nblk_pad, nb, nb) f32
+    Uinv: jnp.ndarray  # (nblk_pad, nb, nb) f32
+    perms: jnp.ndarray  # (nblk_pad, (B+1)*nb) i32
+    perm: jnp.ndarray  # (npad,) i32
+    iperm: jnp.ndarray  # (n,) i32
+    n: int
+    nb: int
+    B: int
+
+    def tree_flatten(self):
+        return (
+            (self.band, self.L2, self.L1inv, self.Uinv, self.perms,
+             self.perm, self.iperm),
+            (self.n, self.nb, self.B),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, *aux)
+
+    @classmethod
+    def factor(
+        cls,
+        plan: BandPlan,
+        data_re: jnp.ndarray,
+        *,
+        delta: float = 0.0,
+    ) -> "RealPivotedBandedLU":
+        t0 = time.time()
+        nb, B, R = plan.nb, plan.B, plan.R
+        band = _fill_band_real(
+            plan.pos_row, plan.pos_off, plan.pad_row, plan.pad_off, data_re,
+            rows_total=plan.rows_total, R=R, nb=nb,
+        )
+
+        V = jnp.zeros((B, R, nb, nb), jnp.float32)
+        for i in range(min(B, plan.nblk_pad)):
+            V = V.at[i, : B + i + 1].set(band[i, B - i :])
+
+        outs: list[list] = [[] for _ in range(4)]
+        for k0 in range(0, plan.nblk_pad, plan.chunk):
+            res = _pfactor_chunk_real(
+                band, V, k0, jnp.float32(delta), chunk=plan.chunk, B=B, nb=nb,
+            )
+            band, V = res[:2]
+            for buf, part in zip(outs, res[2:]):
+                buf.append(part)
+        L2, L1inv, Uinv, perms = [jnp.concatenate(buf, axis=0) for buf in outs]
+        Uinv.block_until_ready()
+        dt = time.time() - t0
+        _record_factor(plan.n, B, nb, plan.nblk_pad, dt, pivoted=True, real=True)
+        logger.info(
+            "RealPivotedBandedLU: factored n=%d B=%d in %.2f s (%d chunks)",
+            plan.n, B, dt, plan.nblk_pad // plan.chunk,
+        )
+        return cls(
+            band, L2, L1inv, Uinv, perms,
+            plan.perm_pad_d, plan.iperm_d, plan.n, nb, B,
+        )
+
+    # ------------------------------------------------------------------
+    def _permute_in(self, b):
+        from lsafw_tpu.ops.exact import gather_f64_fast
+
+        nblk_pad = self.L1inv.shape[0]
+        npad = nblk_pad * self.nb
+        bp = jnp.pad(b, (0, npad - self.n))
+        return gather_f64_fast(bp, self.perm).astype(jnp.float32).reshape(
+            nblk_pad, self.nb
+        )
+
+    def solve_vec(self, b: jnp.ndarray) -> jnp.ndarray:
+        bp = self._permute_in(b)[:, :, None]
+        x = _solve_pivoted_real(
+            self.band, self.L2, self.L1inv, self.Uinv, self.perms, bp,
+            B=self.B, nb=self.nb,
+        )
+        return x[:, :, 0].reshape(-1).astype(jnp.float64)[self.iperm]
+
+    def solve_pair(self, br: jnp.ndarray, bi: jnp.ndarray):
+        bp = jnp.stack([self._permute_in(br), self._permute_in(bi)], axis=2)
+        x = _solve_pivoted_real(
+            self.band, self.L2, self.L1inv, self.Uinv, self.perms, bp,
+            B=self.B, nb=self.nb,
+        )
+        xr = x[:, :, 0].reshape(-1).astype(jnp.float64)
+        xi = x[:, :, 1].reshape(-1).astype(jnp.float64)
+        return xr[self.iperm], xi[self.iperm]
+
+    def solve(self, z: np.ndarray) -> np.ndarray:
+        z = np.asarray(z, dtype=np.complex128)
+        xr, xi = self.solve_pair(jnp.asarray(z.real.copy()), jnp.asarray(z.imag.copy()))
+        return np.asarray(xr) + 1j * np.asarray(xi)
+
+
 def pivoted_extra_bytes(plan: BandPlan) -> int:
     """Extra device bytes the pivoted factor needs beyond the band
-    buffer: L2 panels, the four block inverses, and the permutations."""
+    buffer: L2 panels, the four block inverses, and the permutations.
+    For a ``real=True`` plan the channel pairs collapse to one."""
     nb, B = plan.nb, plan.B
-    per_row = (B * nb * nb * 2 + 4 * nb * nb) * 4 + (B + 1) * nb * 4
+    chan = 1 if plan.real else 2
+    per_row = (B * nb * nb + 2 * nb * nb) * chan * 4 + (B + 1) * nb * 4
     return plan.nblk_pad * per_row
 
 
@@ -921,10 +1278,24 @@ def factor_auto(
     """Factor with the robust pivoted elimination when its extra memory
     fits the budget (env ``LSAFW_PIVOT_MEM_GB``, default 8), else the
     pivot-free fast path with saddle regularization.  Returns
-    ``(lu, pivoted)``."""
+    ``(lu, pivoted)``.
+
+    A plan built with ``real=True`` (real operator, no imag channel)
+    always takes the half-memory :class:`RealBandedLU` path — its B was
+    sized by the single-band memory ladder, so the pair factors would
+    bust the budget that sized it."""
     import os
 
     budget = float(os.environ.get("LSAFW_PIVOT_MEM_GB", "8")) * 1e9
+    if plan.real:
+        if data_im is not None:
+            raise ValueError("real band plan cannot factor complex data")
+        band_bytes = plan.rows_total * plan.R * plan.nb * plan.nb * 4
+        if band_bytes + pivoted_extra_bytes(plan) <= budget:
+            return RealPivotedBandedLU.factor(plan, data_re, delta=delta), True
+        if diag_slots is not None:
+            data_re = regularize_saddle_data(data_re, None, diag_slots)
+        return RealBandedLU.factor(plan, data_re, delta=delta), False
     band_bytes = plan.rows_total * plan.R * plan.nb * plan.nb * 2 * 4
     if band_bytes + pivoted_extra_bytes(plan) <= budget:
         return PivotedBandedLU.factor(plan, data_re, data_im, delta=delta), True
@@ -1067,6 +1438,110 @@ class BandedLU:
             )
         xr = xr.reshape(-1).astype(jnp.float64)
         xi = xi.reshape(-1).astype(jnp.float64)
+        return xr[self.iperm], xi[self.iperm]
+
+    def solve(self, z: np.ndarray) -> np.ndarray:
+        """Host complex convenience wrapper."""
+        z = np.asarray(z, dtype=np.complex128)
+        xr, xi = self.solve_pair(jnp.asarray(z.real.copy()), jnp.asarray(z.imag.copy()))
+        return np.asarray(xr) + 1j * np.asarray(xi)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class RealBandedLU:
+    """Pivot-free blocked band LU of a REAL operator: one band buffer
+    (half the memory and substitution HBM traffic of the (re, im)-pair
+    :class:`BandedLU`) and one real einsum per block product where the
+    pair kernels need four.  Same ``solve_pair``/``solve`` contract —
+    a complex RHS rides the same band pass as two solve columns.
+
+    Used by :func:`factor_auto` for real data when the pivoted factor
+    does not fit memory: Stokes operators and Newton Jacobians are
+    real, and at production sizes (500k+ DOFs) the redundant imaginary
+    band was the difference between fitting a 16 GB v5e and OOM.
+    """
+
+    band: jnp.ndarray  # (nblk_pad + B, 2B+1, nb, nb) f32/bf16, factored
+    dinv: jnp.ndarray  # (nblk_pad, nb, nb) f32
+    perm: jnp.ndarray  # (npad,) int32
+    iperm: jnp.ndarray  # (n,) int32
+    n: int
+    nb: int
+    B: int
+
+    def tree_flatten(self):
+        return (
+            (self.band, self.dinv, self.perm, self.iperm),
+            (self.n, self.nb, self.B),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, *aux)
+
+    @classmethod
+    def factor(
+        cls,
+        plan: BandPlan,
+        data_re: jnp.ndarray,
+        *,
+        delta: float = 0.0,
+    ) -> "RealBandedLU":
+        """Fill the single band buffer from device CSR data and factor
+        it in donated chunks."""
+        t0 = time.time()
+        nb, B, R = plan.nb, plan.B, plan.R
+        out_dtype = jnp.bfloat16 if plan.band_dtype == "bf16" else jnp.float32
+        band = _fill_band_real(
+            plan.pos_row, plan.pos_off, plan.pad_row, plan.pad_off, data_re,
+            rows_total=plan.rows_total, R=R, nb=nb, out_dtype=out_dtype,
+        )
+
+        W3 = 3 * B + 1
+        V = jnp.zeros((B, W3, nb, nb), jnp.float32)
+        for i in range(min(B, plan.nblk_pad)):
+            V = V.at[i, i : i + R].set(band[i].astype(jnp.float32))
+
+        dinvs = []
+        for k0 in range(0, plan.nblk_pad, plan.chunk):
+            band, V, dX = _factor_chunk_real(
+                band, V, k0, jnp.float32(delta), chunk=plan.chunk, B=B, nb=nb,
+            )
+            dinvs.append(dX)
+        dinv = jnp.concatenate(dinvs, axis=0)
+        dinv.block_until_ready()
+        dt = time.time() - t0
+        _record_factor(plan.n, B, nb, plan.nblk_pad, dt, pivoted=False, real=True)
+        logger.info(
+            "RealBandedLU: factored n=%d B=%d in %.2f s (%d chunks)",
+            plan.n, B, dt, plan.nblk_pad // plan.chunk,
+        )
+        return cls(band, dinv, plan.perm_pad_d, plan.iperm_d, plan.n, nb, B)
+
+    # ------------------------------------------------------------------
+    def _permute_in(self, b):
+        from lsafw_tpu.ops.exact import gather_f64_fast
+
+        nblk_pad = self.dinv.shape[0]
+        npad = nblk_pad * self.nb
+        bp = jnp.pad(b, (0, npad - self.n))
+        return gather_f64_fast(bp, self.perm).astype(jnp.float32).reshape(
+            nblk_pad, self.nb
+        )
+
+    def solve_vec(self, b: jnp.ndarray) -> jnp.ndarray:
+        """x = A^-1 b for one real f64 vector (unpermuted)."""
+        bp = self._permute_in(b)[:, :, None]
+        x = _solve_banded_real(self.band, self.dinv, bp, B=self.B, nb=self.nb)
+        return x[:, :, 0].reshape(-1).astype(jnp.float64)[self.iperm]
+
+    def solve_pair(self, br: jnp.ndarray, bi: jnp.ndarray):
+        """(re, im) RHS through one two-column band pass."""
+        bp = jnp.stack([self._permute_in(br), self._permute_in(bi)], axis=2)
+        x = _solve_banded_real(self.band, self.dinv, bp, B=self.B, nb=self.nb)
+        xr = x[:, :, 0].reshape(-1).astype(jnp.float64)
+        xi = x[:, :, 1].reshape(-1).astype(jnp.float64)
         return xr[self.iperm], xi[self.iperm]
 
     def solve(self, z: np.ndarray) -> np.ndarray:

@@ -57,7 +57,7 @@ class BaseFlowSolver:
             from lsafw_tpu.solver.band import factor_auto, plan_for_csr
             from lsafw_tpu.solver.newton import _banded_mr
 
-            plan = plan_for_csr(A)
+            plan = plan_for_csr(A, real=True)  # Stokes operator is real
             blu, _ = factor_auto(plan, A.data, diag_slots=A.pattern.diag_slots)
             res = _banded_mr(A, blu, b, tol=1e-10)
             if bool(res.converged):

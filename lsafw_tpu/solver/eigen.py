@@ -388,6 +388,12 @@ class ShiftInvertOperator:
 
         A, M = self.A, self.M
         if M is not None and M.pattern is A.pattern:
+            if self.sigma.imag == 0.0:
+                # real shift of real operators: single-channel band
+                plan = plan_for_csr(A, real=True)
+                dre = A.data - self.sigma.real * M.data
+                blu, _ = factor_auto(plan, dre, diag_slots=A.pattern.diag_slots)
+                return blu
             plan = plan_for_csr(A)
             dre = A.data - self.sigma.real * M.data
             dim = (-self.sigma.imag) * M.data

@@ -46,8 +46,16 @@ def _banded_mr(J, blu, b, *, tol, max_its: int = 60):
     from lsafw_tpu.ops.sparse import spmv
     from lsafw_tpu.solver.linear import SolveResult
 
+    def bsolve(v):
+        # real factors (RealBandedLU / RealPivotedBandedLU) solve one
+        # column; pair factors ride a zero imag channel
+        if hasattr(blu, "solve_vec"):
+            return blu.solve_vec(v)
+        x, _ = blu.solve_pair(v, jnp.zeros_like(v))
+        return x
+
     bnorm = jnp.maximum(jnp.sqrt(ddot(b, b)), 1e-300)
-    x, _ = blu.solve_pair(b, jnp.zeros_like(b))
+    x = bsolve(b)
     r = b - spmv(J, x)
 
     def cond(st):
@@ -59,7 +67,7 @@ def _banded_mr(J, blu, b, *, tol, max_its: int = 60):
 
     def body(st):
         x, r, k = st
-        d, _ = blu.solve_pair(r, jnp.zeros_like(r))
+        d = bsolve(r)
         Cd = spmv(J, d)
         alpha = ddot(Cd, r) / jnp.maximum(ddot(Cd, Cd), 1e-300)
         return x + alpha * d, r - alpha * Cd, k + 1
@@ -112,7 +120,9 @@ class NewtonSolver:
 
         if self._banded_ok:
             if self._band_plan is None:
-                self._band_plan = plan_for_csr(J)
+                # the Jacobian is real: single-channel band (half the
+                # memory/traffic of the complex-pair factor)
+                self._band_plan = plan_for_csr(J, real=True)
             blu, pivoted = factor_auto(
                 self._band_plan, J.data, diag_slots=J.pattern.diag_slots
             )

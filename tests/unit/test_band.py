@@ -415,3 +415,102 @@ def test_bf16_band_storage_preconditions():
         if np.linalg.norm(r) / np.linalg.norm(b) < 1e-10:
             break
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-10, it
+
+
+# ---------------------------------------------------------------------------
+# Real single-channel factors (half-memory path for real operators)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("nb,chunk", [(16, 8), (32, 4)])
+def test_real_band_lu_matches_scipy(nb, chunk):
+    from lsafw_tpu.solver.band import BandPlan, RealBandedLU
+
+    n, bw = 300, 21
+    A = sp.csr_matrix(_random_banded(n, bw, seed=7, complex_=False).real)
+    plan = BandPlan.build(A, nb=nb, chunk=chunk, real=True)
+    lu = RealBandedLU.factor(plan, jnp.asarray(A.data))
+    rng = np.random.default_rng(8)
+    b = rng.standard_normal(n)
+    x = np.asarray(lu.solve_vec(jnp.asarray(b)))
+    ref = spla.splu(A.tocsc()).solve(b)
+    assert np.linalg.norm(x - ref) / np.linalg.norm(ref) < 5e-5
+    # pair solve: two independent columns through one band pass
+    b2 = rng.standard_normal(n)
+    xr, xi = lu.solve_pair(jnp.asarray(b), jnp.asarray(b2))
+    assert np.linalg.norm(np.asarray(xr) - ref) / np.linalg.norm(ref) < 5e-5
+    ref2 = spla.splu(A.tocsc()).solve(b2)
+    assert np.linalg.norm(np.asarray(xi) - ref2) / np.linalg.norm(ref2) < 5e-5
+
+
+@pytest.mark.parametrize("nb,chunk", [(16, 8)])
+def test_real_pivoted_band_lu_matches_scipy(nb, chunk):
+    from lsafw_tpu.solver.band import BandPlan, RealPivotedBandedLU
+
+    n, bw = 300, 21
+    A = sp.csr_matrix(_random_banded(n, bw, seed=9, complex_=False).real)
+    plan = BandPlan.build(A, nb=nb, chunk=chunk, real=True)
+    lu = RealPivotedBandedLU.factor(plan, jnp.asarray(A.data))
+    rng = np.random.default_rng(10)
+    b = rng.standard_normal(n)
+    x = np.asarray(lu.solve_vec(jnp.asarray(b)))
+    ref = spla.splu(A.tocsc()).solve(b)
+    assert np.linalg.norm(x - ref) / np.linalg.norm(ref) < 5e-5
+
+
+def test_real_pivoted_survives_growth_bomb():
+    """The real panel pivoting must handle the cross-block tiny-pivot
+    operator that breaks the pivot-free elimination (real analogue of
+    test_pivoted_band_lu_survives_growth_bomb)."""
+    from lsafw_tpu.solver.band import BandPlan, RealBandedLU, RealPivotedBandedLU
+
+    A = sp.csr_matrix(_growth_bomb().real)
+    n = A.shape[0]
+    rng = np.random.default_rng(11)
+    b = rng.standard_normal(n)
+    ref = spla.splu(A.tocsc()).solve(b)
+    perm = np.arange(n)  # pin natural order (see complex twin)
+    plan = BandPlan.build(A, nb=16, chunk=8, perm=perm, real=True)
+    lu_p = RealPivotedBandedLU.factor(plan, jnp.asarray(A.data))
+    x_p = np.asarray(lu_p.solve_vec(jnp.asarray(b)))
+    rel_p = np.linalg.norm(x_p - ref) / np.linalg.norm(ref)
+    assert rel_p < 1e-4, f"real pivoted factor inaccurate: {rel_p:.2e}"
+    lu_f = RealBandedLU.factor(plan, jnp.asarray(A.data))
+    x_f = np.asarray(lu_f.solve_vec(jnp.asarray(b)))
+    rel_f = np.linalg.norm(x_f - ref) / np.linalg.norm(ref)
+    assert not np.isfinite(rel_f) or rel_f > 1e-2
+
+
+def test_factor_auto_real_policy():
+    """A real plan dispatches to the real factors: pivoted under the
+    memory budget, pivot-free (with regularization available) above."""
+    import os
+
+    from lsafw_tpu.solver.band import (
+        BandPlan, RealBandedLU, RealPivotedBandedLU, factor_auto,
+    )
+
+    A = sp.csr_matrix(_random_banded(200, 11, seed=12, complex_=False).real)
+    plan = BandPlan.build(A, nb=16, chunk=8, real=True)
+    dre = jnp.asarray(A.data)
+    lu, pivoted = factor_auto(plan, dre)
+    assert pivoted and isinstance(lu, RealPivotedBandedLU)
+    old = os.environ.get("LSAFW_PIVOT_MEM_GB")
+    os.environ["LSAFW_PIVOT_MEM_GB"] = "0"
+    try:
+        lu2, pivoted2 = factor_auto(plan, dre)
+        assert not pivoted2 and isinstance(lu2, RealBandedLU)
+    finally:
+        if old is None:
+            del os.environ["LSAFW_PIVOT_MEM_GB"]
+        else:
+            os.environ["LSAFW_PIVOT_MEM_GB"] = old
+    rng = np.random.default_rng(13)
+    b = rng.standard_normal(200)
+    ref = spla.splu(A.tocsc()).solve(b)
+    for l in (lu, lu2):
+        x = np.asarray(l.solve_vec(jnp.asarray(b)))
+        assert np.linalg.norm(x - ref) / np.linalg.norm(ref) < 1e-4
+    # complex data on a real plan must be rejected
+    with pytest.raises(ValueError):
+        factor_auto(plan, dre, jnp.zeros_like(dre))
