@@ -59,3 +59,15 @@ def analytic_eigenvalues(a: float, b: float, count: int) -> np.ndarray:
         for n in range(1, kmax):
             vals.append(np.pi**2 * (m**2 / a**2 + n**2 / b**2))
     return np.sort(np.asarray(vals))[:count]
+
+
+def analytic_eigenvalues_3d(a: float, b: float, c: float, count: int) -> np.ndarray:
+    """First ``count`` analytic Dirichlet-Laplacian eigenvalues of the
+    (a, b, c) box, ascending: pi^2 (l^2/a^2 + m^2/b^2 + n^2/c^2)."""
+    vals = []
+    kmax = int(np.ceil(count ** (1 / 3) * 4)) + 4
+    for l in range(1, kmax):
+        for m in range(1, kmax):
+            for n in range(1, kmax):
+                vals.append(np.pi**2 * (l**2 / a**2 + m**2 / b**2 + n**2 / c**2))
+    return np.sort(np.asarray(vals))[:count]
