@@ -253,6 +253,10 @@ class CSRMatrix:
     def __matmul__(self, x: jnp.ndarray) -> jnp.ndarray:
         return spmv(self, x)
 
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Operator-protocol alias (LOBPCG/MG take ops with .matvec)."""
+        return spmv(self, x)
+
     def matvec_t(self, x: jnp.ndarray) -> jnp.ndarray:
         """Transpose matvec A^T x without materializing A^T: scatter-add
         the column contributions (adjoint of the ELL gather)."""
