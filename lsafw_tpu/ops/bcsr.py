@@ -1,0 +1,316 @@
+"""Block-compressed-sparse-row SpMV — the unstructured gather-wall fix.
+
+Round-2/3 measurements put XLA's per-INDEX gather cost at ~7 ns
+regardless of locality, which capped every scalar-gather SpMV (ELL at
+520k DOFs: 295 ms, 0.09x one scipy core).  The round-3 probe
+(``scripts/dev_block_gather.py``) showed the cost is per index, not per
+element: gathering (1, W) contiguous slices runs at 0.035-0.45
+ns/element for W = 8..128 — two orders of magnitude under the wall.
+
+So the TPU-native unstructured SpMV is BCSR: rows in groups of ``br``,
+columns in blocks of ``bc``; per row group an ELL-style padded list of
+column-block ids.  The apply is one slice-gather of x blocks
+(``KB * n/br`` indices instead of ``nnz``) followed by a dense
+(br, bc) x (bc,) contraction per block — pure VPU/MXU work.
+
+The layout only works on a bandwidth-reduced ordering: RCM clusters
+the columns of adjacent rows into a handful of blocks (measured on the
+43k cylinder Jacobian: 4.3 column-blocks of 128 per 8-row group vs ~30
+scattered singles unpermuted).  The plan shares the native-RCM
+permutation infrastructure with :mod:`lsafw_tpu.solver.band`, and the
+operator exposes ``matvec_permuted`` so a banded-SI refinement loop
+(band solve -> residual matvec) can run end-to-end in permuted
+coordinates with no per-iteration permutation gathers.
+
+f64 path: the value blocks are read LINEARLY (no gather), so they can
+be stored as native f64; only the x-block gather must avoid emulated
+f64 — x rides as hi/lo f32 channels (exactly representable splits,
+recombined in-register), and the contraction runs as multiply+reduce
+in f64 on the VPU (the ddot-clean formulation; the MXU f64 dot drops
+the low word).
+
+Parity: PETSc MatMult as the per-iteration Krylov workhorse
+(``/root/reference/Solver/utils.py:395-403``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from lsafw_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+_PLAN_CACHE: dict = {}
+_PLAN_CACHE_MAX = 8
+
+
+@dataclass(frozen=True, eq=False)
+class BCSRPlan:
+    """Host-built BCSR structure for one sparsity pattern.
+
+    ``pos``: flat scatter targets (nnz,) into the (NBR, KB, br, bc)
+    value buffer, in the PERMUTED CSR entry order given by ``entry_of``
+    (entry_of[k] = original CSR entry feeding permuted slot k).
+    """
+
+    perm: np.ndarray  # (n,) permuted index -> original
+    iperm: np.ndarray  # (n,) original -> permuted
+    perm_d: jnp.ndarray
+    iperm_d: jnp.ndarray
+    colblk: jnp.ndarray  # (NBR, KB) int32 column-block ids (pad: 0)
+    pos: jnp.ndarray  # (nnz,) int32/int64 flat slots into the value buffer
+    n: int
+    br: int
+    bc: int
+    KB: int
+    NBR: int
+    NCB: int
+    nnz: int
+
+    @property
+    def stored(self) -> int:
+        return self.NBR * self.KB * self.br * self.bc
+
+    @classmethod
+    def build(cls, A: sp.spmatrix, *, br: int = 8, bc: int = 128,
+              perm: np.ndarray | None = None) -> "BCSRPlan":
+        """Build from a (pattern-bearing) scipy matrix; ``perm`` defaults
+        to the native RCM ordering (shared with the band planner)."""
+        from lsafw_tpu.solver.band import rcm_permutation
+
+        A = sp.csr_matrix(A)
+        n = A.shape[0]
+        if perm is None:
+            perm = rcm_permutation(A)
+        perm = np.asarray(perm, dtype=np.int32)
+        iperm = np.empty_like(perm)
+        iperm[perm] = np.arange(n, dtype=np.int32)
+
+        Ap = A[perm][:, perm].tocsr()
+        Ap.sort_indices()
+        NBR = -(-n // br)
+        NCB = -(-n // bc)
+        indptr, indices = Ap.indptr, Ap.indices
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+        gid = rows // br                      # row group of each entry
+        cb = indices.astype(np.int64) // bc   # column block of each entry
+
+        # per-group unique column blocks, ELL-padded
+        order = np.lexsort((cb, gid))
+        gs, cs = gid[order], cb[order]
+        first = np.ones(len(gs), dtype=bool)
+        first[1:] = (gs[1:] != gs[:-1]) | (cs[1:] != cs[:-1])
+        # k-index of each (group, block) pair within its group
+        uniq_cum = np.cumsum(first)
+        counts = np.zeros(NBR, dtype=np.int64)
+        np.add.at(counts, gs[first], 1)
+        KB = int(counts.max())
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        kidx_sorted = (uniq_cum - 1) - offs[gs]  # k slot of each entry's block
+        kidx = np.empty(len(gs), dtype=np.int64)
+        kidx[order] = kidx_sorted
+
+        colblk = np.zeros((NBR, KB), dtype=np.int32)
+        colblk[gs[first], kidx_sorted[first]] = cs[first].astype(np.int32)
+
+        # flat value-buffer slot of every permuted CSR entry
+        r_in = rows % br
+        c_in = indices.astype(np.int64) % bc
+        pos = ((gid * KB + kidx) * br + r_in) * bc + c_in
+
+        # permuted-entry -> original-entry map (for device refill from
+        # original CSR data): entry k of Ap corresponds to original entry
+        # via the permutation of a tagged pass
+        tag = sp.csr_matrix(
+            (np.arange(A.nnz, dtype=np.int64) + 1, A.indices.copy(), A.indptr.copy()),
+            shape=A.shape,
+        )
+        tagp = tag[perm][:, perm].tocsr()
+        tagp.sort_indices()
+        entry_of = np.asarray(tagp.data, dtype=np.int64) - 1
+
+        # route: original CSR data -> permuted entry order -> flat slot
+        pos_of_orig = np.empty(A.nnz, dtype=np.int64)
+        pos_of_orig[entry_of] = pos
+
+        stored = NBR * KB * br * bc
+        logger.info(
+            "BCSRPlan: n=%d nnz=%d br=%d bc=%d KB=%d stored=%.1fM fill=%.3f",
+            n, A.nnz, br, bc, KB, stored / 1e6, A.nnz / stored,
+        )
+        idx_dtype = jnp.int32 if stored < 2**31 else jnp.int64
+        return cls(
+            perm=perm, iperm=iperm,
+            perm_d=jnp.asarray(perm), iperm_d=jnp.asarray(iperm),
+            colblk=jnp.asarray(colblk),
+            pos=jnp.asarray(pos_of_orig, dtype=idx_dtype),
+            n=n, br=br, bc=bc, KB=KB, NBR=NBR, NCB=NCB, nnz=int(A.nnz),
+        )
+
+
+def plan_for_pattern(A, *, br: int = 8, bc: int = 128) -> BCSRPlan:
+    """Cached plan per (pattern identity, br, bc) — Newton refactors and
+    sigma sweeps share one plan (same contract as ``band.plan_for_csr``)."""
+    key = (id(A.pattern), br, bc)
+    hit = _PLAN_CACHE.get(key)
+    if hit is not None and hit[0] is A.pattern:
+        return hit[1]
+    csr = sp.csr_matrix(
+        (np.ones(A.pattern.nnz, np.float64), A.pattern.indices.copy(),
+         A.pattern.indptr.copy()),
+        shape=A.pattern.shape,
+    )
+    plan = BCSRPlan.build(csr, br=br, bc=bc)
+    while len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+        _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+    _PLAN_CACHE[key] = (A.pattern, plan)
+    return plan
+
+
+def _fill(plan: BCSRPlan, data: jnp.ndarray, dtype) -> jnp.ndarray:
+    flat = jnp.zeros(plan.stored, dtype=dtype)
+    flat = flat.at[plan.pos].set(data.astype(dtype))
+    return flat.reshape(plan.NBR, plan.KB, plan.br, plan.bc)
+
+
+def _split_hi_lo(x: jnp.ndarray):
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(jnp.float64)).astype(jnp.float32)
+    return hi, lo
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class BCSROperator:
+    """One real matrix in BCSR layout (f64 values, f32 shadow)."""
+
+    vals: jnp.ndarray  # (NBR, KB, br, bc) f64
+    vals32: jnp.ndarray  # f32 shadow for the fast path
+    colblk: jnp.ndarray
+    perm: jnp.ndarray
+    iperm: jnp.ndarray
+    n: int
+    br: int
+    bc: int
+    NCB: int
+
+    def tree_flatten(self):
+        return ((self.vals, self.vals32, self.colblk, self.perm, self.iperm),
+                (self.n, self.br, self.bc, self.NCB))
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, *aux)
+
+    @classmethod
+    def from_csr(cls, A, plan: BCSRPlan | None = None, *,
+                 br: int = 8, bc: int = 128) -> "BCSROperator":
+        if plan is None:
+            plan = plan_for_pattern(A, br=br, bc=bc)
+        vals = _fill(plan, A.data, jnp.float64)
+        return cls(vals, vals.astype(jnp.float32), plan.colblk,
+                   plan.perm_d, plan.iperm_d,
+                   plan.n, plan.br, plan.bc, plan.NCB)
+
+    # -- permuted-space applies ----------------------------------------
+    def _xblocks(self, xp: jnp.ndarray, dtype):
+        """Pad permuted x to block grid and slice-gather (NBR, KB, bc)."""
+        npad = self.NCB * self.bc
+        xb = jnp.pad(xp.astype(dtype), (0, npad - self.n)).reshape(self.NCB, self.bc)
+        return xb[self.colblk]
+
+    def matvec_permuted32(self, xp: jnp.ndarray) -> jnp.ndarray:
+        xg = self._xblocks(xp, jnp.float32)
+        y = jnp.einsum("gkrc,gkc->gr", self.vals32, xg)
+        return y.reshape(-1)[: self.n]
+
+    def matvec_permuted(self, xp: jnp.ndarray) -> jnp.ndarray:
+        """Clean-f64 apply: x gathered as hi/lo f32 channels, values read
+        linearly as f64, multiply+reduce on the VPU."""
+        hi, lo = _split_hi_lo(xp)
+        npad = self.NCB * self.bc
+        pad = lambda v: jnp.pad(v, (0, npad - self.n)).reshape(self.NCB, self.bc)
+        xg = (pad(hi)[self.colblk].astype(jnp.float64)
+              + pad(lo)[self.colblk].astype(jnp.float64))
+        prod = self.vals * xg[:, :, None, :]
+        return prod.sum(axis=(1, 3)).reshape(-1)[: self.n]
+
+    # -- public (original-order) applies -------------------------------
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        from lsafw_tpu.ops.exact import gather_f64_fast
+
+        xp = gather_f64_fast(x, self.perm)
+        yp = self.matvec_permuted(xp)
+        return gather_f64_fast(yp, self.iperm)
+
+    def matvec32(self, x: jnp.ndarray) -> jnp.ndarray:
+        xp = x.astype(jnp.float32)[self.perm]
+        yp = self.matvec_permuted32(xp)
+        return yp[self.iperm]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class BCSRPairOperator:
+    """Complex operator C = Cr + i Ci in BCSR layout; the refinement
+    residual matvec of the banded shift-invert (replaces the ~100 ms
+    element-op apply on production meshes)."""
+
+    vr: jnp.ndarray  # (NBR, KB, br, bc) f64
+    vi: jnp.ndarray
+    colblk: jnp.ndarray
+    perm: jnp.ndarray
+    iperm: jnp.ndarray
+    n: int
+    br: int
+    bc: int
+    NCB: int
+
+    def tree_flatten(self):
+        return ((self.vr, self.vi, self.colblk, self.perm, self.iperm),
+                (self.n, self.br, self.bc, self.NCB))
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, *aux)
+
+    @classmethod
+    def from_csr_pair(cls, Ar, Ai_data, plan: BCSRPlan | None = None, *,
+                      br: int = 8, bc: int = 128) -> "BCSRPairOperator":
+        """``Ar``: CSRMatrix (real part); ``Ai_data``: imag data on the
+        same pattern (or None for a real operator)."""
+        if plan is None:
+            plan = plan_for_pattern(Ar, br=br, bc=bc)
+        vr = _fill(plan, Ar.data, jnp.float64)
+        vi = _fill(plan, Ai_data if Ai_data is not None
+                   else jnp.zeros_like(Ar.data), jnp.float64)
+        return cls(vr, vi, plan.colblk, plan.perm_d, plan.iperm_d,
+                   plan.n, plan.br, plan.bc, plan.NCB)
+
+    def _xg(self, xp: jnp.ndarray):
+        hi, lo = _split_hi_lo(xp)
+        npad = self.NCB * self.bc
+        pad = lambda v: jnp.pad(v, (0, npad - self.n)).reshape(self.NCB, self.bc)
+        return (pad(hi)[self.colblk].astype(jnp.float64)
+                + pad(lo)[self.colblk].astype(jnp.float64))
+
+    def matvec_pair_permuted(self, xr: jnp.ndarray, xi: jnp.ndarray):
+        xgr, xgi = self._xg(xr), self._xg(xi)
+        red = lambda V, X: (V * X[:, :, None, :]).sum(axis=(1, 3))
+        yr = red(self.vr, xgr) - red(self.vi, xgi)
+        yi = red(self.vr, xgi) + red(self.vi, xgr)
+        return yr.reshape(-1)[: self.n], yi.reshape(-1)[: self.n]
+
+    def matvec_pair(self, xr: jnp.ndarray, xi: jnp.ndarray):
+        from lsafw_tpu.ops.exact import gather_f64_fast
+
+        xrp = gather_f64_fast(xr, self.perm)
+        xip = gather_f64_fast(xi, self.perm)
+        yr, yi = self.matvec_pair_permuted(xrp, xip)
+        return gather_f64_fast(yr, self.iperm), gather_f64_fast(yi, self.iperm)

@@ -1,0 +1,87 @@
+"""BCSR SpMV correctness: layout, permutation, f64 accuracy, pair apply."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from lsafw_tpu.ops.bcsr import BCSRPlan, BCSROperator, BCSRPairOperator, _fill
+
+
+def fem_like_matrix(n=900, seed=0):
+    """Random SPD-ish matrix with FEM-like local connectivity."""
+    rng = np.random.default_rng(seed)
+    g = int(np.sqrt(n))
+    rows, cols = [], []
+    for i in range(n):
+        x, y = i % g, i // g
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                j = (x + dx) % g + g * ((y + dy) % g)
+                rows.append(i)
+                cols.append(j)
+    vals = rng.standard_normal(len(rows)) * (1 + rng.random(len(rows)))
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    A.sum_duplicates()
+    return A
+
+
+def _as_csrmatrix(A):
+    from lsafw_tpu.ops.sparse import CSRMatrix
+
+    return CSRMatrix.from_scipy(A)
+
+
+@pytest.mark.parametrize("br,bc", [(8, 128), (8, 32), (4, 64)])
+def test_bcsr_matvec_matches_scipy(br, bc):
+    A = fem_like_matrix(900)
+    op = BCSROperator.from_csr(_as_csrmatrix(A), br=br, bc=bc)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(A.shape[0])
+    y_ref = A @ x
+    y = np.asarray(op.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(y, y_ref, rtol=1e-12, atol=1e-12 * np.abs(y_ref).max())
+    y32 = np.asarray(op.matvec32(jnp.asarray(x)))
+    np.testing.assert_allclose(y32, y_ref, rtol=2e-5, atol=2e-5 * np.abs(y_ref).max())
+
+
+def test_bcsr_permuted_space_roundtrip():
+    A = fem_like_matrix(400, seed=2)
+    Am = _as_csrmatrix(A)
+    from lsafw_tpu.ops.bcsr import plan_for_pattern
+
+    plan = plan_for_pattern(Am, br=8, bc=32)
+    op = BCSROperator.from_csr(Am, plan)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(A.shape[0])
+    # permuted-space apply == P^T A P on permuted vector
+    xp = x[plan.perm]
+    yp = np.asarray(op.matvec_permuted(jnp.asarray(xp)))
+    y_ref = (A @ x)[plan.perm]
+    np.testing.assert_allclose(yp, y_ref, rtol=1e-12, atol=1e-12)
+
+
+def test_bcsr_pair_apply():
+    A = fem_like_matrix(400, seed=4)
+    Am = _as_csrmatrix(A)
+    rng = np.random.default_rng(5)
+    Ai_data = jnp.asarray(rng.standard_normal(A.nnz))
+    op = BCSRPairOperator.from_csr_pair(Am, Ai_data, br=8, bc=32)
+    x = rng.standard_normal(A.shape[0]) + 1j * rng.standard_normal(A.shape[0])
+    C = A + 1j * sp.csr_matrix((np.asarray(Ai_data), A.indices, A.indptr), shape=A.shape)
+    y_ref = C @ x
+    yr, yi = op.matvec_pair(jnp.asarray(x.real), jnp.asarray(x.imag))
+    np.testing.assert_allclose(np.asarray(yr) + 1j * np.asarray(yi), y_ref,
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_bcsr_shares_band_rcm():
+    """The plan must reuse the band RCM so refinement loops can stay in
+    permuted coordinates across the band solve and the BCSR matvec."""
+    A = fem_like_matrix(400, seed=6)
+    Am = _as_csrmatrix(A)
+    from lsafw_tpu.ops.bcsr import plan_for_pattern
+    from lsafw_tpu.solver.band import rcm_permutation
+
+    plan = plan_for_pattern(Am, br=8, bc=32)
+    np.testing.assert_array_equal(plan.perm, rcm_permutation(A))
