@@ -257,6 +257,51 @@ def main() -> None:
 
     stage("ell_spmv_f64", _ell)
 
+    # ---------------- BCSR SpMV (slice-gathered blocks) ----------------
+    def _bcsr():
+        from lsafw_tpu.ops.bcsr import BCSROperator, plan_for_pattern
+        from lsafw_tpu.ops.sparse import CSRMatrix
+
+        A64 = CSRMatrix(ctx.pattern, data64)
+        plan = plan_for_pattern(A64, br=16, bc=128)
+        log(f"BCSR plan: KB={plan.KB} stored {plan.stored/1e6:.0f}M "
+            f"(fill {plan.nnz/plan.stored:.3f})")
+
+        def run(dtype, label):
+            flat = jnp.zeros(plan.stored, dtype=dtype).at[plan.pos].set(
+                data64.astype(dtype))
+            vals = flat.reshape(plan.NBR, plan.KB, plan.br, plan.bc)
+            op = BCSROperator(
+                vals if dtype == jnp.float64 else None,
+                vals if dtype == jnp.float32 else None,
+                plan.colblk, plan.perm_d, plan.iperm_d,
+                plan.n, plan.br, plan.bc, plan.NCB)
+            xp0 = jnp.asarray(rng.standard_normal(n), dtype=dtype)
+
+            @jax.jit
+            def loop(op, x, k):
+                def body(i, y):
+                    y2 = (op.matvec_permuted(y) if dtype == jnp.float64
+                          else op.matvec_permuted32(y))
+                    return y2 / jnp.linalg.norm(y2)
+
+                y = lax.fori_loop(0, k, body, x)
+                return jnp.vdot(y, y)
+
+            t = slope(loop, (op, xp0, 1), (op, xp0, K + 1), K)
+            timings[label] = t * 1e3
+            s = np.dtype(dtype).itemsize
+            bytes_moved = plan.stored * s + (plan.NBR * plan.KB * plan.bc + 2 * n) * s
+            timings[label.replace("_ms", "_gbps")] = bytes_moved / t / 1e9
+            log(f"{label}: {t*1e3:.3f} ms/iter ({t_host/t:.1f}x scipy; "
+                f"{roofline(bytes_moved, 2.0 * plan.stored, t)})")
+            del op, vals, flat
+
+        run(jnp.float32, "bcsr_spmv_f32_ms")
+        run(jnp.float64, "bcsr_spmv_f64_ms")
+
+    stage("bcsr_spmv", _bcsr)
+
     # ---------------- assembly loop ----------------
     def _assembly():
         @jax.jit

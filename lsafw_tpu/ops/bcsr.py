@@ -241,6 +241,29 @@ class BCSROperator:
         prod = self.vals * xg[:, :, None, :]
         return prod.sum(axis=(1, 3)).reshape(-1)[: self.n]
 
+    def matvec_pair_permuted(self, xr: jnp.ndarray, xi: jnp.ndarray):
+        """Real operator on a complex pair: one linear read of the value
+        blocks serves both channels (the ``Mop`` slot of the banded SI)."""
+        hi_r, lo_r = _split_hi_lo(xr)
+        hi_i, lo_i = _split_hi_lo(xi)
+        npad = self.NCB * self.bc
+        pad = lambda v: jnp.pad(v, (0, npad - self.n)).reshape(self.NCB, self.bc)
+        xgr = (pad(hi_r)[self.colblk].astype(jnp.float64)
+               + pad(lo_r)[self.colblk].astype(jnp.float64))
+        xgi = (pad(hi_i)[self.colblk].astype(jnp.float64)
+               + pad(lo_i)[self.colblk].astype(jnp.float64))
+        yr = (self.vals * xgr[:, :, None, :]).sum(axis=(1, 3))
+        yi = (self.vals * xgi[:, :, None, :]).sum(axis=(1, 3))
+        return yr.reshape(-1)[: self.n], yi.reshape(-1)[: self.n]
+
+    def matvec_pair(self, xr: jnp.ndarray, xi: jnp.ndarray):
+        from lsafw_tpu.ops.exact import gather_f64_fast
+
+        xrp = gather_f64_fast(xr, self.perm)
+        xip = gather_f64_fast(xi, self.perm)
+        yr, yi = self.matvec_pair_permuted(xrp, xip)
+        return gather_f64_fast(yr, self.iperm), gather_f64_fast(yi, self.iperm)
+
     # -- public (original-order) applies -------------------------------
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         from lsafw_tpu.ops.exact import gather_f64_fast

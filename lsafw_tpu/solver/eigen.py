@@ -24,6 +24,7 @@ lambda = sigma + 1/theta (``Solver/eigen2.py:210`` `_mu_to_lambda`).
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from functools import partial
@@ -264,8 +265,11 @@ class ShiftInvertOperator:
             self._lu = SparseLU(C)
         elif method == "banded":
             blu = self._factor_banded(inner_tol)
-            Cop = Mop = None
-            if self._elements is not None:
+            Cop = Mop = self._bcsr_plan = None
+            mv_kind = os.environ.get("LSAFW_SI_MATVEC", "bcsr")
+            if mv_kind == "bcsr":
+                Cop, Mop = self._build_bcsr_ops()
+            if Cop is None and self._elements is not None:
                 from lsafw_tpu.ops.elementop import CElementOperator, ElementOperator
 
                 dofs, A_el, M_el, bc_mask = self._elements
@@ -370,6 +374,50 @@ class ShiftInvertOperator:
             self._inner_maxiter = inner_maxiter
         else:
             raise ValueError(method)
+
+    def _build_bcsr_ops(self):
+        """BCSR refinement matvecs (default): slice-gathered block SpMV
+        (:mod:`lsafw_tpu.ops.bcsr`) — ~2 orders of magnitude over the
+        scalar-gather ELL path on TPU, and sharing the band's RCM.
+        Falls back to None (element-op / CSR paths) when the padded
+        block storage would bust ``LSAFW_BCSR_MEM_GB`` (default 6)."""
+        from lsafw_tpu.ops.bcsr import (
+            BCSROperator, BCSRPairOperator, plan_for_pattern,
+        )
+
+        A, M = self.A, self.M
+        if M is not None and M.pattern is not A.pattern:
+            return None, None
+        try:
+            plan = plan_for_pattern(A, br=16, bc=128)
+        except Exception as e:  # planning is best-effort
+            logger.warning("BCSR planning failed (%s); falling back.", e)
+            return None, None
+        n_ops = 2 + (1 if M is not None else 0)  # C re+im, M
+        budget = float(os.environ.get("LSAFW_BCSR_MEM_GB", "6")) * 1e9
+        if plan.stored * 8 * n_ops > budget:
+            logger.info(
+                "BCSR blocks (%.1f GB) over budget; using fallback matvecs.",
+                plan.stored * 8 * n_ops / 1e9,
+            )
+            return None, None
+        if M is not None:
+            c_re = A.data - self.sigma.real * M.data
+            c_im = (-self.sigma.imag) * M.data
+            Mop = BCSROperator.from_csr(M, plan)
+        else:
+            diag = A.dev.diag_slots
+            c_re = A.data.at[diag].add(-self.sigma.real)
+            c_im = jnp.zeros_like(A.data).at[diag].add(-self.sigma.imag)
+            Mop = None
+        Cop = BCSRPairOperator.from_csr_pair(
+            CSRMatrix(A.pattern, c_re), c_im, plan)
+        logger.info(
+            "BCSR refinement matvecs: KB=%d stored %.2f GB x %d ops",
+            plan.KB, plan.stored * 8 / 1e9, n_ops,
+        )
+        self._bcsr_plan = plan
+        return Cop, Mop
 
     def _factor_banded(self, inner_tol: float) -> BandedLU:
         """Factor C = A - sigma M on device.

@@ -38,6 +38,9 @@ class KSPType(Enum):
     GMRES = "gmres"
     FGMRES = "fgmres"
     BICGSTAB = "bcgs"
+    MINRES = "minres"
+    RICHARDSON = "richardson"
+    CHEBYSHEV = "chebyshev"
     PREONLY = "preonly"
 
     @classmethod
@@ -331,6 +334,165 @@ def bicgstab(
 
 
 # ---------------------------------------------------------------------------
+# MINRES (symmetric indefinite; the saddle-point-native Krylov method)
+# ---------------------------------------------------------------------------
+
+
+def minres(
+    matvec: Matvec,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    *,
+    tol: float = 1e-10,
+    maxiter: int = 1000,
+    M: Matvec | None = None,
+) -> SolveResult:
+    """Preconditioned MINRES (Paige-Saunders) as one ``lax.while_loop``.
+
+    For symmetric indefinite operators (Stokes/NS saddle points) with
+    an SPD preconditioner.  The monitored residual is the
+    M-preconditioned norm ``phibar`` (relative to its start), the
+    standard MINRES estimate.
+    """
+    M = M or _identity
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r1 = b - matvec(x)
+    y = M(r1)
+    beta1 = jnp.sqrt(jnp.maximum(ddot(r1, y), 0.0))
+    floor = jnp.maximum(beta1, 1e-300)
+
+    zero = jnp.zeros((), b.dtype)
+    st0 = (
+        x, r1, r1, y,
+        zero,            # oldb
+        beta1,           # beta
+        zero, zero,      # dbar, epsln
+        beta1,           # phibar
+        -jnp.ones((), b.dtype), zero,  # cs, sn
+        jnp.zeros_like(b), jnp.zeros_like(b),  # w, w2
+        jnp.int32(0),
+    )
+
+    def cond(st):
+        phibar, k = st[8], st[13]
+        return (phibar > tol * floor) & (k < maxiter)
+
+    def body(st):
+        (x, r1, r2, y, oldb, beta, dbar, epsln, phibar, cs, sn, w, w2, k) = st
+        v = y / jnp.maximum(beta, 1e-300)
+        y2 = matvec(v)
+        y2 = jnp.where(k >= 1, y2 - (beta / jnp.maximum(oldb, 1e-300)) * r1, y2)
+        alfa = ddot(v, y2)
+        y2 = y2 - (alfa / jnp.maximum(beta, 1e-300)) * r2
+        r1n, r2n = r2, y2
+        yn = M(r2n)
+        oldbn = beta
+        betan = jnp.sqrt(jnp.maximum(ddot(r2n, yn), 0.0))
+        oldeps = epsln
+        delta = cs * dbar + sn * alfa
+        gbar = sn * dbar - cs * alfa
+        epsn = sn * betan
+        dbarn = -cs * betan
+        gamma = jnp.maximum(jnp.sqrt(gbar * gbar + betan * betan), 1e-300)
+        csn, snn = gbar / gamma, betan / gamma
+        phi = csn * phibar
+        phibarn = snn * phibar
+        w1 = w2
+        w2n = w
+        wn = (v - oldeps * w1 - delta * w2n) / gamma
+        xn = x + phi * wn
+        return (xn, r1n, r2n, yn, oldbn, betan, dbarn, epsn, phibarn,
+                csn, snn, wn, w2n, k + 1)
+
+    st = lax.while_loop(cond, body, st0)
+    x, k, phibar = st[0], st[13], st[8]
+    bnorm = jnp.maximum(jnp.linalg.norm(b), 1e-300)
+    res = jnp.linalg.norm(b - matvec(x)) / bnorm
+    return SolveResult(x, k, res, phibar <= tol * floor)
+
+
+# ---------------------------------------------------------------------------
+# Richardson / Chebyshev (the PETSc smoother-type KSPs)
+# ---------------------------------------------------------------------------
+
+
+def richardson(
+    matvec: Matvec,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    *,
+    omega: float = 1.0,
+    tol: float = 1e-10,
+    maxiter: int = 1000,
+    M: Matvec | None = None,
+) -> SolveResult:
+    """Damped preconditioned Richardson: ``x += omega M(b - A x)``."""
+    M = M or _identity
+    x = jnp.zeros_like(b) if x0 is None else x0
+    bnorm = jnp.maximum(jnp.linalg.norm(b), 1e-300)
+
+    def cond(st):
+        x, r, k = st
+        return (jnp.linalg.norm(r) / bnorm > tol) & (k < maxiter)
+
+    def body(st):
+        x, r, k = st
+        x = x + omega * M(r)
+        return x, b - matvec(x), k + 1
+
+    r0 = b - matvec(x)
+    x, r, k = lax.while_loop(cond, body, (x, r0, jnp.int32(0)))
+    res = jnp.linalg.norm(r) / bnorm
+    return SolveResult(x, k, res, res <= tol)
+
+
+def chebyshev(
+    matvec: Matvec,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    *,
+    lmin: float,
+    lmax: float,
+    tol: float = 1e-10,
+    maxiter: int = 1000,
+    M: Matvec | None = None,
+) -> SolveResult:
+    """Chebyshev iteration on the (preconditioned) spectrum
+    ``[lmin, lmax]`` — the matvec-only smoother/solver (no inner
+    products beyond the stopping check), ideal for multigrid smoothing
+    and for avoiding reduction latency on device meshes."""
+    M = M or _identity
+    x = jnp.zeros_like(b) if x0 is None else x0
+    bnorm = jnp.maximum(jnp.linalg.norm(b), 1e-300)
+    d = 0.5 * (lmax + lmin)
+    c = 0.5 * (lmax - lmin)
+
+    r0 = b - matvec(x)
+    st0 = (x, r0, jnp.zeros_like(b), jnp.zeros((), b.dtype), jnp.int32(0))
+
+    def cond(st):
+        x, r, p, alpha, k = st
+        return (jnp.linalg.norm(r) / bnorm > tol) & (k < maxiter)
+
+    def body(st):
+        x, r, p, alpha, k = st
+        z = M(r)
+        beta = jnp.where(
+            k == 0, 0.0,
+            jnp.where(k == 1, 0.5 * (c * alpha) ** 2, (0.5 * c * alpha) ** 2),
+        )
+        alpha_n = jnp.where(k == 0, 1.0 / d, 1.0 / (d - beta / alpha))
+        p = z + beta * p
+        x = x + alpha_n * p
+        r = r - alpha_n * matvec(p)
+        return x, r, p, alpha_n, k + 1
+
+    x, r, _, _, k = lax.while_loop(cond, body, st0)
+    res = jnp.linalg.norm(r) / bnorm
+    return SolveResult(x, k, res, res <= tol)
+
+
+# ---------------------------------------------------------------------------
 # Unified front-end (parity: LinearSolver.solve, Solver/linear.py:38-87)
 # ---------------------------------------------------------------------------
 
@@ -355,6 +517,10 @@ def solve(
         return gmres(matvec, b, x0, tol=tol, maxiter=maxiter, restart=restart, M=M)
     if ksp_type is KSPType.BICGSTAB:
         return bicgstab(matvec, b, x0, tol=tol, maxiter=maxiter, M=M)
+    if ksp_type is KSPType.MINRES:
+        return minres(matvec, b, x0, tol=tol, maxiter=maxiter, M=M)
+    if ksp_type is KSPType.RICHARDSON:
+        return richardson(matvec, b, x0, tol=tol, maxiter=maxiter, M=M)
     if ksp_type is KSPType.PREONLY:
         if M is None:
             raise ValueError("PREONLY requires a preconditioner.")

@@ -28,6 +28,10 @@ class PreconditionerType(Enum):
     JACOBI = "jacobi"
     BLOCK_JACOBI = "bjacobi"
     LU = "lu"
+    # multigrid family (the GAMG/hypre roles): structured geometric MG
+    # lives in solver.multigrid / multigrid_nd; PMG is the unstructured
+    # P2->P1 V-cycle (solver.pmg)
+    PMG = "pmg"
 
     @classmethod
     def from_string(cls, value: str) -> "PreconditionerType":
@@ -132,4 +136,14 @@ def make_preconditioner(
         return jacobi(A)
     if pc_type is PreconditionerType.BLOCK_JACOBI:
         return block_jacobi(A, kw.get("block_size", 64))
+    if pc_type is PreconditionerType.PMG:
+        from lsafw_tpu.solver.pmg import build_pmg_pc
+
+        pc = build_pmg_pc(
+            kw["space"], A, kw["bc_mask"],
+            fine_op=kw.get("fine_op"), nb=kw.get("nb", 64),
+            omega=kw.get("omega", 0.7),
+            smooth_steps=kw.get("smooth_steps", 3),
+        )
+        return pc.apply
     raise ValueError(f"Unsupported preconditioner: {pc_type}")
