@@ -7,6 +7,7 @@ linear algebra (:mod:`.cvec`), matrix-free element operators
 bindings (:mod:`.native`).
 """
 
+from lsafw_tpu.ops.bcsr import BCSROperator, BCSRPairOperator, BCSRPlan
 from lsafw_tpu.ops.cvec import CVec, caxpy, cdot, cnorm, cscale
 from lsafw_tpu.ops.elementop import ElementOperator, element_operator_from_context
 from lsafw_tpu.ops.sparse import (
@@ -20,6 +21,9 @@ from lsafw_tpu.ops.sparse import (
 )
 
 __all__ = [
+    "BCSROperator",
+    "BCSRPairOperator",
+    "BCSRPlan",
     "CSRMatrix",
     "PatternDev",
     "SparsityPattern",

@@ -337,3 +337,112 @@ class BCSRPairOperator:
         xip = gather_f64_fast(xi, self.perm)
         yr, yi = self.matvec_pair_permuted(xrp, xip)
         return gather_f64_fast(yr, self.iperm), gather_f64_fast(yi, self.iperm)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class BCSRShiftedOp:
+    """C = A - sigma M with A and M stored as BCSR value blocks and
+    sigma a traced scalar pair.
+
+    2/3 the memory of materializing (Re C, Im C, M) — Im C = -Im(sigma) M
+    never exists — and a sigma SWEEP refactors with zero refill: the
+    shift lives in the pytree leaves, so one compiled apply serves every
+    sigma.  The C apply fuses the A- and M-reductions over ONE set of
+    x-block gathers.  ``mass_view()`` adapts the same storage to the
+    ``Mop`` slot of :class:`lsafw_tpu.solver.eigen.BandedSIOp`.
+    """
+
+    vA: jnp.ndarray  # (NBR, KB, br, bc) f64
+    vM: jnp.ndarray
+    colblk: jnp.ndarray
+    perm: jnp.ndarray
+    iperm: jnp.ndarray
+    sig_re: jnp.ndarray
+    sig_im: jnp.ndarray
+    n: int
+    br: int
+    bc: int
+    NCB: int
+
+    def tree_flatten(self):
+        return ((self.vA, self.vM, self.colblk, self.perm, self.iperm,
+                 self.sig_re, self.sig_im),
+                (self.n, self.br, self.bc, self.NCB))
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, *aux)
+
+    @classmethod
+    def from_csr(cls, A, M, sigma: complex, plan: BCSRPlan | None = None, *,
+                 br: int = 16, bc: int = 128) -> "BCSRShiftedOp":
+        if plan is None:
+            plan = plan_for_pattern(A, br=br, bc=bc)
+        vA = _fill(plan, A.data, jnp.float64)
+        vM = _fill(plan, M.data, jnp.float64)
+        return cls(vA, vM, plan.colblk, plan.perm_d, plan.iperm_d,
+                   jnp.asarray(sigma.real, jnp.float64),
+                   jnp.asarray(sigma.imag, jnp.float64),
+                   plan.n, plan.br, plan.bc, plan.NCB)
+
+    def _xg(self, xp: jnp.ndarray):
+        hi, lo = _split_hi_lo(xp)
+        npad = self.NCB * self.bc
+        pad = lambda v: jnp.pad(v, (0, npad - self.n)).reshape(self.NCB, self.bc)
+        return (pad(hi)[self.colblk].astype(jnp.float64)
+                + pad(lo)[self.colblk].astype(jnp.float64))
+
+    def matvec_pair_permuted(self, xr: jnp.ndarray, xi: jnp.ndarray):
+        """(A - sigma M) (xr + i xi) in permuted coordinates."""
+        xgr, xgi = self._xg(xr), self._xg(xi)
+        red = lambda V, X: (V * X[:, :, None, :]).sum(axis=(1, 3))
+        Ar, Ai = red(self.vA, xgr), red(self.vA, xgi)
+        Mr, Mi = red(self.vM, xgr), red(self.vM, xgi)
+        yr = Ar - (self.sig_re * Mr - self.sig_im * Mi)
+        yi = Ai - (self.sig_re * Mi + self.sig_im * Mr)
+        return yr.reshape(-1)[: self.n], yi.reshape(-1)[: self.n]
+
+    def mass_pair_permuted(self, xr: jnp.ndarray, xi: jnp.ndarray):
+        xgr, xgi = self._xg(xr), self._xg(xi)
+        red = lambda V, X: (V * X[:, :, None, :]).sum(axis=(1, 3))
+        return (red(self.vM, xgr).reshape(-1)[: self.n],
+                red(self.vM, xgi).reshape(-1)[: self.n])
+
+    def matvec_pair(self, xr: jnp.ndarray, xi: jnp.ndarray):
+        from lsafw_tpu.ops.exact import gather_f64_fast
+
+        xrp = gather_f64_fast(xr, self.perm)
+        xip = gather_f64_fast(xi, self.perm)
+        yr, yi = self.matvec_pair_permuted(xrp, xip)
+        return gather_f64_fast(yr, self.iperm), gather_f64_fast(yi, self.iperm)
+
+    def mass_pair(self, xr: jnp.ndarray, xi: jnp.ndarray):
+        from lsafw_tpu.ops.exact import gather_f64_fast
+
+        xrp = gather_f64_fast(xr, self.perm)
+        xip = gather_f64_fast(xi, self.perm)
+        yr, yi = self.mass_pair_permuted(xrp, xip)
+        return gather_f64_fast(yr, self.iperm), gather_f64_fast(yi, self.iperm)
+
+    def mass_view(self) -> "BCSRMassView":
+        return BCSRMassView(self)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class BCSRMassView:
+    """Adapter exposing ``matvec_pair = M x`` over a
+    :class:`BCSRShiftedOp`'s storage (the ``Mop`` protocol)."""
+
+    op: BCSRShiftedOp
+
+    def tree_flatten(self):
+        return (self.op,), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+    def matvec_pair(self, xr: jnp.ndarray, xi: jnp.ndarray):
+        return self.op.mass_pair(xr, xi)

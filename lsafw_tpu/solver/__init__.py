@@ -30,7 +30,20 @@ from lsafw_tpu.solver.eigen import (
     krylov_schur,
 )
 from lsafw_tpu.solver.eigen2 import ArpackEigenSolver, ShiftInvertConfig
-from lsafw_tpu.solver.linear import KSPType, SolveResult, bicgstab, cg, gmres, solve, solve_csr
+from lsafw_tpu.solver.linear import (
+    KSPType,
+    SolveResult,
+    bicgstab,
+    cg,
+    chebyshev,
+    fgmres,
+    gmres,
+    minres,
+    richardson,
+    solve,
+    solve_csr,
+)
+from lsafw_tpu.solver.pmg import PMGPreconditioner, build_pmg_pc
 from lsafw_tpu.solver.newton import NewtonResult, NewtonSolver
 from lsafw_tpu.solver.precond import PreconditionerType, make_preconditioner
 
@@ -60,9 +73,15 @@ __all__ = [
     "SolveResult",
     "cg",
     "gmres",
+    "fgmres",
     "bicgstab",
+    "minres",
+    "richardson",
+    "chebyshev",
     "solve",
     "solve_csr",
+    "PMGPreconditioner",
+    "build_pmg_pc",
     "NewtonSolver",
     "NewtonResult",
     "PreconditionerType",

@@ -382,7 +382,7 @@ class ShiftInvertOperator:
         Falls back to None (element-op / CSR paths) when the padded
         block storage would bust ``LSAFW_BCSR_MEM_GB`` (default 6)."""
         from lsafw_tpu.ops.bcsr import (
-            BCSROperator, BCSRPairOperator, plan_for_pattern,
+            BCSRPairOperator, BCSRShiftedOp, plan_for_pattern,
         )
 
         A, M = self.A, self.M
@@ -393,7 +393,7 @@ class ShiftInvertOperator:
         except Exception as e:  # planning is best-effort
             logger.warning("BCSR planning failed (%s); falling back.", e)
             return None, None
-        n_ops = 2 + (1 if M is not None else 0)  # C re+im, M
+        n_ops = 2  # (A, M) value blocks — sigma is a traced scalar
         budget = float(os.environ.get("LSAFW_BCSR_MEM_GB", "6")) * 1e9
         if plan.stored * 8 * n_ops > budget:
             logger.info(
@@ -402,16 +402,15 @@ class ShiftInvertOperator:
             )
             return None, None
         if M is not None:
-            c_re = A.data - self.sigma.real * M.data
-            c_im = (-self.sigma.imag) * M.data
-            Mop = BCSROperator.from_csr(M, plan)
+            Cop = BCSRShiftedOp.from_csr(A, M, self.sigma, plan)
+            Mop = Cop.mass_view()
         else:
             diag = A.dev.diag_slots
             c_re = A.data.at[diag].add(-self.sigma.real)
             c_im = jnp.zeros_like(A.data).at[diag].add(-self.sigma.imag)
+            Cop = BCSRPairOperator.from_csr_pair(
+                CSRMatrix(A.pattern, c_re), c_im, plan)
             Mop = None
-        Cop = BCSRPairOperator.from_csr_pair(
-            CSRMatrix(A.pattern, c_re), c_im, plan)
         logger.info(
             "BCSR refinement matvecs: KB=%d stored %.2f GB x %d ops",
             plan.KB, plan.stored * 8 / 1e9, n_ops,

@@ -85,3 +85,39 @@ def test_bcsr_shares_band_rcm():
 
     plan = plan_for_pattern(Am, br=8, bc=32)
     np.testing.assert_array_equal(plan.perm, rcm_permutation(A))
+
+
+def test_bcsr_shifted_op():
+    """BCSRShiftedOp: C apply and mass view vs scipy, sigma traced."""
+    import jax
+    from lsafw_tpu.ops.bcsr import BCSRShiftedOp
+
+    A = fem_like_matrix(400, seed=8)
+    rng = np.random.default_rng(9)
+    Md = sp.csr_matrix((rng.random(A.nnz) + 0.5, A.indices, A.indptr), shape=A.shape)
+    Am, Mm = _as_csrmatrix(A), None
+    from lsafw_tpu.ops.sparse import CSRMatrix
+
+    Mm = CSRMatrix(Am.pattern, jnp.asarray(Md.data))
+    sigma = 1.7 - 0.4j
+    op = BCSRShiftedOp.from_csr(Am, Mm, sigma, br=8, bc=32)
+    z = rng.standard_normal(A.shape[0]) + 1j * rng.standard_normal(A.shape[0])
+    C = A - sigma * Md
+    yr, yi = op.matvec_pair(jnp.asarray(z.real), jnp.asarray(z.imag))
+    np.testing.assert_allclose(np.asarray(yr) + 1j * np.asarray(yi), C @ z,
+                               rtol=1e-12, atol=1e-12)
+    mr, mi = op.mass_view().matvec_pair(jnp.asarray(z.real), jnp.asarray(z.imag))
+    np.testing.assert_allclose(np.asarray(mr) + 1j * np.asarray(mi), Md @ z,
+                               rtol=1e-12, atol=1e-12)
+    # sigma is a pytree leaf: one jitted apply serves every shift
+    import dataclasses
+
+    @jax.jit
+    def apply(o, xr, xi):
+        return o.matvec_pair(xr, xi)
+
+    op2 = dataclasses.replace(op, sig_re=jnp.asarray(3.1), sig_im=jnp.asarray(0.2))
+    yr2, yi2 = apply(op2, jnp.asarray(z.real), jnp.asarray(z.imag))
+    C2 = A - (3.1 + 0.2j) * Md
+    np.testing.assert_allclose(np.asarray(yr2) + 1j * np.asarray(yi2), C2 @ z,
+                               rtol=1e-12, atol=1e-12)
