@@ -210,12 +210,13 @@ class BCSROperator:
 
     @classmethod
     def from_csr(cls, A, plan: BCSRPlan | None = None, *,
-                 br: int = 8, bc: int = 128) -> "BCSROperator":
+                 br: int = 8, bc: int = 128,
+                 shadow32: bool = True) -> "BCSROperator":
         if plan is None:
             plan = plan_for_pattern(A, br=br, bc=bc)
         vals = _fill(plan, A.data, jnp.float64)
-        return cls(vals, vals.astype(jnp.float32), plan.colblk,
-                   plan.perm_d, plan.iperm_d,
+        return cls(vals, vals.astype(jnp.float32) if shadow32 else None,
+                   plan.colblk, plan.perm_d, plan.iperm_d,
                    plan.n, plan.br, plan.bc, plan.NCB)
 
     # -- permuted-space applies ----------------------------------------
@@ -446,3 +447,24 @@ class BCSRMassView:
 
     def matvec_pair(self, xr: jnp.ndarray, xi: jnp.ndarray):
         return self.op.mass_pair(xr, xi)
+
+
+def operator_for_budget(A, *, br: int = 16, bc: int = 128,
+                        shadow32: bool = False):
+    """Best-effort BCSR operator for refinement matvecs: returns None
+    (caller keeps its scalar-gather path) when planning fails or the
+    padded blocks would bust ``LSAFW_BCSR_MEM_GB`` (default 6)."""
+    import os
+
+    try:
+        plan = plan_for_pattern(A, br=br, bc=bc)
+    except Exception as e:
+        logger.warning("BCSR planning failed (%s); keeping ELL matvecs.", e)
+        return None
+    per_op = plan.stored * (8 + (4 if shadow32 else 0))
+    budget = float(os.environ.get("LSAFW_BCSR_MEM_GB", "6")) * 1e9
+    if per_op > budget:
+        logger.info("BCSR blocks (%.1f GB) over budget; keeping ELL matvecs.",
+                    per_op / 1e9)
+        return None
+    return BCSROperator.from_csr(A, plan, shadow32=shadow32)

@@ -59,7 +59,9 @@ class BaseFlowSolver:
 
             plan = plan_for_csr(A, real=True)  # Stokes operator is real
             blu, _ = factor_auto(plan, A.data, diag_slots=A.pattern.diag_slots)
-            res = _banded_mr(A, blu, b, tol=1e-10)
+            from lsafw_tpu.ops.bcsr import operator_for_budget
+
+            res = _banded_mr(A, blu, b, operator_for_budget(A), tol=1e-10)
             if bool(res.converged):
                 return np.asarray(res.x)
             logger.warning(

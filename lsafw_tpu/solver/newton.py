@@ -35,16 +35,25 @@ logger = get_logger(__name__)
 
 
 @partial(jax.jit, static_argnames=("tol", "max_its"))
-def _banded_mr(J, blu, b, *, tol, max_its: int = 60):
+def _banded_mr(J, blu, b, Jop=None, *, tol, max_its: int = 60):
     """Minimal-residual refinement on the real Jacobian with the f32
     banded preconditioner: x += alpha d, alpha = <Cd, r>/<Cd, Cd>, so
     the residual is non-increasing by construction (plain refinement
     can diverge when the saddle-point regularization perturbs the
     factor too far; a GMRES wrapper inlines the band solve at 4+ call
-    sites and OOMs at 10 GB bands)."""
+    sites and OOMs at 10 GB bands).  ``Jop``: optional BCSR operator
+    for the residual matvecs (slice-gathered blocks instead of the
+    scalar-gather ELL path)."""
     from lsafw_tpu.ops.dots import ddot
     from lsafw_tpu.ops.sparse import spmv
     from lsafw_tpu.solver.linear import SolveResult
+
+    if Jop is not None:
+        def jmv(v):
+            return Jop.matvec(v)
+    else:
+        def jmv(v):
+            return spmv(J, v)
 
     def bsolve(v):
         # real factors (RealBandedLU / RealPivotedBandedLU) solve one
@@ -56,7 +65,7 @@ def _banded_mr(J, blu, b, *, tol, max_its: int = 60):
 
     bnorm = jnp.maximum(jnp.sqrt(ddot(b, b)), 1e-300)
     x = bsolve(b)
-    r = b - spmv(J, x)
+    r = b - jmv(x)
 
     def cond(st):
         _, r, k = st
@@ -68,7 +77,7 @@ def _banded_mr(J, blu, b, *, tol, max_its: int = 60):
     def body(st):
         x, r, k = st
         d = bsolve(r)
-        Cd = spmv(J, d)
+        Cd = jmv(d)
         alpha = ddot(Cd, r) / jnp.maximum(ddot(Cd, Cd), 1e-300)
         return x + alpha * d, r - alpha * Cd, k + 1
 
@@ -126,7 +135,12 @@ class NewtonSolver:
             blu, pivoted = factor_auto(
                 self._band_plan, J.data, diag_slots=J.pattern.diag_slots
             )
-            res = _banded_mr(J, blu, b, tol=self._linear_tol)
+            # BCSR residual matvecs when the block storage fits (refill
+            # per iteration is one device scatter on the shared plan)
+            from lsafw_tpu.ops.bcsr import operator_for_budget
+
+            Jop = operator_for_budget(J)
+            res = _banded_mr(J, blu, b, Jop, tol=self._linear_tol)
             if bool(res.converged) and bool(np.isfinite(np.asarray(res.x)).all()):
                 return res.x
             # pivot-free f32 factors can overflow or precondition badly
