@@ -50,6 +50,37 @@ _PLAN_CACHE: dict = {}
 _PLAN_CACHE_MAX = 8
 
 
+# Host-CPU jitted planning arithmetic (pinned to the CPU backend by the
+# caller's jax.default_device context): this VM's numpy runs scalar
+# loops for elementwise integer/float passes, ~500x slower than XLA.
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnums=(3, 4, 5))
+def _plan_key(rows, cols, iperm, br, bc, NCB):
+    pr = iperm[rows]
+    pc = iperm[cols]
+    gid = pr // jnp.int32(br)
+    key = gid * jnp.int32(NCB) + pc // jnp.int32(bc)
+    return pr, pc, gid, key
+
+
+@_partial(jax.jit, static_argnums=(1,))
+def _split_key(uk, NCB):
+    return uk // jnp.int32(NCB), uk % jnp.int32(NCB)
+
+
+@jax.jit
+def _plan_kidx(uk, key, offs, gid):
+    return (jnp.searchsorted(uk, key) - offs[gid]).astype(jnp.int32)
+
+
+@_partial(jax.jit, static_argnums=(4, 5, 6))
+def _plan_pos(gid, kidx, pr, pc, br, bc, KB):
+    inner = (gid * jnp.int32(KB) + kidx) * jnp.int32(br) + pr % jnp.int32(br)
+    return inner, pc % jnp.int32(bc)
+
+
 @dataclass(frozen=True, eq=False)
 class BCSRPlan:
     """Host-built BCSR structure for one sparsity pattern.
@@ -92,52 +123,53 @@ class BCSRPlan:
         iperm = np.empty_like(perm)
         iperm[perm] = np.arange(n, dtype=np.int32)
 
-        Ap = A[perm][:, perm].tocsr()
-        Ap.sort_indices()
         NBR = -(-n // br)
         NCB = -(-n // bc)
-        indptr, indices = Ap.indptr, Ap.indices
-        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
-        gid = rows // br                      # row group of each entry
-        cb = indices.astype(np.int64) // bc   # column block of each entry
+        # Permuted coordinates of every ORIGINAL CSR entry — pure index
+        # arithmetic, no permuted-matrix materialization (the scipy
+        # A[perm][:, perm] route costs minutes at 15M nnz).  The
+        # elementwise passes run through jitted jax on the HOST CPU:
+        # this VM's numpy has no SIMD integer (or even f64) loops —
+        # measured 31 s for one 15M-element multiply+floor vs 0.04 s
+        # through XLA.
+        if NBR * NCB >= 2**31:
+            raise ValueError("pattern too large for int32 BCSR planning")
+        rows_orig = np.repeat(np.arange(n, dtype=np.int32), np.diff(A.indptr))
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            pr_j, pc_j, gid_j, key_j = _plan_key(
+                jnp.asarray(rows_orig), jnp.asarray(A.indices.astype(np.int32)),
+                jnp.asarray(iperm), br, bc, NCB)
+            key = np.asarray(key_j)
 
-        # per-group unique column blocks, ELL-padded
-        order = np.lexsort((cb, gid))
-        gs, cs = gid[order], cb[order]
-        first = np.ones(len(gs), dtype=bool)
-        first[1:] = (gs[1:] != gs[:-1]) | (cs[1:] != cs[:-1])
-        # k-index of each (group, block) pair within its group
-        uniq_cum = np.cumsum(first)
-        counts = np.zeros(NBR, dtype=np.int64)
-        np.add.at(counts, gs[first], 1)
+        # per-group unique column blocks via one combined-key unique
+        # (sorted group-major, block ascending)
+        uk = np.unique(key)
+        with jax.default_device(cpu):
+            ug_j, blk_j = _split_key(jnp.asarray(uk), NCB)
+            ug = np.asarray(ug_j)
+            ublk = np.asarray(blk_j)
+        counts = np.bincount(ug, minlength=NBR)
         KB = int(counts.max())
-        offs = np.concatenate([[0], np.cumsum(counts)])
-        kidx_sorted = (uniq_cum - 1) - offs[gs]  # k slot of each entry's block
-        kidx = np.empty(len(gs), dtype=np.int64)
-        kidx[order] = kidx_sorted
+        offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        with jax.default_device(cpu):
+            kidx_j = _plan_kidx(jnp.asarray(uk), key_j, jnp.asarray(offs), gid_j)
+            kidx = np.asarray(kidx_j)
 
         colblk = np.zeros((NBR, KB), dtype=np.int32)
-        colblk[gs[first], kidx_sorted[first]] = cs[first].astype(np.int32)
+        colblk[ug, np.arange(len(uk), dtype=np.int32) - offs[ug]] = ublk
 
-        # flat value-buffer slot of every permuted CSR entry
-        r_in = rows % br
-        c_in = indices.astype(np.int64) % bc
-        pos = ((gid * KB + kidx) * br + r_in) * bc + c_in
-
-        # permuted-entry -> original-entry map (for device refill from
-        # original CSR data): entry k of Ap corresponds to original entry
-        # via the permutation of a tagged pass
-        tag = sp.csr_matrix(
-            (np.arange(A.nnz, dtype=np.int64) + 1, A.indices.copy(), A.indptr.copy()),
-            shape=A.shape,
-        )
-        tagp = tag[perm][:, perm].tocsr()
-        tagp.sort_indices()
-        entry_of = np.asarray(tagp.data, dtype=np.int64) - 1
-
-        # route: original CSR data -> permuted entry order -> flat slot
-        pos_of_orig = np.empty(A.nnz, dtype=np.int64)
-        pos_of_orig[entry_of] = pos
+        # flat value-buffer slot of every ORIGINAL CSR entry: the
+        # pre-column part fits int32 (< stored/bc); widen only at the
+        # final combine when the buffer crosses 2^31
+        stored_total = NBR * KB * br * bc
+        with jax.default_device(cpu):
+            inner_j, remc_j = _plan_pos(gid_j, kidx_j, pr_j, pc_j, br, bc, KB)
+            if stored_total < 2**31:
+                pos_of_orig = np.asarray(inner_j * jnp.int32(bc) + remc_j)
+            else:  # rare; numpy int64 is slow on this VM but correct
+                pos_of_orig = (np.asarray(inner_j).astype(np.int64) * bc
+                               + np.asarray(remc_j))
 
         stored = NBR * KB * br * bc
         logger.info(
