@@ -205,9 +205,16 @@ def plan_for_pattern(A, *, br: int = 8, bc: int = 128) -> BCSRPlan:
     return plan
 
 
+@_partial(jax.jit, static_argnums=(2, 3), donate_argnums=())
+def _fill_jit(pos, data, stored, dtype):
+    flat = jnp.zeros(stored, dtype=dtype)
+    return flat.at[pos].set(data.astype(dtype))
+
+
 def _fill(plan: BCSRPlan, data: jnp.ndarray, dtype) -> jnp.ndarray:
-    flat = jnp.zeros(plan.stored, dtype=dtype)
-    flat = flat.at[plan.pos].set(data.astype(dtype))
+    # jitted so XLA materializes ONE buffer (eager .at[].set copies the
+    # zeros first — a 2.7 GB transient per fill at production sizes)
+    flat = _fill_jit(plan.pos, data, plan.stored, dtype)
     return flat.reshape(plan.NBR, plan.KB, plan.br, plan.bc)
 
 

@@ -268,7 +268,10 @@ class ShiftInvertOperator:
             Cop = Mop = self._bcsr_plan = None
             mv_kind = os.environ.get("LSAFW_SI_MATVEC", "bcsr")
             if mv_kind == "bcsr":
-                Cop, Mop = self._build_bcsr_ops()
+                band_bytes = int(sum(
+                    l.nbytes for l in jax.tree_util.tree_leaves(blu)
+                    if hasattr(l, "nbytes")))
+                Cop, Mop = self._build_bcsr_ops(band_bytes)
             if Cop is None and self._elements is not None:
                 from lsafw_tpu.ops.elementop import CElementOperator, ElementOperator
 
@@ -375,12 +378,15 @@ class ShiftInvertOperator:
         else:
             raise ValueError(method)
 
-    def _build_bcsr_ops(self):
+    def _build_bcsr_ops(self, band_bytes: int = 0):
         """BCSR refinement matvecs (default): slice-gathered block SpMV
         (:mod:`lsafw_tpu.ops.bcsr`) — ~2 orders of magnitude over the
         scalar-gather ELL path on TPU, and sharing the band's RCM.
-        Falls back to None (element-op / CSR paths) when the padded
-        block storage would bust ``LSAFW_BCSR_MEM_GB`` (default 6)."""
+
+        Memory-aware: the blocks must coexist with the band factor, so
+        the budget is min(``LSAFW_BCSR_MEM_GB``, HBM headroom left by
+        the factor); bc steps 128 -> 64 (~60% the storage, ~15% slower
+        apply) before falling back to the element-op/CSR paths."""
         from lsafw_tpu.ops.bcsr import (
             BCSRPairOperator, BCSRShiftedOp, plan_for_pattern,
         )
@@ -388,18 +394,27 @@ class ShiftInvertOperator:
         A, M = self.A, self.M
         if M is not None and M.pattern is not A.pattern:
             return None, None
-        try:
-            plan = plan_for_pattern(A, br=16, bc=128)
-        except Exception as e:  # planning is best-effort
-            logger.warning("BCSR planning failed (%s); falling back.", e)
-            return None, None
         n_ops = 2  # (A, M) value blocks — sigma is a traced scalar
-        budget = float(os.environ.get("LSAFW_BCSR_MEM_GB", "6")) * 1e9
-        if plan.stored * 8 * n_ops > budget:
+        hbm = float(os.environ.get("LSAFW_HBM_GB", "15")) * 1e9
+        budget = min(
+            float(os.environ.get("LSAFW_BCSR_MEM_GB", "6")) * 1e9,
+            hbm - float(band_bytes) - 2.0e9,  # workspace margin
+        )
+        plan = None
+        for bc in (128, 64):
+            try:
+                cand = plan_for_pattern(A, br=16, bc=bc)
+            except Exception as e:  # planning is best-effort
+                logger.warning("BCSR planning failed (%s); falling back.", e)
+                return None, None
+            if cand.stored * 8 * n_ops <= budget:
+                plan = cand
+                break
             logger.info(
-                "BCSR blocks (%.1f GB) over budget; using fallback matvecs.",
-                plan.stored * 8 * n_ops / 1e9,
+                "BCSR blocks bc=%d (%.1f GB) over budget %.1f GB.",
+                bc, cand.stored * 8 * n_ops / 1e9, budget / 1e9,
             )
+        if plan is None:
             return None, None
         if M is not None:
             Cop = BCSRShiftedOp.from_csr(A, M, self.sigma, plan)
