@@ -398,7 +398,7 @@ class ShiftInvertOperator:
         hbm = float(os.environ.get("LSAFW_HBM_GB", "15")) * 1e9
         budget = min(
             float(os.environ.get("LSAFW_BCSR_MEM_GB", "6")) * 1e9,
-            hbm - float(band_bytes) - 2.0e9,  # workspace margin
+            hbm - float(band_bytes) - 3.5e9,  # workspace + fragmentation margin
         )
         plan = None
         for bc in (128, 64):

@@ -51,9 +51,15 @@ ctx = AssemblyContext.build(spaces)
 print(f"setup {time.time()-t0:.0f}s, {spaces.num_dofs} DOFs", flush=True)
 
 t0 = time.time()
-w = BaseFlowSolver(ctx, mesh, bcs, re=RE).solve(
-    ramp=True, steps=3, tol=1e-8, max_it=40, linear_solver="banded")
-print(f"baseflow {time.time()-t0:.0f}s", flush=True)
+WCACHE = "/tmp/w167k.npy"
+if os.path.exists(WCACHE):
+    w = np.load(WCACHE)
+    print("baseflow loaded from cache", flush=True)
+else:
+    w = BaseFlowSolver(ctx, mesh, bcs, re=RE).solve(
+        ramp=True, steps=3, tol=1e-8, max_it=40, linear_solver="banded")
+    np.save(WCACHE, np.asarray(w))
+    print(f"baseflow {time.time()-t0:.0f}s", flush=True)
 
 t0 = time.time()
 asm = LinearizedNavierStokesAssembler(jnp.asarray(w), ctx, RE, bcs_pert, mesh)
