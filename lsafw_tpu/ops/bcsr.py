@@ -393,9 +393,9 @@ class BCSRShiftedOp:
     ``Mop`` slot of :class:`lsafw_tpu.solver.eigen.BandedSIOp`.
     """
 
-    vA: jnp.ndarray  # (NBR, KB, br, bc) f64
+    vA: jnp.ndarray  # (S*C, KB, br, bc) f64, group-padded to the scan grid
     vM: jnp.ndarray
-    colblk: jnp.ndarray
+    colblk: jnp.ndarray  # (S*C, KB) — pad groups point at block 0
     perm: jnp.ndarray
     iperm: jnp.ndarray
     sig_re: jnp.ndarray
@@ -404,11 +404,12 @@ class BCSRShiftedOp:
     br: int
     bc: int
     NCB: int
+    chunk: int  # C: row groups per scan step
 
     def tree_flatten(self):
         return ((self.vA, self.vM, self.colblk, self.perm, self.iperm,
                  self.sig_re, self.sig_im),
-                (self.n, self.br, self.bc, self.NCB))
+                (self.n, self.br, self.bc, self.NCB, self.chunk))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -421,10 +422,21 @@ class BCSRShiftedOp:
             plan = plan_for_pattern(A, br=br, bc=bc)
         vA = _fill(plan, A.data, jnp.float64)
         vM = _fill(plan, M.data, jnp.float64)
-        return cls(vA, vM, plan.colblk, plan.perm_d, plan.iperm_d,
+        # pad the group axis to an S x C scan grid (<= S-1 extra groups)
+        NBR = plan.NBR
+        S = -(-NBR // 512)
+        C = -(-NBR // S)
+        padg = S * C - NBR
+        if padg:
+            pad4 = lambda a: jnp.pad(a, ((0, padg),) + ((0, 0),) * (a.ndim - 1))
+            vA, vM = pad4(vA), pad4(vM)
+            colblk = pad4(plan.colblk)
+        else:
+            colblk = plan.colblk
+        return cls(vA, vM, colblk, plan.perm_d, plan.iperm_d,
                    jnp.asarray(sigma.real, jnp.float64),
                    jnp.asarray(sigma.imag, jnp.float64),
-                   plan.n, plan.br, plan.bc, plan.NCB)
+                   plan.n, plan.br, plan.bc, plan.NCB, C)
 
     def _xg(self, xp: jnp.ndarray):
         hi, lo = _split_hi_lo(xp)
@@ -433,21 +445,52 @@ class BCSRShiftedOp:
         return (pad(hi)[self.colblk].astype(jnp.float64)
                 + pad(lo)[self.colblk].astype(jnp.float64))
 
+    def _grid(self, a: jnp.ndarray):
+        S = a.shape[0] // self.chunk
+        return a.reshape(S, self.chunk, *a.shape[1:])
+
+    def _reduce_all(self, xgr: jnp.ndarray, xgi: jnp.ndarray):
+        """(A xr, A xi, M xr, M xi) via ONE scan over row-group chunks.
+
+        A monolithic ``(V * X).sum`` materializes vals-sized f64
+        temporaries; with four reductions alive inside a fused Arnoldi
+        program XLA's buffer assignment wanted 24 GB at 175k DOFs (the
+        round-1/2 ">100k fused-expand kernel fault", finally root-caused
+        as a compile-time HBM overrun).  Scanning chunks of row groups
+        reads each value block exactly once and bounds live temporaries
+        to chunk size (~tens of MB)."""
+
+        def step(_, vx):
+            va, vm, xr_, xi_ = vx
+            red = lambda V, X: (V * X[:, :, None, :]).sum(axis=(1, 3))
+            return None, (red(va, xr_), red(va, xi_), red(vm, xr_), red(vm, xi_))
+
+        _, (Ar, Ai, Mr, Mi) = jax.lax.scan(
+            step, None,
+            (self._grid(self.vA), self._grid(self.vM),
+             self._grid(xgr), self._grid(xgi)))
+        unp = lambda a: a.reshape(-1)[: self.n]
+        return unp(Ar), unp(Ai), unp(Mr), unp(Mi)
+
     def matvec_pair_permuted(self, xr: jnp.ndarray, xi: jnp.ndarray):
         """(A - sigma M) (xr + i xi) in permuted coordinates."""
-        xgr, xgi = self._xg(xr), self._xg(xi)
-        red = lambda V, X: (V * X[:, :, None, :]).sum(axis=(1, 3))
-        Ar, Ai = red(self.vA, xgr), red(self.vA, xgi)
-        Mr, Mi = red(self.vM, xgr), red(self.vM, xgi)
+        Ar, Ai, Mr, Mi = self._reduce_all(self._xg(xr), self._xg(xi))
         yr = Ar - (self.sig_re * Mr - self.sig_im * Mi)
         yi = Ai - (self.sig_re * Mi + self.sig_im * Mr)
-        return yr.reshape(-1)[: self.n], yi.reshape(-1)[: self.n]
+        return yr, yi
 
     def mass_pair_permuted(self, xr: jnp.ndarray, xi: jnp.ndarray):
+        """M-only scan (the shift-invert RHS): reads just the vM blocks."""
+
+        def step(_, vx):
+            vm, xr_, xi_ = vx
+            red = lambda V, X: (V * X[:, :, None, :]).sum(axis=(1, 3))
+            return None, (red(vm, xr_), red(vm, xi_))
+
         xgr, xgi = self._xg(xr), self._xg(xi)
-        red = lambda V, X: (V * X[:, :, None, :]).sum(axis=(1, 3))
-        return (red(self.vM, xgr).reshape(-1)[: self.n],
-                red(self.vM, xgi).reshape(-1)[: self.n])
+        _, (Mr, Mi) = jax.lax.scan(
+            step, None, (self._grid(self.vM), self._grid(xgr), self._grid(xgi)))
+        return Mr.reshape(-1)[: self.n], Mi.reshape(-1)[: self.n]
 
     def matvec_pair(self, xr: jnp.ndarray, xi: jnp.ndarray):
         from lsafw_tpu.ops.exact import gather_f64_fast
