@@ -393,7 +393,7 @@ class BCSRShiftedOp:
     ``Mop`` slot of :class:`lsafw_tpu.solver.eigen.BandedSIOp`.
     """
 
-    vA: jnp.ndarray  # (S*C, KB, br, bc) f64, group-padded to the scan grid
+    vA: jnp.ndarray  # (S, C, KB, br, bc) f64, group-padded to the scan grid
     vM: jnp.ndarray
     colblk: jnp.ndarray  # (S*C, KB) — pad groups point at block 0
     perm: jnp.ndarray
@@ -423,17 +423,16 @@ class BCSRShiftedOp:
         vA = _fill(plan, A.data, jnp.float64)
         vM = _fill(plan, M.data, jnp.float64)
         # pad the group axis to an S x C scan grid (<= S-1 extra groups)
+        # and store GRIDDED (5-D) — a per-apply reshape of multi-GB f64
+        # buffers is not reliably free under TPU tiling
         NBR = plan.NBR
         S = -(-NBR // 512)
         C = -(-NBR // S)
         padg = S * C - NBR
-        if padg:
-            pad4 = lambda a: jnp.pad(a, ((0, padg),) + ((0, 0),) * (a.ndim - 1))
-            vA, vM = pad4(vA), pad4(vM)
-            colblk = pad4(plan.colblk)
-        else:
-            colblk = plan.colblk
-        return cls(vA, vM, colblk, plan.perm_d, plan.iperm_d,
+        pad4 = lambda a: jnp.pad(a, ((0, padg),) + ((0, 0),) * (a.ndim - 1))
+        grid = lambda a: (pad4(a) if padg else a).reshape(S, C, *a.shape[1:])
+        colblk = (pad4(plan.colblk) if padg else plan.colblk)
+        return cls(grid(vA), grid(vM), colblk, plan.perm_d, plan.iperm_d,
                    jnp.asarray(sigma.real, jnp.float64),
                    jnp.asarray(sigma.imag, jnp.float64),
                    plan.n, plan.br, plan.bc, plan.NCB, C)
@@ -446,6 +445,8 @@ class BCSRShiftedOp:
                 + pad(lo)[self.colblk].astype(jnp.float64))
 
     def _grid(self, a: jnp.ndarray):
+        """Grid small per-apply arrays (x blocks) for the scan; the
+        value buffers are stored pre-gridded."""
         S = a.shape[0] // self.chunk
         return a.reshape(S, self.chunk, *a.shape[1:])
 
@@ -467,8 +468,7 @@ class BCSRShiftedOp:
 
         _, (Ar, Ai, Mr, Mi) = jax.lax.scan(
             step, None,
-            (self._grid(self.vA), self._grid(self.vM),
-             self._grid(xgr), self._grid(xgi)))
+            (self.vA, self.vM, self._grid(xgr), self._grid(xgi)))
         unp = lambda a: a.reshape(-1)[: self.n]
         return unp(Ar), unp(Ai), unp(Mr), unp(Mi)
 
@@ -489,7 +489,7 @@ class BCSRShiftedOp:
 
         xgr, xgi = self._xg(xr), self._xg(xi)
         _, (Mr, Mi) = jax.lax.scan(
-            step, None, (self._grid(self.vM), self._grid(xgr), self._grid(xgi)))
+            step, None, (self.vM, self._grid(xgr), self._grid(xgi)))
         return Mr.reshape(-1)[: self.n], Mi.reshape(-1)[: self.n]
 
     def matvec_pair(self, xr: jnp.ndarray, xi: jnp.ndarray):
