@@ -298,14 +298,22 @@ class ShiftInvertOperator:
                 Cop, Mop, nu_re, nu_im,
             )
             # calibrate refinement depth from the measured contraction
+            # (jitted: the eager op chain allocates intermediates one at
+            # a time with far worse peak behavior next to multi-GB
+            # operators — observed RESOURCE_EXHAUSTED at 175k)
             rng = np.random.default_rng(11)
             b0 = rng.standard_normal(self._n)
             b0 /= np.linalg.norm(b0)
-            br, bi = jnp.asarray(b0), jnp.zeros(self._n)
-            xr, xi = blu.solve_pair(br, bi)
-            Cr, Ci = _si_apply_C(self.device_op, xr, xi)
-            rr, ri = np.asarray(br - Cr), np.asarray(bi - Ci)
-            rho = float(np.sqrt((rr**2 + ri**2).sum()))
+
+            @jax.jit
+            def _calibrate(op, br, bi):
+                xr, xi = op.blu.solve_pair(br, bi)
+                Cr, Ci = _si_apply_C(op, xr, xi)
+                rr, ri = br - Cr, bi - Ci
+                return jnp.sqrt(ddot(rr, rr) + ddot(ri, ri))
+
+            rho = float(_calibrate(
+                self.device_op, jnp.asarray(b0), jnp.zeros(self._n)))
             if not np.isfinite(rho):
                 # pivot-free f32 factor overflowed on this operator:
                 # degrade to the host LU (the reference's

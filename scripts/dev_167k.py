@@ -66,6 +66,21 @@ asm = LinearizedNavierStokesAssembler(jnp.asarray(w), ctx, RE, bcs_pert, mesh)
 A, M = asm.assemble_eigensystem()
 A.data.block_until_ready()
 print(f"assemble {time.time()-t0:.0f}s", flush=True)
+MCACHE = "/tmp/AM167k.npz"
+if not os.path.exists(MCACHE):
+    np.savez(MCACHE, Adata=np.asarray(A.data), Mdata=np.asarray(M.data),
+             indices=A.pattern.indices, indptr=A.pattern.indptr,
+             shape=np.asarray(A.shape))
+    print("matrices cached", flush=True)
+
+import gc
+gc.collect()
+try:
+    ms = jax.local_devices()[0].memory_stats()
+    print(f"HBM in use before eigen: {ms.get('bytes_in_use', 0)/1e9:.2f} GB "
+          f"(limit {ms.get('bytes_limit', 0)/1e9:.2f})", flush=True)
+except Exception as e:
+    print("memory_stats unavailable:", e, flush=True)
 
 for attempt in (1, 2):  # second pass = warm compile: time-to-eigenpair
     t0 = time.time()
