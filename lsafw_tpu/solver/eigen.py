@@ -687,15 +687,32 @@ def _select_order(theta: np.ndarray, which: EpsWhich, target: complex | None) ->
     return np.argsort(_sort_key(which, target)(theta), kind="stable")
 
 
-def _use_fused_expand(n: int) -> bool:
+def _use_fused_expand(n: int, device_op=None) -> bool:
     """Whole-restart fusion policy: env override LSAFW_FUSED_EXPAND,
-    else fused everywhere except large problems on the TPU backend."""
+    else fused everywhere except large TPU problems on the legacy
+    (non-BCSR) refinement matvecs.
+
+    Round-3 root cause of the old >100k gate: the monolithic f64
+    reductions of the refinement C applies materialized vals-sized
+    temporaries, and XLA buffer assignment for the fused per-restart
+    program wanted 24 GB HBM at 175k (surfacing as compile OOMs / the
+    round-1/2 worker "kernel faults").  The chunked-scan BCSR operators
+    bound live temporaries, so fusion is back on when the op rides
+    BCSR; the krylov_schur loop additionally falls back to the
+    per-step path at runtime if the fused compile still exhausts
+    resources."""
     import os
 
     env = os.environ.get("LSAFW_FUSED_EXPAND")
     if env is not None:
         return env not in ("0", "false", "no")
-    return jax.default_backend() != "tpu" or n < 100_000
+    if jax.default_backend() != "tpu" or n < 100_000:
+        return True
+    from lsafw_tpu.ops.bcsr import BCSRShiftedOp
+
+    # device_op may be a BandedSIOp (Cop field), a sharded CSR operator
+    # (no Cop), or None — only the BCSR-backed banded SI is known-safe
+    return isinstance(getattr(device_op, "Cop", None), BCSRShiftedOp)
 
 
 def _make_fused_expand(ncv: int, traced_apply, dtype):
@@ -804,18 +821,34 @@ def krylov_schur(
     H = np.zeros((ncv + 1, ncv), dtype=np.complex128)
 
     fused = device_op is not None and traced_apply is not None
-    if fused and not _use_fused_expand(n):
-        # large TPU programs with deeply nested apply loops have
-        # kernel-faulted the worker (observed at 167k DOFs, round 1 and
-        # round 2); fall back to one jitted apply per step — at that
-        # scale the ~2 dispatches/step are negligible next to the apply
-        japply = jax.jit(lambda op, v: traced_apply(op, v))
-        apply_op = lambda v: japply(device_op, v)  # noqa: E731
+    if fused and not _use_fused_expand(n, device_op):
+        # legacy-matvec programs above 100k on TPU exceed HBM at
+        # compile time (see _use_fused_expand); one jitted apply per
+        # step — at that scale the ~2 dispatches/step are negligible
         fused = False
+    japply = arnoldi_step = None
     if fused:
         expand = _make_fused_expand(ncv, traced_apply, dtype)
     else:
         arnoldi_step = _make_arnoldi_step(n, ncv, dtype)
+
+    def _expand_stepwise(Vr, Vi, H, k):
+        nonlocal japply, arnoldi_step
+        if japply is None:
+            if device_op is not None and traced_apply is not None:
+                jt = jax.jit(lambda op, v: traced_apply(op, v))
+                japply = lambda v: jt(device_op, v)
+            else:
+                japply = apply_op
+        if arnoldi_step is None:
+            arnoldi_step = _make_arnoldi_step(n, ncv, dtype)
+        for j in range(k, ncv):
+            wr, wi = japply((Vr[j], Vi[j]))
+            Vr, Vi, hr, hi, beta = arnoldi_step(Vr, Vi, wr, wi, j)
+            H[: ncv + 1, j] = np.asarray(hr) + 1j * np.asarray(hi)
+            H[j + 1, j] = float(beta)
+            H[j + 2 :, j] = 0.0
+        return Vr, Vi, H
 
     k = 0  # current restart size (leading Schur block carried over)
     n_ops = 0
@@ -824,17 +857,25 @@ def krylov_schur(
         if fused:
             Hr = jnp.asarray(np.ascontiguousarray(H.real))
             Hi = jnp.asarray(np.ascontiguousarray(H.imag))
-            Vr, Vi, Hr, Hi = expand(device_op, Vr, Vi, Hr, Hi, k)
-            H = np.asarray(Hr) + 1j * np.asarray(Hi)
-            n_ops += ncv - k
+            try:
+                Vr, Vi, Hr, Hi = expand(device_op, Vr, Vi, Hr, Hi, k)
+                H = np.asarray(Hr) + 1j * np.asarray(Hi)
+            except jax.errors.JaxRuntimeError as e:
+                if "RESOURCE_EXHAUSTED" not in str(e) and "Ran out of memory" not in str(e):
+                    raise
+                # fused program didn't fit this problem+operator
+                # footprint: degrade to the per-step path for the rest
+                # of the solve (self-healing replacement of the old
+                # size gate)
+                logger.warning(
+                    "Fused Arnoldi expand exhausted device memory; "
+                    "falling back to per-step applies."
+                )
+                fused = False
+                Vr, Vi, H = _expand_stepwise(Vr, Vi, H, k)
         else:
-            for j in range(k, ncv):
-                wr, wi = apply_op((Vr[j], Vi[j]))
-                Vr, Vi, hr, hi, beta = arnoldi_step(Vr, Vi, wr, wi, j)
-                H[: ncv + 1, j] = np.asarray(hr) + 1j * np.asarray(hi)
-                H[j + 1, j] = float(beta)
-                H[j + 2 :, j] = 0.0
-                n_ops += 1
+            Vr, Vi, H = _expand_stepwise(Vr, Vi, H, k)
+        n_ops += ncv - k
 
         Hm = H[:ncv, :ncv]
         beta_m = H[ncv, ncv - 1].real

@@ -204,3 +204,33 @@ def test_filter_st_smallest_eigenvalues():
     pairs = es.solve()
     got = np.sort([p[0].real for p in pairs])
     assert np.allclose(got, ref, rtol=1e-6), (got, ref)
+
+
+def test_fused_expand_policy(monkeypatch):
+    """Fusion policy: always on CPU / small problems; on TPU above 100k
+    only when the SI refinement rides the chunked-scan BCSR operators
+    (bounded temporaries — the root cause of the old size gate); env
+    override wins over everything."""
+    from types import SimpleNamespace
+
+    import lsafw_tpu.solver.eigen as eig
+    from lsafw_tpu.ops.bcsr import BCSRShiftedOp
+
+    monkeypatch.setattr(eig.jax, "default_backend", lambda: "cpu")
+    assert eig._use_fused_expand(10_000_000, None)
+
+    monkeypatch.setattr(eig.jax, "default_backend", lambda: "tpu")
+    assert eig._use_fused_expand(50_000, None)
+    # legacy (element-op / None) refinement matvec: per-step path
+    assert not eig._use_fused_expand(200_000, None)
+    assert not eig._use_fused_expand(200_000, SimpleNamespace(Cop=object()))
+    # sharded CSR operators carry no Cop attribute at all
+    assert not eig._use_fused_expand(200_000, SimpleNamespace())
+    # BCSR-backed banded SI: fused
+    bcsr_op = SimpleNamespace(Cop=BCSRShiftedOp.__new__(BCSRShiftedOp))
+    assert eig._use_fused_expand(200_000, bcsr_op)
+
+    monkeypatch.setenv("LSAFW_FUSED_EXPAND", "0")
+    assert not eig._use_fused_expand(10, bcsr_op)
+    monkeypatch.setenv("LSAFW_FUSED_EXPAND", "1")
+    assert eig._use_fused_expand(10_000_000, None)
