@@ -430,16 +430,22 @@ def _factor_chunk(band_re, band_im, Vr, Vi, k0, delta, *, chunk, B, nb):
     return band_re, band_im, Vr, Vi, dXr, dXi
 
 
-@partial(jax.jit, donate_argnums=(0,), static_argnames=("pad_one",))
-def _scatter_band(flat, pos_row, pos_off, d, pad_row, pad_off, *, pad_one: bool):
-    """Scatter CSR data into a DONATED band buffer: donation guarantees
-    the scatter runs in place.  Without it XLA's buffer assignment kept
-    a second multi-GB copy live (measured: the 8.5 GB 500k-DOF band
-    compiled to a 15.85 GB program — 100 MB over the chip)."""
-    flat = flat.at[pos_row, pos_off].set(d.astype(flat.dtype))
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("pad_one", "nb"))
+def _scatter_band(band, pos_row, pos_off, d, pad_row, pad_off, *, pad_one: bool, nb: int):
+    """Scatter CSR data into a DONATED 4-D gridded band buffer:
+    donation guarantees the scatter runs in place.  Without it XLA's
+    buffer assignment kept a second multi-GB copy live (measured: the
+    8.5 GB 500k-DOF band compiled to a 15.85 GB program — 100 MB over
+    the chip).  The flat in-row offsets are unraveled to (r, i, j) on
+    device so the buffer is born in its final (rows, R, nb, nb) layout
+    — an eager ``reshape`` afterwards is a tiled-layout change that
+    copies the whole band (the 500k fill OOM)."""
+    r, rem = pos_off // (nb * nb), pos_off % (nb * nb)
+    band = band.at[pos_row, r, rem // nb, rem % nb].set(d.astype(band.dtype))
     if pad_one:
-        flat = flat.at[pad_row, pad_off].set(1.0)
-    return flat
+        pr, prem = pad_off // (nb * nb), pad_off % (nb * nb)
+        band = band.at[pad_row, pr, prem // nb, prem % nb].set(1.0)
+    return band
 
 
 def _fill_band(plan_pos_row, plan_pos_off, pad_row, pad_off, dre, dim_,
@@ -447,16 +453,13 @@ def _fill_band(plan_pos_row, plan_pos_off, pad_row, pad_off, dre, dim_,
     """Scatter CSR data (f64) into the f32/bf16 (re, im) band buffers
     on device (each an eager allocation + one donated in-place
     scatter — peak memory is exactly the two buffers)."""
-    bre = jnp.zeros((rows_total, R * nb * nb), out_dtype)
+    bre = jnp.zeros((rows_total, R, nb, nb), out_dtype)
     bre = _scatter_band(bre, plan_pos_row, plan_pos_off, dre, pad_row, pad_off,
-                        pad_one=True)
-    bim = jnp.zeros((rows_total, R * nb * nb), out_dtype)
+                        pad_one=True, nb=nb)
+    bim = jnp.zeros((rows_total, R, nb, nb), out_dtype)
     bim = _scatter_band(bim, plan_pos_row, plan_pos_off, dim_, pad_row, pad_off,
-                        pad_one=False)
-    return (
-        bre.reshape(rows_total, R, nb, nb),
-        bim.reshape(rows_total, R, nb, nb),
-    )
+                        pad_one=False, nb=nb)
+    return bre, bim
 
 
 # ---------------------------------------------------------------------------
@@ -606,10 +609,9 @@ def _fill_band_real(plan_pos_row, plan_pos_off, pad_row, pad_off, dre,
     """Scatter real CSR data into the single band buffer (eager zeros +
     one donated in-place scatter — peak memory is exactly one band;
     see :func:`_scatter_band`)."""
-    band = jnp.zeros((rows_total, R * nb * nb), out_dtype)
-    band = _scatter_band(band, plan_pos_row, plan_pos_off, dre, pad_row, pad_off,
-                         pad_one=True)
-    return band.reshape(rows_total, R, nb, nb)
+    band = jnp.zeros((rows_total, R, nb, nb), out_dtype)
+    return _scatter_band(band, plan_pos_row, plan_pos_off, dre, pad_row, pad_off,
+                         pad_one=True, nb=nb)
 
 
 @partial(jax.jit, static_argnames=("B", "nb"))
