@@ -2,8 +2,11 @@
 
 TPU-native counterpart of PETSc KSP reached through ``LinearSolver``
 (``Solver/linear.py:27-362``) and the ``KSPType`` enum
-(``Solver/utils.py:96-128``): CG, restarted GMRES and BiCGStab as
-``lax.while_loop`` algorithms over a user matvec closure.  GMRES keeps
+(``Solver/utils.py:96-128``): CG, restarted GMRES/FGMRES/LGMRES/GCR,
+BiCG/BiCGStab/CGS, MINRES, LSQR, Richardson, Chebyshev, QCG and
+PREONLY as ``lax.while_loop`` algorithms over a user matvec closure
+(the full reference menu; BICG/LSQR take an ``rmatvec`` transpose
+apply, e.g. ``CSRMatrix.transpose()``).  GMRES keeps
 its Krylov basis as a (restart+1, n) matrix so orthogonalization is a
 single (m, n) x (n,) matmul per step — MXU work, with all reductions
 fused by XLA (the analog of PETSc's MPI allreduce dot products,
@@ -42,6 +45,12 @@ class KSPType(Enum):
     RICHARDSON = "richardson"
     CHEBYSHEV = "chebyshev"
     PREONLY = "preonly"
+    BICG = "bicg"
+    CGS = "cgs"
+    GCR = "gcr"
+    LGMRES = "lgmres"
+    LSQR = "lsqr"
+    QCG = "qcg"
 
     @classmethod
     def from_string(cls, value: str) -> "KSPType":
@@ -493,6 +502,319 @@ def chebyshev(
 
 
 # ---------------------------------------------------------------------------
+# KSP breadth tail (parity: the remaining KSPType members,
+# Solver/utils.py:96-128)
+# ---------------------------------------------------------------------------
+
+
+def bicg(
+    matvec: Matvec,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    *,
+    rmatvec: Matvec,
+    tol: float = 1e-10,
+    maxiter: int = 1000,
+    M: Matvec | None = None,
+) -> SolveResult:
+    """Preconditioned BiCG (parity: KSPType.BICG, ``Solver/utils.py:103``).
+
+    ``rmatvec`` applies the transpose operator; the preconditioner is
+    assumed symmetric (true for the diagonal/block-diagonal PCs here),
+    so the adjoint chain reuses ``M``."""
+    M = M or _identity
+    x = jnp.zeros_like(b) if x0 is None else x0
+    bnorm = jnp.maximum(jnp.linalg.norm(b), 1e-300)
+    r = b - matvec(x)
+    rt = r
+    z, zt = M(r), M(rt)
+    p, pt = z, zt
+    rho = ddot(z, rt)
+
+    def cond(st):
+        x, r, rt, p, pt, rho, k = st
+        return (jnp.linalg.norm(r) / bnorm > tol) & (k < maxiter)
+
+    def body(st):
+        x, r, rt, p, pt, rho, k = st
+        q = matvec(p)
+        qt = rmatvec(pt)
+        alpha = rho / ddot(pt, q)
+        x = x + alpha * p
+        r = r - alpha * q
+        rt = rt - alpha * qt
+        z, zt = M(r), M(rt)
+        rho_new = ddot(z, rt)
+        beta = rho_new / rho
+        p = z + beta * p
+        pt = zt + beta * pt
+        return x, r, rt, p, pt, rho_new, k + 1
+
+    x, r, *_, k = lax.while_loop(cond, body, (x, r, rt, p, pt, rho, jnp.int32(0)))
+    res = jnp.linalg.norm(r) / bnorm
+    return SolveResult(x, k, res, res <= tol)
+
+
+def cgs(
+    matvec: Matvec,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    *,
+    tol: float = 1e-10,
+    maxiter: int = 1000,
+    M: Matvec | None = None,
+) -> SolveResult:
+    """Conjugate gradient squared — transpose-free BiCG variant
+    (parity: KSPType.CGS, ``Solver/utils.py:115``)."""
+    M = M or _identity
+    x = jnp.zeros_like(b) if x0 is None else x0
+    bnorm = jnp.maximum(jnp.linalg.norm(b), 1e-300)
+    r = b - matvec(x)
+    rt = r
+    rho = jnp.asarray(1.0, b.dtype)
+    u = p = q = jnp.zeros_like(b)
+
+    def cond(st):
+        x, r, u, p, q, rho, k = st
+        return (jnp.linalg.norm(r) / bnorm > tol) & (k < maxiter)
+
+    def body(st):
+        x, r, u, p, q, rho, k = st
+        rho_new = ddot(rt, r)
+        beta = jnp.where(k == 0, 0.0, rho_new / rho)
+        u = r + beta * q
+        p = u + beta * (q + beta * p)
+        phat = M(p)
+        v = matvec(phat)
+        alpha = rho_new / ddot(rt, v)
+        q = u - alpha * v
+        uq = M(u + q)
+        x = x + alpha * uq
+        r = r - alpha * matvec(uq)
+        return x, r, u, p, q, rho_new, k + 1
+
+    x, r, *_, k = lax.while_loop(cond, body, (x, r, u, p, q, rho, jnp.int32(0)))
+    res = jnp.linalg.norm(r) / bnorm
+    return SolveResult(x, k, res, res <= tol)
+
+
+def _gcr_cycle(matvec, M, x, r, seeds, restart):
+    """One GCR cycle: minimize ||r|| over ``restart`` directions.
+
+    Directions are ``seeds`` rows while their flags are set (subspace
+    augmentation), then preconditioned residuals.  Stored as
+    (restart, n) D / AD with AD rows orthonormal, so per-step
+    orthogonalization is one (m, n) x (n,) matmul — MXU work, same
+    shape as the GMRES basis product."""
+    n = r.shape[0]
+    D = jnp.zeros((restart, n), r.dtype)
+    AD = jnp.zeros((restart, n), r.dtype)
+    seed_vecs, nseed = seeds
+
+    def step(j, carry):
+        x, r, D, AD = carry
+        d = jnp.where(j < nseed, seed_vecs[jnp.minimum(j, seed_vecs.shape[0] - 1)], M(r))
+        Ad = matvec(d)
+        # two-pass (CGS2) projection against the stored AD rows
+        for _ in range(2):
+            c = AD @ Ad
+            d = d - c @ D
+            Ad = Ad - c @ AD
+        nrm = jnp.sqrt(ddot(Ad, Ad))
+        ok = nrm > 1e-300
+        inv = jnp.where(ok, 1.0 / jnp.maximum(nrm, 1e-300), 0.0)
+        d, Ad = d * inv, Ad * inv
+        alpha = ddot(Ad, r)
+        x = x + alpha * d
+        r = r - alpha * Ad
+        D = D.at[j].set(d)
+        AD = AD.at[j].set(Ad)
+        return x, r, D, AD
+
+    return lax.fori_loop(0, restart, step, (x, r, D, AD))[:2]
+
+
+def gcr(
+    matvec: Matvec,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    *,
+    tol: float = 1e-10,
+    restart: int = 30,
+    maxiter: int = 1000,
+    M: Matvec | None = None,
+) -> SolveResult:
+    """Restarted generalized conjugate residual (parity: KSPType.GCR,
+    ``Solver/utils.py:117``).  Flexible — the preconditioner may vary
+    between applications, same as FGMRES."""
+    M = M or _identity
+    x = jnp.zeros_like(b) if x0 is None else x0
+    bnorm = jnp.maximum(jnp.linalg.norm(b), 1e-300)
+    r = b - matvec(x)
+    no_seed = (jnp.zeros((1, b.shape[0]), b.dtype), jnp.int32(0))
+    max_cycles = max(1, -(-maxiter // restart))
+
+    def cond(st):
+        x, r, k = st
+        return (jnp.linalg.norm(r) / bnorm > tol) & (k < max_cycles)
+
+    def body(st):
+        x, r, k = st
+        x, r = _gcr_cycle(matvec, M, x, r, no_seed, restart)
+        return x, r, k + 1
+
+    x, r, k = lax.while_loop(cond, body, (x, r, jnp.int32(0)))
+    res = jnp.linalg.norm(r) / bnorm
+    return SolveResult(x, k * restart, res, res <= tol)
+
+
+def lgmres(
+    matvec: Matvec,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    *,
+    tol: float = 1e-10,
+    restart: int = 30,
+    aug: int = 2,
+    maxiter: int = 1000,
+    M: Matvec | None = None,
+) -> SolveResult:
+    """LGMRES-style augmented restart (parity: KSPType.LGMRES,
+    ``Solver/utils.py:127``): each cycle's subspace is seeded with the
+    previous ``aug`` cycles' error approximations z = x_new - x_old,
+    which restores the cross-restart directions plain GMRES forgets
+    (Baker-Jessup-Manteuffel).  Implemented in GCR (residual-minimizing,
+    flexible) form so augmentation is just extra seed directions —
+    the same (restart+1, n)-buffer MXU layout as the GMRES basis."""
+    M = M or _identity
+    x = jnp.zeros_like(b) if x0 is None else x0
+    bnorm = jnp.maximum(jnp.linalg.norm(b), 1e-300)
+    r = b - matvec(x)
+    Z = jnp.zeros((max(aug, 1), b.shape[0]), b.dtype)
+    max_cycles = max(1, -(-maxiter // restart))
+
+    def cond(st):
+        x, r, Z, nz, k = st
+        return (jnp.linalg.norm(r) / bnorm > tol) & (k < max_cycles)
+
+    def body(st):
+        x, r, Z, nz, k = st
+        x_new, r_new = _gcr_cycle(matvec, M, x, r, (Z, nz), restart)
+        z = x_new - x
+        Z = jnp.roll(Z, 1, axis=0).at[0].set(z)
+        nz = jnp.minimum(nz + 1, jnp.int32(max(aug, 1)))
+        return x_new, r_new, Z, nz, k + 1
+
+    x, r, _, _, k = lax.while_loop(cond, body, (x, r, Z, jnp.int32(0), jnp.int32(0)))
+    res = jnp.linalg.norm(r) / bnorm
+    return SolveResult(x, k * restart, res, res <= tol)
+
+
+def lsqr(
+    matvec: Matvec,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    *,
+    rmatvec: Matvec,
+    tol: float = 1e-10,
+    maxiter: int = 1000,
+) -> SolveResult:
+    """LSQR — Golub-Kahan bidiagonalization least-squares solver
+    (parity: KSPType.LSQR, ``Solver/utils.py:125``; unpreconditioned,
+    as is PETSc's default)."""
+    x = jnp.zeros_like(b) if x0 is None else x0
+    bnorm = jnp.maximum(jnp.linalg.norm(b), 1e-300)
+    u = b - matvec(x)
+    beta = jnp.sqrt(ddot(u, u))
+    u = u / jnp.maximum(beta, 1e-300)
+    v = rmatvec(u)
+    alpha = jnp.sqrt(ddot(v, v))
+    v = v / jnp.maximum(alpha, 1e-300)
+    w = v
+    phibar, rhobar = beta, alpha
+
+    def cond(st):
+        x, u, v, w, alpha, phibar, rhobar, k = st
+        return (phibar / bnorm > tol) & (k < maxiter)
+
+    def body(st):
+        x, u, v, w, alpha, phibar, rhobar, k = st
+        u = matvec(v) - alpha * u
+        beta = jnp.sqrt(ddot(u, u))
+        u = u / jnp.maximum(beta, 1e-300)
+        v_new = rmatvec(u) - beta * v
+        alpha_new = jnp.sqrt(ddot(v_new, v_new))
+        v_new = v_new / jnp.maximum(alpha_new, 1e-300)
+        rho = jnp.sqrt(rhobar**2 + beta**2)
+        c, s = rhobar / rho, beta / rho
+        theta = s * alpha_new
+        rhobar_new = -c * alpha_new
+        phi = c * phibar
+        phibar_new = s * phibar
+        x = x + (phi / rho) * w
+        w = v_new - (theta / rho) * w
+        return x, u, v_new, w, alpha_new, phibar_new, rhobar_new, k + 1
+
+    x, *_, phibar, _, k = lax.while_loop(
+        cond, body, (x, u, v, w, alpha, phibar, rhobar, jnp.int32(0)))
+    r = b - matvec(x)
+    res = jnp.linalg.norm(r) / bnorm
+    return SolveResult(x, k, res, res <= tol)
+
+
+def qcg(
+    matvec: Matvec,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    *,
+    tol: float = 1e-10,
+    maxiter: int = 1000,
+    M: Matvec | None = None,
+    radius: float | None = None,
+) -> SolveResult:
+    """Trust-region preconditioned CG (parity: KSPType.QCG,
+    ``Solver/utils.py:113``): plain PCG until the iterate would leave
+    the trust ball ||x|| <= radius, then step exactly to the boundary
+    and stop (Steihaug-Toint).  ``radius=None`` behaves as CG."""
+    M = M or _identity
+    rad = jnp.asarray(float("inf") if radius is None else float(radius), b.dtype)
+    x = jnp.zeros_like(b) if x0 is None else x0
+    bnorm = jnp.maximum(jnp.linalg.norm(b), 1e-300)
+    r = b - matvec(x)
+    z = M(r)
+    p = z
+    rz = ddot(r, z)
+
+    def cond(st):
+        x, r, p, rz, k, on_boundary = st
+        return (
+            (jnp.linalg.norm(r) / bnorm > tol) & (k < maxiter) & (~on_boundary)
+        )
+
+    def body(st):
+        x, r, p, rz, k, _ = st
+        Ap = matvec(p)
+        alpha = rz / ddot(p, Ap)
+        # boundary intersection: smallest tau > 0 with ||x + tau p|| = rad
+        xx, xp, pp = ddot(x, x), ddot(x, p), ddot(p, p)
+        disc = jnp.maximum(xp**2 + pp * (rad**2 - xx), 0.0)
+        tau = (-xp + jnp.sqrt(disc)) / jnp.maximum(pp, 1e-300)
+        crosses = jnp.isfinite(rad) & (alpha > tau)
+        step = jnp.where(crosses, tau, alpha)
+        x = x + step * p
+        r = r - step * Ap
+        z = M(r)
+        rz_new = ddot(r, z)
+        p = z + (rz_new / rz) * p
+        return x, r, p, rz_new, k + 1, crosses
+
+    x, r, _, _, k, _ = lax.while_loop(
+        cond, body, (x, r, p, rz, jnp.int32(0), jnp.asarray(False)))
+    res = jnp.linalg.norm(r) / bnorm
+    return SolveResult(x, k, res, res <= tol)
+
+
+# ---------------------------------------------------------------------------
 # Unified front-end (parity: LinearSolver.solve, Solver/linear.py:38-87)
 # ---------------------------------------------------------------------------
 
@@ -507,6 +829,10 @@ def solve(
     maxiter: int = 1000,
     restart: int = 30,
     M: Matvec | None = None,
+    rmatvec: Matvec | None = None,
+    lmin: float | None = None,
+    lmax: float | None = None,
+    radius: float | None = None,
 ) -> SolveResult:
     ksp_type = KSPType.from_string(ksp_type) if isinstance(ksp_type, str) else ksp_type
     if ksp_type is KSPType.CG:
@@ -521,6 +847,25 @@ def solve(
         return minres(matvec, b, x0, tol=tol, maxiter=maxiter, M=M)
     if ksp_type is KSPType.RICHARDSON:
         return richardson(matvec, b, x0, tol=tol, maxiter=maxiter, M=M)
+    if ksp_type is KSPType.CHEBYSHEV:
+        if lmin is None or lmax is None:
+            raise ValueError("CHEBYSHEV requires lmin/lmax spectrum bounds.")
+        return chebyshev(matvec, b, x0, lmin=lmin, lmax=lmax, tol=tol,
+                         maxiter=maxiter, M=M)
+    if ksp_type is KSPType.CGS:
+        return cgs(matvec, b, x0, tol=tol, maxiter=maxiter, M=M)
+    if ksp_type is KSPType.GCR:
+        return gcr(matvec, b, x0, tol=tol, restart=restart, maxiter=maxiter, M=M)
+    if ksp_type is KSPType.LGMRES:
+        return lgmres(matvec, b, x0, tol=tol, restart=restart, maxiter=maxiter, M=M)
+    if ksp_type is KSPType.QCG:
+        return qcg(matvec, b, x0, tol=tol, maxiter=maxiter, M=M, radius=radius)
+    if ksp_type in (KSPType.BICG, KSPType.LSQR):
+        if rmatvec is None:
+            raise ValueError(f"{ksp_type.name} requires rmatvec (transpose apply).")
+        if ksp_type is KSPType.BICG:
+            return bicg(matvec, b, x0, rmatvec=rmatvec, tol=tol, maxiter=maxiter, M=M)
+        return lsqr(matvec, b, x0, rmatvec=rmatvec, tol=tol, maxiter=maxiter)
     if ksp_type is KSPType.PREONLY:
         if M is None:
             raise ValueError("PREONLY requires a preconditioner.")
