@@ -1,12 +1,13 @@
 """Device-resident preconditioners.
 
 TPU-native subset of the reference's PETSc PC zoo
-(``PreconditionerType``, ``Solver/utils.py:66-94``): pointwise Jacobi
-and batched dense block-Jacobi (both pure gather/solve array code that
-jits onto the VPU/MXU).  Sequential triangular ILU/ICC sweeps do not
-map to the TPU's execution model; their role (strong smoothing for
-inner Krylov solves) is covered by block-Jacobi with large blocks and
-by the direct factorization in :mod:`lsafw_tpu.solver.direct`.
+(``PreconditionerType``, ``Solver/utils.py:66-94``): pointwise Jacobi,
+batched dense block-Jacobi (pure gather/solve array code that jits
+onto the VPU/MXU), fine-grained-parallel ILU(0)/ICC/SSOR
+(:mod:`lsafw_tpu.solver.ilu` — Chow-Patel fixed-point factorization,
+Jacobi-sweep triangular applies), the unstructured P2->P1 multigrid
+(:mod:`lsafw_tpu.solver.pmg`, the GAMG/hypre role) and the banded
+factorizations (:mod:`lsafw_tpu.solver.band`, the MUMPS role).
 """
 
 from __future__ import annotations
@@ -32,6 +33,12 @@ class PreconditionerType(Enum):
     # lives in solver.multigrid / multigrid_nd; PMG is the unstructured
     # P2->P1 V-cycle (solver.pmg)
     PMG = "pmg"
+    # fine-grained-parallel incomplete factorizations (solver.ilu):
+    # Chow-Patel fixed-point ILU(0) with Jacobi-sweep triangular
+    # applies; ICC maps to the same factorization (U = D L^T on SPD)
+    ILU = "ilu"
+    ICC = "icc"
+    SOR = "sor"
 
     @classmethod
     def from_string(cls, value: str) -> "PreconditionerType":
@@ -136,6 +143,18 @@ def make_preconditioner(
         return jacobi(A)
     if pc_type is PreconditionerType.BLOCK_JACOBI:
         return block_jacobi(A, kw.get("block_size", 64))
+    if pc_type in (PreconditionerType.ILU, PreconditionerType.ICC):
+        from lsafw_tpu.solver.ilu import ilu0
+
+        return ilu0(
+            A,
+            factor_sweeps=kw.get("factor_sweeps", 8),
+            apply_sweeps=kw.get("apply_sweeps", 6),
+        )
+    if pc_type is PreconditionerType.SOR:
+        from lsafw_tpu.solver.ilu import ssor
+
+        return ssor(A, omega=kw.get("omega", 1.0), sweeps=kw.get("sweeps", 6))
     if pc_type is PreconditionerType.PMG:
         from lsafw_tpu.solver.pmg import build_pmg_pc
 
