@@ -66,6 +66,13 @@ def build_facet_context(
 ) -> FacetContext:
     spaces = ctx.spaces
     facet_ids = facets_with_marker(mesh, marker)
+    if facet_ids.size == 0:
+        # an empty facet set crashes far downstream (zero-size reshapes
+        # inside jitted loads); fail here with the actionable cause
+        raise ValueError(
+            f"No boundary facets tagged with marker {marker}; check the "
+            "facet rules against the mesh boundary coordinates."
+        )
     cells = mesh.facet_to_cells[facet_ids, 0]
     fverts = mesh.vertices[mesh.facets[facet_ids]]  # (nf, nvf, gdim)
     gdim = mesh.gdim
