@@ -45,18 +45,58 @@ from lsafw_tpu.ops.sparse import (
 
 
 def affine_geometry(mesh: Mesh) -> tuple[np.ndarray, np.ndarray]:
-    """(detJ, Jinv) of the affine map per cell (simplices).
+    """(detJ, Jinv) of the affine map per cell.
 
-    J columns are edge vectors v_i - v_0; detJ is the absolute value
+    Simplices: J columns are the edge vectors v_i - v_0.  Tensor cells
+    (quad/hex) are affine exactly when they are parallelograms /
+    parallelepipeds — there the columns are the axis edges from the
+    binary vertex ordering; callers must verify the parallelogram
+    property (see :func:`is_parallelogram_cells`) or use
+    :func:`nonaffine_geometry`.  detJ is the absolute value
     (orientation-normalized, matching positive quadrature weights).
     """
+    from lsafw_tpu.meshing.mesh import CellType
+
     v = mesh.vertices[mesh.cells]  # (nc, nverts, gdim)
-    J = np.transpose(v[:, 1:] - v[:, :1], (0, 2, 1))  # (nc, gdim, tdim)
+    if mesh.cell_type is CellType.QUADRILATERAL:
+        # vertex order (0,0),(1,0),(0,1),(1,1): axis edges are v1/v2
+        E = np.stack([v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]], axis=2)
+        J = E  # (nc, gdim, 2)
+    elif mesh.cell_type is CellType.HEXAHEDRON:
+        # binary (di, dj, dk) order with k fastest: x->4, y->2, z->1
+        J = np.stack(
+            [v[:, 4] - v[:, 0], v[:, 2] - v[:, 0], v[:, 1] - v[:, 0]], axis=2)
+    else:
+        J = np.transpose(v[:, 1:] - v[:, :1], (0, 2, 1))  # (nc, gdim, tdim)
     if mesh.tdim != mesh.gdim:
         raise NotImplementedError("Embedded manifolds not supported.")
     detJ = np.abs(np.linalg.det(J))
     Jinv = np.linalg.inv(J)  # (nc, tdim, gdim)
     return detJ, Jinv
+
+
+def is_parallelogram_cells(mesh: Mesh, tol: float = 1e-12) -> bool:
+    """True when every tensor-product cell's bilinear map is affine
+    (parallelogram quads / parallelepiped hexes); trivially true for
+    simplices."""
+    from lsafw_tpu.meshing.mesh import CellType
+
+    v = mesh.vertices[mesh.cells]
+    scale = max(float(np.abs(v).max()), 1.0)
+    if mesh.cell_type is CellType.QUADRILATERAL:
+        dev = v[:, 3] - v[:, 1] - v[:, 2] + v[:, 0]
+        return bool(np.abs(dev).max() <= tol * scale)
+    if mesh.cell_type is CellType.HEXAHEDRON:
+        a = v[:, 4] - v[:, 0]
+        b = v[:, 2] - v[:, 0]
+        c = v[:, 1] - v[:, 0]
+        idx = [(di, dj, dk) for di in (0, 1) for dj in (0, 1) for dk in (0, 1)]
+        for m, (di, dj, dk) in enumerate(idx):
+            pred = v[:, 0] + di * a + dj * b + dk * c
+            if np.abs(v[:, m] - pred).max() > tol * scale:
+                return False
+        return True
+    return True
 
 
 def nonaffine_geometry(mesh: Mesh, points: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -212,11 +252,17 @@ class AssemblyContext(_ContextBase):
 
         mesh = spaces.velocity.mesh
         if mesh.cell_type in (CellType.QUADRILATERAL, CellType.HEXAHEDRON):
-            raise NotImplementedError(
-                "Mixed Taylor-Hood spaces need simplex cells (Q2/Q1 "
-                "tensor elements are not tabulated); scalar/elasticity "
-                "problems support quad/hex via SpaceContext."
-            )
+            # the mixed kernels consume per-cell (affine) geometry
+            # factors; that is exact on parallelogram/parallelepiped
+            # tensor cells (structured channel grids), where the
+            # Q2/Q1 pair is the tensor Taylor-Hood element
+            if not is_parallelogram_cells(mesh):
+                raise NotImplementedError(
+                    "Mixed spaces on curvilinear quad/hex cells need "
+                    "per-quadrature-point geometry in the NS kernels; "
+                    "only parallelogram/parallelepiped tensor cells are "
+                    "supported (or use simplices)."
+                )
         deg = quad_degree or spaces.quad_degree
         rule = quadrature_rule(mesh.cell_type, deg)
         tab_u = spaces.velocity.element.tabulate(rule.points)

@@ -36,6 +36,7 @@ class ElementFamily(Enum):
     BUBBLE = "bubble"
     P1_BUBBLE = "p1_bubble"  # MINI enrichment
     Q1 = "q1"
+    Q2 = "q2"  # biquadratic (9-node quad); Taylor-Hood velocity on quads
 
     @classmethod
     def from_string(cls, value: str) -> "ElementFamily":
@@ -191,6 +192,30 @@ def _tab_q1_quad(p):
     return phi, np.stack([gx, gy], axis=2)
 
 
+def _tab_q2_quad(p):
+    """Biquadratic 9-node quad.  Node order matches the dofmap builder:
+    vertices (0,0),(1,0),(0,1),(1,1), then edge midpoints in
+    ``_EDGE_VERTICES[QUADRILATERAL]`` order ((0,1),(1,3),(2,3),(0,2)),
+    then the centre."""
+    x, y = p[:, 0], p[:, 1]
+
+    def L(t):  # 1D quadratic Lagrange at nodes {0, 1, 1/2}
+        return (2 * t - 1) * (t - 1), t * (2 * t - 1), 4 * t * (1 - t)
+
+    def dL(t):
+        return 4 * t - 3, 4 * t - 1, 4 - 8 * t
+
+    Lx, dLx = L(x), dL(x)
+    Ly, dLy = L(y), dL(y)
+    # (a_x, a_y) per node; index 2 = midpoint
+    nodes = [(0, 0), (1, 0), (0, 1), (1, 1),
+             (2, 0), (1, 2), (2, 1), (0, 2), (2, 2)]
+    phi = np.stack([Lx[a] * Ly[b] for a, b in nodes], axis=1)
+    gx = np.stack([dLx[a] * Ly[b] for a, b in nodes], axis=1)
+    gy = np.stack([Lx[a] * dLy[b] for a, b in nodes], axis=1)
+    return phi, np.stack([gx, gy], axis=2)
+
+
 def _tab_q1_hex(p):
     """Trilinear Q1 on the unit cube, vertex order = box_mesh's binary
     (di, dj, dk) with k fastest (``meshing/mesh.py`` box corners)."""
@@ -224,7 +249,10 @@ _TABULATORS = {
     (ElementFamily.BUBBLE, CellType.TETRAHEDRON): _simplex_bubble(CellType.TETRAHEDRON),
     (ElementFamily.P1_BUBBLE, CellType.TETRAHEDRON): _simplex_p1_bubble(CellType.TETRAHEDRON),
     (ElementFamily.Q1, CellType.QUADRILATERAL): _tab_q1_quad,
+    (ElementFamily.Q2, CellType.QUADRILATERAL): _tab_q2_quad,
     (ElementFamily.Q1, CellType.HEXAHEDRON): _tab_q1_hex,
+    # Q2 on hexahedra needs face DOFs, which the (vertex, edge,
+    # interior) dofmap does not model — make_element raises cleanly
 }
 
 
@@ -248,6 +276,10 @@ def _reference_nodes(family: ElementFamily, cell: CellType) -> np.ndarray:
         edges = np.asarray(_EDGE_VERTICES[cell])
         mids = verts[edges].mean(axis=1)
         return np.vstack([verts, mids])
+    if family is ElementFamily.Q2:
+        edges = np.asarray(_EDGE_VERTICES[cell])
+        mids = verts[edges].mean(axis=1)
+        return np.vstack([verts, mids, verts.mean(axis=0, keepdims=True)])
     centroid = verts.mean(axis=0, keepdims=True)
     if family is ElementFamily.BUBBLE:
         return centroid
@@ -268,6 +300,8 @@ def make_element(family: ElementFamily | str, cell: CellType) -> ReferenceElemen
     elif family is ElementFamily.P2:
         nedges = 1 if cell is CellType.INTERVAL else len(_EDGE_VERTICES[cell])
         nvd, ned, nid, deg = nverts, nedges, 0, 2
+    elif family is ElementFamily.Q2:
+        nvd, ned, nid, deg = nverts, len(_EDGE_VERTICES[cell]), 1, 2
     elif family is ElementFamily.BUBBLE:
         nvd, ned, nid, deg = 0, 0, 1, cell.dim + 1
     elif family is ElementFamily.P1_BUBBLE:

@@ -263,15 +263,24 @@ def define_spaces(
 ) -> FunctionSpaces:
     """Define velocity/pressure spaces (parity: ``FEM/spaces.py:103-179``)."""
     type = FunctionSpaceType.from_string(type) if isinstance(type, str) else type
+    from lsafw_tpu.meshing.mesh import CellType as _CT
+
+    on_quads = mesh.cell_type is _CT.QUADRILATERAL
     if type is FunctionSpaceType.TAYLOR_HOOD:
-        vel = make_vector_space(mesh, ElementFamily.P2)
-        pres = make_scalar_space(mesh, ElementFamily.P1)
+        # tensor-product cells take the tensor Taylor-Hood pair Q2/Q1
+        # (basix does the same per cell type in the reference)
+        vel = make_vector_space(
+            mesh, ElementFamily.Q2 if on_quads else ElementFamily.P2)
+        pres = make_scalar_space(
+            mesh, ElementFamily.Q1 if on_quads else ElementFamily.P1)
     elif type is FunctionSpaceType.MINI:
         vel = make_vector_space(mesh, ElementFamily.P1_BUBBLE)
         pres = make_scalar_space(mesh, ElementFamily.P1)
     elif type is FunctionSpaceType.SIMPLE:
-        vel = make_vector_space(mesh, ElementFamily.P1)
-        pres = make_scalar_space(mesh, ElementFamily.P1)
+        vel = make_vector_space(
+            mesh, ElementFamily.Q1 if on_quads else ElementFamily.P1)
+        pres = make_scalar_space(
+            mesh, ElementFamily.Q1 if on_quads else ElementFamily.P1)
     elif type is FunctionSpaceType.DG:
         raise NotImplementedError("DG function spaces are not supported.")
     else:
