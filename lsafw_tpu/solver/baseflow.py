@@ -89,14 +89,32 @@ class BaseFlowSolver:
             if cached is not None:
                 self._initial_guess = cached
                 return cached
-        if self._initial_guess is None:
-            self._initial_guess = self._solve_stokes_flow(linear_solver)
 
         re_ramp = (
             np.linspace(1.0, self._re, steps).tolist()
             if (ramp and steps > 1)
             else [self._re]
         )
+
+        # in-ramp resume (beyond the reference, which restarts ramps
+        # from scratch — SURVEY section 5 "no in-solver resume"): each
+        # completed ramp step is checkpointed under a step key; a rerun
+        # resumes from the last completed step
+        start = 0
+        if cache is not None and key is not None:
+            for i in range(len(re_ramp) - 1, -1, -1):
+                ck = cache.load_array(f"{key}.ramp{i}_{re_ramp[i]:.6g}")
+                if ck is not None:
+                    self._initial_guess = ck
+                    start = i + 1
+                    logger.info(
+                        "Resuming Reynolds ramp from step %d (Re=%.2f).",
+                        start, re_ramp[i],
+                    )
+                    break
+        if self._initial_guess is None:
+            self._initial_guess = self._solve_stokes_flow(linear_solver)
+
         if self._ns_assembler is None:
             self._ns_assembler = StationaryNavierStokesAssembler(
                 self._ctx, self._mesh, self._bcs
@@ -106,11 +124,14 @@ class BaseFlowSolver:
         )
         sol = self._initial_guess
         result: NewtonResult | None = None
-        for re in re_ramp:
+        for i in range(start, len(re_ramp)):
+            re = re_ramp[i]
             logger.info("Solving stationary Navier-Stokes at Re=%.2f", re)
             with timed(logger, f"Newton at Re={re:.1f}"):
                 result = newton.solve(sol, re, max_it=max_it, tol=tol)
             sol = result.w
+            if cache is not None and key is not None and result.converged:
+                cache.save_array(f"{key}.ramp{i}_{re:.6g}", np.asarray(sol))
         if result is not None and not result.converged:
             logger.warning("Final Newton residual %.3e > tol %.1e", result.residual_norm, tol)
 

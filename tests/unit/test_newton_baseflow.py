@@ -109,3 +109,31 @@ def test_newton_quadratic_convergence():
     h = res.history
     assert len(h) >= 3
     assert h[-1] < 1e-12 or h[-1] < 1e-6 * h[-2]
+
+
+def test_ramp_resume_from_checkpoint(tmp_path):
+    """In-ramp checkpoint/resume (beyond the reference: SURVEY section 5
+    notes its ramps restart from scratch): a rerun with the same cache
+    key resumes from the last completed ramp step, and the resumed
+    result matches the uninterrupted one."""
+    from lsafw_tpu.utils.cache import CacheStore
+
+    mesh, spaces, bcs = make_channel()
+    ctx = AssemblyContext.build(spaces)
+    cache = CacheStore(tmp_path)
+
+    w_full = BaseFlowSolver(ctx, mesh, bcs, re=40.0).solve(
+        ramp=True, steps=3, tol=1e-9, max_it=30, cache=cache, key="bf")
+    # ramp step checkpoints exist
+    assert cache.load_array("bf.ramp2_40") is not None
+
+    # simulate an interrupted run: final key missing, steps 0-1 cached
+    cache2 = CacheStore(tmp_path / "partial")
+    for i, re in enumerate([1.0, 20.5]):
+        arr = cache.load_array(f"bf.ramp{i}_{re:.6g}")
+        assert arr is not None
+        cache2.save_array(f"bf.ramp{i}_{re:.6g}", arr)
+    w_res = BaseFlowSolver(ctx, mesh, bcs, re=40.0).solve(
+        ramp=True, steps=3, tol=1e-9, max_it=30, cache=cache2, key="bf")
+    np.testing.assert_allclose(np.asarray(w_res), np.asarray(w_full),
+                               rtol=1e-8, atol=1e-10)
