@@ -39,6 +39,17 @@ class PreconditionerType(Enum):
     ILU = "ilu"
     ICC = "icc"
     SOR = "sor"
+    # additive Schwarz: on a single accelerator the zero-overlap ASM is
+    # exactly block-Jacobi (the multi-device overlap role is the
+    # sharded SPIKE preconditioner, solver.band_sharded)
+    ASM = "asm"
+    # direct-factorization roles: CHOLESKY and REDUNDANT (every rank
+    # redundantly factors) both resolve to the full LU apply
+    CHOLESKY = "cholesky"
+    REDUNDANT = "redundant"
+    # user-defined apply (PETSc PCSHELL): pass apply= to
+    # make_preconditioner
+    SHELL = "shell"
 
     @classmethod
     def from_string(cls, value: str) -> "PreconditionerType":
@@ -141,8 +152,36 @@ def make_preconditioner(
         return None
     if pc_type is PreconditionerType.JACOBI:
         return jacobi(A)
-    if pc_type is PreconditionerType.BLOCK_JACOBI:
+    if pc_type in (PreconditionerType.BLOCK_JACOBI, PreconditionerType.ASM):
         return block_jacobi(A, kw.get("block_size", 64))
+    if pc_type in (
+        PreconditionerType.LU,
+        PreconditionerType.CHOLESKY,
+        PreconditionerType.REDUNDANT,
+    ):
+        import jax
+
+        from lsafw_tpu.solver.direct import SparseLU
+
+        lu = SparseLU(A.to_scipy().tocsc())
+        n = A.shape[0]
+        dt = np.asarray(A.data).dtype
+
+        def apply_lu(r):
+            # the Krylov solvers trace their loops, so the host solve
+            # rides a callback (the PREONLY/LU role; exact PC)
+            return jax.pure_callback(
+                lambda rr: lu.solve(np.asarray(rr)).astype(dt),
+                jax.ShapeDtypeStruct((n,), dt),
+                r,
+            )
+
+        return apply_lu
+    if pc_type is PreconditionerType.SHELL:
+        fn = kw.get("apply")
+        if fn is None:
+            raise ValueError("SHELL preconditioner requires apply=<callable>.")
+        return fn
     if pc_type in (PreconditionerType.ILU, PreconditionerType.ICC):
         from lsafw_tpu.solver.ilu import ilu0
 

@@ -143,3 +143,31 @@ def test_make_preconditioner_menu():
         res = gmres(lambda v: spmv(Ac, v), b, tol=1e-11, restart=25,
                     maxiter=500, M=M)
         assert bool(res.converged), kind
+
+
+def test_pc_menu_aliases():
+    """ASM (zero-overlap = block-Jacobi), CHOLESKY/REDUNDANT (direct LU
+    role) and SHELL (user callable) resolve and precondition."""
+    from lsafw_tpu.solver.precond import make_preconditioner
+
+    n = 60
+    A = _diag_dominant(n, 9, density=0.12)
+    Ac = CSRMatrix.from_scipy(sp.csr_matrix(A))
+    rng = np.random.RandomState(10)
+    x_true = rng.randn(n)
+    from lsafw_tpu.ops.sparse import spmv
+
+    b = spmv(Ac, jnp.asarray(x_true))
+    mv = lambda v: spmv(Ac, v)
+    for kind in ("asm", "cholesky", "redundant"):
+        M = make_preconditioner(Ac, kind)
+        res = gmres(mv, b, tol=1e-11, restart=20, maxiter=300, M=M)
+        assert bool(res.converged), kind
+    d = jnp.asarray(1.0 / np.diag(A))
+    M = make_preconditioner(Ac, "shell", apply=lambda r: d * r)
+    res = gmres(mv, b, tol=1e-11, restart=20, maxiter=300, M=M)
+    assert bool(res.converged)
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_preconditioner(Ac, "shell")
