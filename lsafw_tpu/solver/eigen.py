@@ -85,6 +85,10 @@ class STType(Enum):
     # extremal spectral window of a Hermitian operator without any
     # factorization; eigenvalues recovered by Rayleigh quotients.
     FILTER = "filter"
+    # user-defined transform (SLEPc's STSHELL role): the caller
+    # supplies the transformed apply and its eigenvalue back-transform
+    # via EigenSolver.set_st_shell
+    SHELL = "shell"
 
 
 class EpsWhich(Enum):
@@ -632,6 +636,21 @@ class ChebyshevFilterOperator:
         )
 
 
+class ShellOperator:
+    """User-defined spectral transform (SLEPc STSHELL role): wraps the
+    caller's transformed apply and eigenvalue back-transform."""
+
+    def __init__(self, apply_fn, back_fn) -> None:
+        self._apply = apply_fn
+        self._back = back_fn
+
+    def apply(self, v: CVec) -> CVec:
+        return self._apply(v)
+
+    def back_transform(self, theta: np.ndarray) -> np.ndarray:
+        return np.asarray([self._back(t) for t in np.asarray(theta)])
+
+
 class PlainOperator:
     """op v = A v (optionally M^-1 A v via LU) for non-transformed solves."""
 
@@ -1010,6 +1029,7 @@ class EigenSolver:
         self._si_method = "lu"
         self._elements = None
         self._filter_degree = 30
+        self._shell: tuple | None = None
 
     def _warn_if_not_hermitian(self) -> None:
         """(parity: Hermiticity validation warnings, ``Solver/eigen.py:88-108``)."""
@@ -1032,6 +1052,15 @@ class EigenSolver:
         """Antishift for the CAYLEY transform (parity: SLEPc
         ``ST.setCayleyAntishift``; defaults to the target)."""
         self._antishift = complex(nu)
+
+    def set_st_shell(self, apply, back_transform=None) -> None:
+        """User-defined spectral transform (parity: SLEPc STSHELL,
+        ``Solver/utils.py:131-149``): ``apply((vr, vi)) -> (wr, wi)``
+        is the transformed operator; ``back_transform(theta)`` maps its
+        eigenvalues back (identity when omitted).  Implies
+        ``STType.SHELL``."""
+        self._shell = (apply, back_transform or (lambda t: t))
+        self._st_type = STType.SHELL
 
     def set_which_eigenpairs(self, which: EpsWhich | str) -> None:
         self._which = EpsWhich(which) if isinstance(which, str) else which
@@ -1118,6 +1147,9 @@ class EigenSolver:
                     antishift=nu,
                 )
                 which = EpsWhich.LARGEST_MAGNITUDE  # largest theta = closest
+            elif self._st_type is STType.SHELL:
+                op = ShellOperator(*self._shell)
+                which = self._which
             else:
                 op = PlainOperator(self.A, self.M)
                 which = self._which
@@ -1131,7 +1163,12 @@ class EigenSolver:
             )
             return op, result
 
-        if self._st_type is not STType.SHIFT and self._target is None:
+        if self._st_type is STType.SHELL and self._shell is None:
+            raise ValueError("SHELL requires set_st_shell(apply, back_transform).")
+        if (
+            self._st_type not in (STType.SHIFT, STType.SHELL)
+            and self._target is None
+        ):
             raise ValueError(f"{self._st_type.name} requires a target (set_target).")
         if self._st_type is STType.FILTER:
             return self._solve_filtered(cfg, t0)

@@ -234,3 +234,32 @@ def test_fused_expand_policy(monkeypatch):
     assert not eig._use_fused_expand(10, bcsr_op)
     monkeypatch.setenv("LSAFW_FUSED_EXPAND", "1")
     assert eig._use_fused_expand(10_000_000, None)
+
+
+def test_shell_spectral_transform():
+    """STSHELL: a hand-rolled shift-invert supplied as the shell apply
+    reproduces the built-in SINVERT result (parity: iSTType SHELL,
+    Solver/utils.py:131-149)."""
+    import jax.numpy as jnp
+    import scipy.sparse.linalg as spla
+
+    rng = np.random.default_rng(6)
+    n = 60
+    D = np.sort(rng.uniform(1.0, 10.0, n))
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    Adense = Q @ np.diag(D) @ Q.T
+    A = _csr(Adense)
+    sigma = 4.03
+    lu = spla.splu(sp.csc_matrix(
+        (Adense - sigma * np.eye(n)).astype(np.complex128)))
+
+    def apply_shell(v):
+        z = lu.solve(np.asarray(v[0]) + 1j * np.asarray(v[1]))
+        return jnp.asarray(z.real.copy()), jnp.asarray(z.imag.copy())
+
+    es = EigenSolver(A, None, EigensolverConfig(num_eig=2, atol=1e-10, ncv=20))
+    es.set_st_shell(apply_shell, back_transform=lambda t: sigma + 1.0 / t)
+    pairs = es.solve()
+    got = np.sort([p[0].real for p in pairs])
+    ref = np.sort(D[np.argsort(np.abs(D - sigma))[:2]])
+    np.testing.assert_allclose(got, ref, rtol=1e-9)
