@@ -31,8 +31,12 @@ class PreconditionerType(Enum):
     LU = "lu"
     # multigrid family (the GAMG/hypre roles): structured geometric MG
     # lives in solver.multigrid / multigrid_nd; PMG is the unstructured
-    # P2->P1 V-cycle (solver.pmg)
+    # P2->P1 V-cycle (solver.pmg); GAMG is smoothed-aggregation AMG on
+    # the bare matrix (solver.amg — no mesh/space info needed), with
+    # HYPRE as an alias for the same role
     PMG = "pmg"
+    GAMG = "gamg"
+    HYPRE = "hypre"
     # fine-grained-parallel incomplete factorizations (solver.ilu):
     # Chow-Patel fixed-point ILU(0) with Jacobi-sweep triangular
     # applies; ICC maps to the same factorization (U = D L^T on SPD)
@@ -182,6 +186,16 @@ def make_preconditioner(
         if fn is None:
             raise ValueError("SHELL preconditioner requires apply=<callable>.")
         return fn
+    if pc_type in (PreconditionerType.GAMG, PreconditionerType.HYPRE):
+        from lsafw_tpu.solver.amg import amg_preconditioner
+
+        return amg_preconditioner(
+            A,
+            theta=kw.get("theta", 0.08),
+            coarse_size=kw.get("coarse_size", 200),
+            omega=kw.get("omega", 0.7),
+            smooth_steps=kw.get("smooth_steps", 2),
+        )
     if pc_type in (PreconditionerType.ILU, PreconditionerType.ICC):
         from lsafw_tpu.solver.ilu import ilu0
 
