@@ -134,6 +134,12 @@ class ILU0Plan:
         b = np.diff(U.indptr).astype(np.int64)  # per-k upper count
         nlow = int(a.sum())
         ntr = int((a * b).sum())
+        if ntr > 300_000_000:
+            raise ValueError(
+                f"ILU(0) intersection planning would expand {ntr:.2e} "
+                "triples — beyond this host's memory. Use gamg/pmg or "
+                "the banded factorization at this scale."
+            )
         if ntr == 0:
             e_tr = np.zeros(0, np.int32)
             p_tr = np.zeros(0, np.int32)
