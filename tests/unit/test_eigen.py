@@ -263,3 +263,45 @@ def test_shell_spectral_transform():
     got = np.sort([p[0].real for p in pairs])
     ref = np.sort(D[np.argsort(np.abs(D - sigma))[:2]])
     np.testing.assert_allclose(got, ref, rtol=1e-9)
+
+
+def test_fused_expand_oom_fallback(monkeypatch):
+    """A RESOURCE_EXHAUSTED fused expand degrades to the per-step path
+    mid-solve (the self-healing replacement of the old >100k size gate)
+    and still converges to the right eigenvalues."""
+    import jax
+
+    import lsafw_tpu.solver.eigen as eig
+
+    rng = np.random.default_rng(12)
+    n = 40
+    D = np.diag(np.arange(1.0, n + 1))
+    A = _csr(D)
+
+    calls = {"n": 0}
+
+    def exploding_fused(ncv, traced_apply, dtype):
+        def expand(op, Vr, Vi, Hr, Hi, k):
+            calls["n"] += 1
+            raise jax.errors.JaxRuntimeError(
+                "RESOURCE_EXHAUSTED: Ran out of memory in memory space hbm")
+
+        return expand
+
+    monkeypatch.setattr(eig, "_make_fused_expand", exploding_fused)
+    monkeypatch.setattr(eig, "_use_fused_expand", lambda *a, **k: True)
+
+    # a device-op path that would take the fused branch: reuse the
+    # plain spmv as both eager and traced applies
+    from lsafw_tpu.ops.sparse import spmv_pair
+
+    op = ()  # any pytree works as the device op here
+    res = eig.krylov_schur(
+        lambda v: spmv_pair(A, v[0], v[1]), n,
+        nev=3, ncv=12, which=eig.EpsWhich.LARGEST_MAGNITUDE, tol=1e-10,
+        max_restarts=60,
+        device_op=op, traced_apply=lambda o, v: spmv_pair(A, v[0], v[1]),
+    )
+    assert calls["n"] == 1  # fused tried once, then permanently off
+    got = np.sort([z.real for z in res.eigenvalues[:3]])
+    np.testing.assert_allclose(got, [n - 2, n - 1, n], atol=1e-8)
