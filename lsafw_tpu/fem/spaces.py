@@ -282,7 +282,12 @@ def define_spaces(
         pres = make_scalar_space(
             mesh, ElementFamily.Q1 if on_quads else ElementFamily.P1)
     elif type is FunctionSpaceType.DG:
-        raise NotImplementedError("DG function spaces are not supported.")
+        # mixed DG velocity/pressure is a stub in the reference too
+        # (FEM/spaces.py); scalar SIPG DG lives in lsafw_tpu.models.dg
+        raise NotImplementedError(
+            "Mixed DG function spaces are not supported (scalar SIPG DG: "
+            "lsafw_tpu.models.dg.assemble_dg_poisson)."
+        )
     else:
         raise ValueError(type)
     return FunctionSpaces(velocity=vel, pressure=pres)
