@@ -59,3 +59,19 @@ def test_dg_poisson_manufactured():
         errs.append(float(np.sqrt(e @ (M.to_scipy() @ e))))
     rate = np.log2(errs[0] / errs[1])
     assert errs[1] < 2e-2 and rate > 1.6, (errs, rate)
+
+
+def test_dg_3d_box_eigenvalues():
+    """3D SIPG on tets: lowest Dirichlet-Laplacian eigenvalues of the
+    unit cube vs pi^2 (l^2 + m^2 + n^2)."""
+    from lsafw_tpu.meshing.mesh import unit_cube
+    from lsafw_tpu.models.membrane import analytic_eigenvalues_3d
+
+    mesh = unit_cube(8)
+    K, M = assemble_dg_poisson(mesh, eta=12.0)
+    vals = spla.eigsh(K.to_scipy(), k=2, M=M.to_scipy(), sigma=25.0,
+                      which="LM", return_eigenvectors=False)
+    got = np.sort(vals)
+    ref = analytic_eigenvalues_3d(1.0, 1.0, 1.0, 2)
+    rel = np.abs(got - ref) / ref
+    assert np.all(rel < 5e-2), (got, ref, rel)
