@@ -30,15 +30,23 @@ from lsafw_tpu.solver.eigen import (
     krylov_schur,
 )
 from lsafw_tpu.solver.eigen2 import ArpackEigenSolver, ShiftInvertConfig
+from lsafw_tpu.solver.amg import amg_preconditioner, build_amg
+from lsafw_tpu.solver.ilu import ilu0, ssor
 from lsafw_tpu.solver.linear import (
     KSPType,
     SolveResult,
+    bicg,
     bicgstab,
     cg,
+    cgs,
     chebyshev,
     fgmres,
+    gcr,
     gmres,
+    lgmres,
+    lsqr,
     minres,
+    qcg,
     richardson,
     solve,
     solve_csr,
@@ -68,6 +76,16 @@ __all__ = [
     "eigen_residuals",
     "krylov_schur",
     "ArpackEigenSolver",
+    "amg_preconditioner",
+    "build_amg",
+    "ilu0",
+    "ssor",
+    "bicg",
+    "cgs",
+    "gcr",
+    "lgmres",
+    "lsqr",
+    "qcg",
     "ShiftInvertConfig",
     "KSPType",
     "SolveResult",
