@@ -427,7 +427,8 @@ def main() -> None:
     # ---------------- result ----------------
     apply_times = [
         timings.get(k)
-        for k in ("stencil_f64_ms", "stencil_f32_ms", "elementop_f32_ms", "ell_spmv_f64_ms")
+        for k in ("stencil_f64_ms", "stencil_f32_ms", "elementop_f32_ms",
+                  "ell_spmv_f64_ms", "bcsr_spmv_f32_ms", "bcsr_spmv_f64_ms")
     ]
     best = min((t for t in apply_times if t), default=None)
     result = {

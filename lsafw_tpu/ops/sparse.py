@@ -290,6 +290,41 @@ class CSRMatrix:
         return CSRMatrix.from_scipy(self.to_scipy().T.tocsr())
 
 
+def transpose_pair(A: "CSRMatrix", M: "CSRMatrix") -> tuple["CSRMatrix", "CSRMatrix"]:
+    """Transpose an (A, M) pair that shares a sparsity pattern onto ONE
+    shared transposed pattern.
+
+    ``A.transpose()`` alone re-patterns each matrix separately, which
+    knocks adjoint solves off every shared-pattern fast path (device
+    C = A - sigma M arithmetic, BandPlan caching, BCSR refinement
+    matvecs — ``solver/eigen.py:_factor_banded``).  Here the slot
+    permutation of the structural transpose is computed once and both
+    data arrays are permuted onto the same pattern object, preserving
+    explicit zeros (scipy arithmetic prunes them, which loses the
+    saddle-point diagonal slots the band regularization needs)."""
+    if M.pattern is not A.pattern:
+        return A.transpose(), M.transpose()
+    pat = A.pattern
+    Ps = sp.csr_matrix(
+        # 1-based slot ids: an explicit 0 would be vulnerable to pruning
+        (np.arange(1, pat.nnz + 1, dtype=np.int64), pat.indices, pat.indptr),
+        shape=pat.shape,
+    )
+    Pt = Ps.T.tocsr()
+    perm = Pt.data.astype(np.int64) - 1
+    pattern_t = SparsityPattern(
+        shape=(pat.shape[1], pat.shape[0]),
+        indptr=Pt.indptr.astype(np.int64),
+        indices=Pt.indices.astype(np.int32),
+        slots=np.arange(pat.nnz, dtype=np.int32),
+    )
+    perm_d = jnp.asarray(perm)
+    return (
+        CSRMatrix(pattern_t, A.data[perm_d]),
+        CSRMatrix(pattern_t, M.data[perm_d]),
+    )
+
+
 def assemble_csr_data(
     pattern: SparsityPattern | PatternDev, element_values: jnp.ndarray
 ) -> jnp.ndarray:

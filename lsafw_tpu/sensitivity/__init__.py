@@ -175,8 +175,11 @@ class EigenSensitivitySolver:
         if sigma is None or v is None:
             raise RuntimeError("Direct eigenpair must be computed before adjoint solve.")
         # real matrices: Hermitian transpose == transpose (host CSR)
-        A_H = self._A.transpose()
-        M_H = self._M.transpose()
+        # shared transposed pattern keeps the banded/BCSR fast paths
+        # available for the adjoint factorization
+        from lsafw_tpu.ops.sparse import transpose_pair
+
+        A_H, M_H = transpose_pair(self._A, self._M)
         es = EigenSolver(
             A_H, M_H,
             EigensolverConfig(num_eig=self._max_modes, atol=self._tol_adjoint, max_it=self._max_it),

@@ -189,6 +189,17 @@ def banded_si_apply(
     ``Solver/eigen2.py:104-201``).  Fully traceable: usable inside the
     fused per-restart Arnoldi program."""
     br, bi = _si_rhs(op, v[0], v[1])
+    return banded_solve_raw(op, (br, bi), tol=tol, max_its=max_its)
+
+
+def banded_solve_raw(
+    op: BandedSIOp, b: CVec, *, tol: float = 1e-9, max_its: int = 16
+) -> CVec:
+    """x ~= (A - sigma M)^-1 b for a RAW right-hand side (no M
+    premultiply): the refinement core of :func:`banded_si_apply`,
+    needed on its own by the non-modal analyses (adjoint propagator
+    steps in :mod:`lsafw_tpu.transient`)."""
+    br, bi = b
     bnorm = jnp.sqrt(ddot(br, br) + ddot(bi, bi))
     floor = jnp.maximum(bnorm, 1e-300)
     xr, xi = op.blu.solve_pair(br, bi)
@@ -475,6 +486,11 @@ class ShiftInvertOperator:
             As = A.to_scipy().astype(np.complex128)
             Ms = M.to_scipy() if M is not None else sp.identity(self._n, format="csr")
             C = (As - self.sigma * Ms).tocsr()
+            # guarantee diagonal slots: scipy arithmetic prunes exact
+            # zeros, and the saddle regularization below needs the
+            # (numerically zero) pressure-diagonal slots to exist.
+            # 1e-300 survives pruning and casts to 0.0f in the band fill.
+            C = (C + sp.diags(np.full(self._n, 1e-300))).tocsr()
             C.sort_indices()
             Cc = CSRMatrix.from_scipy(C)  # re-pattern after pruning
             plan = plan_for_csr(Cc)
