@@ -7,9 +7,10 @@ tagging, Taylor-Hood / MINI / equal-order finite-element assembly of
 Stokes, stationary Navier-Stokes and linearized Navier-Stokes
 operators, Newton baseflow solves with Reynolds ramping, shift-invert
 Krylov eigensolvers for A x = sigma M x, adjoint-based sensitivity
-(d sigma/d Re, structural-sensitivity wavemaker maps), resolvent
-analysis (optimal harmonic forcing gains — beyond the reference's
-modal toolbox) and a linear elasticity eigenproblem module.
+(d sigma/d Re, structural-sensitivity wavemaker maps), non-modal
+analyses (resolvent gains and optimal transient growth — beyond the
+reference's modal toolbox) and a linear elasticity eigenproblem
+module.
 
 Design (TPU-first, not a port):
   * meshes / dofmaps / sparsity patterns are host-prepared static

@@ -541,6 +541,25 @@ class ShiftInvertOperator:
         )
         return res.x[: self._n], res.x[self._n :]
 
+    def solve_raw(self, b: CVec) -> CVec:
+        """x = (A - sigma M)^-1 b for a raw right-hand side (no M
+        premultiply, no Cayley RHS) — the building block of the
+        non-modal analyses (:mod:`lsafw_tpu.transient`)."""
+        if self.method == "banded":
+            if not hasattr(self, "_jsolve_raw"):
+                self._jsolve_raw = jax.jit(
+                    partial(
+                        banded_solve_raw,
+                        tol=self._inner_tol,
+                        max_its=self.refine_its,
+                    )
+                )
+            return self._jsolve_raw(self.device_op, b)
+        if self.method == "lu":
+            z = self._lu.solve(np.asarray(b[0]) + 1j * np.asarray(b[1]))
+            return jnp.asarray(z.real.copy()), jnp.asarray(z.imag.copy())
+        raise NotImplementedError(f"solve_raw for method {self.method!r}")
+
     def back_transform(self, theta: np.ndarray) -> np.ndarray:
         """theta -> lambda = sigma + 1/theta (``Solver/eigen2.py:210``);
         Cayley: lambda = (sigma theta + nu) / (theta - 1)."""
