@@ -11,6 +11,8 @@ Subcommands:
   assemble    baseflow + linearized eigensystem -> .mtx (FEM/cli.py:122, Solver/cli.py:96)
   eigen       shift-invert eigensolve on (A, M) (Solver/cli.py:158)
   sensitivity adjoint d sigma/d Re + wavemaker (reference .examples/sensitivity.py)
+  resolvent   optimal harmonic forcing gains sigma_1(omega) (beyond the reference)
+  transient   optimal transient energy growth G(T) (beyond the reference)
 """
 
 from __future__ import annotations
@@ -237,6 +239,67 @@ def _cmd_sensitivity(args) -> int:
     return 0
 
 
+def _nonmodal_case(args):
+    """Shared baseflow + LNS assembly for the non-modal commands."""
+    from lsafw_tpu.config import load_bc_config
+    from lsafw_tpu.fem.bcs import define_bcs
+    from lsafw_tpu.models.navier_stokes import LinearizedNavierStokesAssembler
+    from lsafw_tpu.solver.baseflow import BaseFlowSolver
+
+    mesh, spaces, bcs, ctx = _build_case(args)
+    if bcs is None:
+        raise SystemExit("this command requires --bc-config")
+    w = BaseFlowSolver(ctx, mesh, bcs, re=args.re).solve(
+        ramp=args.ramp, steps=args.steps, tol=args.tol, max_it=args.max_it
+    )
+    pert_bcs = (
+        define_bcs(mesh, spaces, load_bc_config(args.perturbation_bc_config))
+        if args.perturbation_bc_config
+        else bcs.homogeneous()
+    )
+    asm = LinearizedNavierStokesAssembler(w, ctx, args.re, pert_bcs, mesh)
+    A, M = asm.assemble_eigensystem()
+    return spaces, pert_bcs, A, M
+
+
+def _cmd_resolvent(args) -> int:
+    from lsafw_tpu.resolvent import ResolventSolver
+
+    spaces, pert_bcs, A, M = _nonmodal_case(args)
+    rs = ResolventSolver(
+        A, M, spaces.num_velocity_dofs, pert_bcs.dirichlet_mask,
+        method=args.si_method,
+    )
+    rows = []
+    for m in rs.gain_curve(args.omega, k=args.k):
+        rows.append({"omega": m.omega, "gains": m.gains.tolist()})
+        logger.info("omega=%.4f: sigma_1 = %.4e", m.omega, m.gains[0])
+    if args.outdir:
+        Path(args.outdir).mkdir(parents=True, exist_ok=True)
+        (Path(args.outdir) / "resolvent_gains.json").write_text(
+            json.dumps(rows, indent=1))
+    return 0
+
+
+def _cmd_transient(args) -> int:
+    from lsafw_tpu.transient import TransientGrowthSolver
+
+    spaces, pert_bcs, A, M = _nonmodal_case(args)
+    ts = TransientGrowthSolver(
+        A, M, spaces.num_velocity_dofs, pert_bcs.dirichlet_mask,
+        method=args.si_method,
+    )
+    rows = []
+    for r in ts.growth_curve(args.horizons, args.n_steps, k=args.k):
+        rows.append({"T": r.horizon, "gains": r.gains.tolist()})
+        logger.info("T=%.3f: G = %.4e", r.horizon, r.gains[0])
+    if args.outdir:
+        Path(args.outdir).mkdir(parents=True, exist_ok=True)
+        (Path(args.outdir) / "transient_gains.json").write_text(
+            json.dumps(rows, indent=1))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(
         prog="lsafw_tpu", description="TPU-native global linear stability analysis"
@@ -316,6 +379,27 @@ def main(argv: list[str] | None = None) -> int:
     p_sens.add_argument("--target", default=None)
     p_sens.add_argument("--wavemaker", action="store_true")
     p_sens.set_defaults(fn=_cmd_sensitivity)
+
+    p_res = sub.add_parser(
+        "resolvent", help="optimal harmonic forcing gains sigma_1(omega)"
+    )
+    _solver_args(p_res)
+    p_res.add_argument("--perturbation-bc-config", type=Path, default=None)
+    p_res.add_argument("--omega", nargs="+", type=float, required=True)
+    p_res.add_argument("--k", type=int, default=1)
+    p_res.add_argument("--si-method", choices=("lu", "banded"), default="lu")
+    p_res.set_defaults(fn=_cmd_resolvent)
+
+    p_tg = sub.add_parser(
+        "transient", help="optimal transient energy growth G(T)"
+    )
+    _solver_args(p_tg)
+    p_tg.add_argument("--perturbation-bc-config", type=Path, default=None)
+    p_tg.add_argument("--horizons", nargs="+", type=float, required=True)
+    p_tg.add_argument("--n-steps", type=int, default=32)
+    p_tg.add_argument("--k", type=int, default=1)
+    p_tg.add_argument("--si-method", choices=("lu", "banded"), default="lu")
+    p_tg.set_defaults(fn=_cmd_transient)
 
     args = parser.parse_args(argv)
     setup_logging(verbose=args.verbose)

@@ -93,3 +93,32 @@ def test_cli_sensitivity(configs):
         "--re", "20", "--target=-0.5+0.5j", "--tol", "1e-8",
     ])
     assert rc == 0
+
+
+def test_cli_resolvent(configs, tmp_path):
+    import json
+
+    rc = main([
+        "resolvent", *_case_args(configs),
+        "--perturbation-bc-config", str(configs / "bcs_pert.toml"),
+        "--re", "20", "--omega", "0.8", "--k", "2",
+        "--outdir", str(tmp_path),
+    ])
+    assert rc == 0
+    rows = json.loads((tmp_path / "resolvent_gains.json").read_text())
+    assert len(rows) == 1 and len(rows[0]["gains"]) == 2
+    assert rows[0]["gains"][0] >= rows[0]["gains"][1] > 0
+
+
+def test_cli_transient(configs, tmp_path):
+    import json
+
+    rc = main([
+        "transient", *_case_args(configs),
+        "--perturbation-bc-config", str(configs / "bcs_pert.toml"),
+        "--re", "20", "--horizons", "1.0", "2.0", "--n-steps", "8",
+        "--outdir", str(tmp_path),
+    ])
+    assert rc == 0
+    rows = json.loads((tmp_path / "transient_gains.json").read_text())
+    assert len(rows) == 2 and all(r["gains"][0] > 0 for r in rows)
