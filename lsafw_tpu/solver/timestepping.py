@@ -1,0 +1,270 @@
+"""Unsteady incompressible Navier-Stokes: nonlinear time integration.
+
+Beyond the reference (ferdean/lsa-fw stops at steady states and
+eigenmodes): a theta-scheme (Crank-Nicolson default) marching of
+
+    M dq/dt = R(q),
+
+with ``R`` the stationary-NS residual (momentum + continuity +
+Dirichlet rows; the SIGN is fixed by the framework's stability
+convention — the eigensystem operator A equals the stationary
+Jacobian dR/dq and sigma_real > 0 means unstable, so perturbations
+evolve as M dq'/dt = +J q') and ``M`` the velocity mass with zero
+pressure/BC rows
+— exactly the matrices the stability machinery already assembles, on
+one shared sparsity pattern.  Enables limit-cycle (saturated
+vortex-shedding) studies that close the loop on the linear analyses:
+the Hopf mode's sigma_im predicts the shedding frequency at onset.
+
+Per step, Newton on
+
+    G(q1) = M (q1 - q0) - dt [theta R(q1) + (1-theta) R_mom(q0)] = 0,
+
+where the explicit part ``R_mom`` is masked to momentum rows only so
+the continuity row enforces div q1 = 0 IMPLICITLY (a theta-averaged
+continuity row lets div oscillate at the 2-step mode instead of
+vanishing).  The Newton matrix  M - dt theta J(q1)  shares the
+stationary Jacobian's pattern, so its data is one fused add; it is
+factored by host SuperLU or the device band LU and FROZEN (chord
+Newton) across iterations and, optionally, across steps
+(``refactor_every`` — the operator drifts O(dt) per step).
+
+Dirichlet rows: M is zero there and J carries identity, so the Newton
+matrix has -dt*theta on the BC diagonal while G is masked to zero —
+updates leave BC values exactly where the initial state put them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lsafw_tpu.fem.assembly import AssemblyContext
+from lsafw_tpu.models.navier_stokes import (
+    LinearizedNavierStokesAssembler,
+    StationaryNavierStokesAssembler,
+)
+from lsafw_tpu.ops.sparse import CSRMatrix
+from lsafw_tpu.solver.direct import SparseLU
+from lsafw_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+@dataclass
+class StepStats:
+    t: float
+    newton_iters: int
+    residual: float
+    refactored: bool
+
+
+@dataclass
+class UnsteadyResult:
+    t: np.ndarray  # (n_saved,)
+    probes: np.ndarray  # (n_saved, n_probes)
+    q: np.ndarray  # final state
+    stats: list = field(default_factory=list)
+
+
+class UnsteadySolver:
+    """theta-scheme marching with chord-Newton steps.
+
+    Args:
+        ctx, mesh, bcs: as for :class:`BaseFlowSolver` (inhomogeneous
+            BCs belong in ``bcs``; the state carries the lift).
+        re: Reynolds number.
+        theta: 0.5 = Crank-Nicolson (default), 1.0 = backward Euler.
+        method: "lu" (host SuperLU) or "banded" (device band LU).
+        refactor_every: steps between Newton-matrix refactorizations
+            (the chord factor absorbs O(dt) drift; Newton still
+            converges on the exact residual).
+    """
+
+    def __init__(
+        self,
+        ctx: AssemblyContext,
+        mesh,
+        bcs,
+        re: float,
+        *,
+        theta: float = 0.5,
+        method: str = "lu",
+        newton_tol: float = 1e-9,
+        newton_maxit: int = 12,
+        refactor_every: int = 1,
+    ) -> None:
+        self.ctx = ctx
+        self.re = float(re)
+        self.theta = float(theta)
+        self.method = method
+        self.newton_tol = float(newton_tol)
+        self.newton_maxit = int(newton_maxit)
+        self.refactor_every = max(1, int(refactor_every))
+        self._asm = StationaryNavierStokesAssembler(ctx, mesh, bcs)
+        self._bc_mask = jnp.asarray(self._asm.bc_mask)
+        nu = ctx.spaces.num_velocity_dofs
+        n = ctx.spaces.num_dofs
+        mom = np.zeros(n, dtype=bool)
+        mom[:nu] = True
+        mom &= ~np.asarray(self._asm.bc_mask)
+        self._mom_mask = jnp.asarray(mom)
+        # velocity mass on the stationary Jacobian's pattern (zero
+        # pressure/BC rows) — LinearizedNavierStokesAssembler builds it
+        # from the same ctx, so the patterns are identical
+        lin = LinearizedNavierStokesAssembler(
+            jnp.zeros(n), ctx, self.re, bcs, mesh
+        )
+        self._M = lin.assemble_mass_matrix()
+        assert self._M.pattern is ctx.pattern
+        self._factor = None
+        self._steps_since_factor = 0
+
+    # ------------------------------------------------------------------
+    def _masked_residual(self, q, mask_to_momentum: bool = False):
+        F = self._asm.residual(q, self.re)
+        F = jnp.where(self._bc_mask, 0.0, F)
+        if mask_to_momentum:
+            F = jnp.where(self._mom_mask, F, 0.0)
+        return F
+
+    def _newton_matrix_data(self, q, dt: float) -> jnp.ndarray:
+        Jd = self._asm.jacobian_data(q, self.re)
+        return self._M.data - (dt * self.theta) * Jd
+
+    def _refactor(self, q, dt: float) -> None:
+        data = self._newton_matrix_data(q, dt)
+        if self.method == "banded":
+            from lsafw_tpu.solver.band import factor_auto, plan_for_csr
+
+            A = CSRMatrix(self.ctx.pattern, data)
+            if not hasattr(self, "_plan"):
+                self._plan = plan_for_csr(A, real=True)
+            blu, _ = factor_auto(
+                self._plan, data, diag_slots=self.ctx.pattern.diag_slots
+            )
+            self._factor = ("banded", blu, A)
+        else:
+            import scipy.sparse as sp
+
+            A = sp.csr_matrix(
+                (np.asarray(data), self.ctx.pattern.indices,
+                 self.ctx.pattern.indptr),
+                shape=self.ctx.pattern.shape,
+            )
+            self._factor = ("lu", SparseLU(A.tocsc()), None)
+        self._steps_since_factor = 0
+
+    def _solve(self, b: jnp.ndarray) -> jnp.ndarray:
+        kind, fac, A = self._factor
+        if kind == "banded":
+            from lsafw_tpu.solver.eigen import BandedSIOp, banded_solve_raw
+
+            if not hasattr(self, "_jraw"):
+                self._jraw = jax.jit(lambda op, v: banded_solve_raw(
+                    op, v, tol=1e-11, max_its=40))
+            op = BandedSIOp(A=A, M=None, blu=fac,
+                            sig_re=jnp.asarray(0.0), sig_im=jnp.asarray(0.0))
+            xr, _ = self._jraw(op, (b, jnp.zeros_like(b)))
+            return xr
+        return jnp.asarray(fac.solve(np.asarray(b)))
+
+    # ------------------------------------------------------------------
+    def step(self, q0: jnp.ndarray, dt: float, t: float = 0.0) -> tuple[jnp.ndarray, StepStats]:
+        """One theta step from ``q0`` (must satisfy the Dirichlet BCs)."""
+        q0 = jnp.asarray(q0)
+        expl = (dt * (1.0 - self.theta)) * self._masked_residual(
+            q0, mask_to_momentum=True
+        )
+        Mq0 = self._M.matvec(q0)
+        refactored = False
+        if self._factor is None or self._steps_since_factor >= self.refactor_every:
+            self._refactor(q0, dt)
+            refactored = True
+        q1 = q0
+        res = res0 = np.inf
+        for it in range(1, self.newton_maxit + 1):
+            G = (self._M.matvec(q1) - Mq0
+                 - (dt * self.theta) * self._masked_residual(q1)
+                 - expl)
+            res = float(jnp.linalg.norm(G))
+            if it == 1:
+                res0 = res
+            # absolute floor (f64 rounding of the G evaluation) OR
+            # relative drop from the step's initial defect
+            scale = max(float(jnp.linalg.norm(Mq0)), 1.0)
+            if res <= self.newton_tol * scale or res <= 1e-6 * res0:
+                break
+            dq = self._solve(-G)
+            q1 = q1 + dq
+        else:
+            it = self.newton_maxit
+            if res > 1e3 * self.newton_tol * (float(jnp.linalg.norm(Mq0)) + dt):
+                # chord factor too stale — refactor at the current
+                # iterate and warn (keeps marching robust near strong
+                # transients)
+                logger.warning(
+                    "Unsteady Newton slow at t=%.3f (res %.2e); refactoring.",
+                    t, res,
+                )
+                self._refactor(q1, dt)
+                refactored = True
+        self._steps_since_factor += 1
+        return q1, StepStats(t + dt, it, res, refactored)
+
+    def run(
+        self,
+        q0: jnp.ndarray,
+        dt: float,
+        n_steps: int,
+        *,
+        probe_dofs=None,
+        save_every: int = 1,
+        t0: float = 0.0,
+    ) -> UnsteadyResult:
+        """March ``n_steps``; record ``q[probe_dofs]`` every
+        ``save_every`` steps (the shedding-frequency signal)."""
+        probe_dofs = np.asarray(probe_dofs if probe_dofs is not None else [0])
+        q = jnp.asarray(q0)
+        ts, probes, stats = [], [], []
+        t = t0
+        for k in range(n_steps):
+            q, st = self.step(q, dt, t)
+            t = st.t
+            stats.append(st)
+            if (k + 1) % save_every == 0:
+                ts.append(t)
+                probes.append(np.asarray(q)[probe_dofs])
+            if not np.isfinite(st.residual):
+                logger.error("Unsteady solve diverged at t=%.3f.", t)
+                break
+        return UnsteadyResult(
+            np.asarray(ts), np.asarray(probes), np.asarray(q), stats
+        )
+
+
+def dominant_frequency(t: np.ndarray, signal: np.ndarray) -> float:
+    """Peak frequency (rad/time) of a uniformly-sampled scalar signal,
+    refined by parabolic interpolation of the FFT magnitude peak."""
+    s = np.asarray(signal, dtype=np.float64)
+    s = s - s.mean()
+    n = s.size
+    if n < 8:
+        raise ValueError("signal too short")
+    dt = float(t[1] - t[0])
+    win = np.hanning(n)
+    spec = np.abs(np.fft.rfft(s * win))
+    freqs = np.fft.rfftfreq(n, dt)
+    k = int(np.argmax(spec[1:])) + 1
+    # parabolic refinement around the peak bin
+    if 1 <= k < spec.size - 1:
+        a, b, c = spec[k - 1], spec[k], spec[k + 1]
+        denom = a - 2 * b + c
+        shift = 0.5 * (a - c) / denom if denom != 0 else 0.0
+        shift = float(np.clip(shift, -0.5, 0.5))
+    else:
+        shift = 0.0
+    return 2.0 * np.pi * (freqs[k] + shift * (freqs[1] - freqs[0]))

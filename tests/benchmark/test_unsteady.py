@@ -1,0 +1,116 @@
+"""Unsteady DNS vs linear stability theory on the cylinder wake.
+
+The closing consistency gate of the whole stack: marching the FULL
+NONLINEAR equations from baseflow + eps * Re(eigenmode) at a
+supercritical Reynolds number must reproduce the eigensolver's sigma —
+the probe signal grows like e^(sigma_r t) and oscillates at sigma_im.
+Two completely independent code paths (Newton/Krylov-Schur eigensolve
+vs theta-scheme time integration) meet on the same numbers.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lsafw_tpu.config import (
+    CylinderFlowGeometryConfig,
+    BoundaryConditionsConfig,
+)
+from lsafw_tpu.fem.assembly import AssemblyContext
+from lsafw_tpu.fem.bcs import define_bcs
+from lsafw_tpu.fem.spaces import define_spaces
+from lsafw_tpu.meshing.geometries import cylinder_flow_mesh
+from lsafw_tpu.meshing.tags import mark_boundary_facets
+from lsafw_tpu.models.navier_stokes import LinearizedNavierStokesAssembler
+from lsafw_tpu.solver.baseflow import BaseFlowSolver
+from lsafw_tpu.solver.eigen import EigenSolver, EigensolverConfig, STType
+from lsafw_tpu.solver.timestepping import UnsteadySolver, dominant_frequency
+
+RE = 60.0
+INLET, OUTLET, BOTTOM, TOP, CYL = 1, 2, 3, 4, 5
+
+
+def _marker(x):
+    out = np.full(x.shape[0], CYL, dtype=np.int32)
+    out[np.isclose(x[:, 1], -5.0, atol=1e-6)] = BOTTOM
+    out[np.isclose(x[:, 1], 5.0, atol=1e-6)] = TOP
+    out[np.isclose(x[:, 0], -6.0, atol=1e-6)] = INLET
+    out[np.isclose(x[:, 0], 16.0, atol=1e-6)] = OUTLET
+    return out
+
+
+@pytest.mark.benchmark
+def test_dns_matches_linear_theory():
+    geo = CylinderFlowGeometryConfig(
+        dim=2, cylinder_radius=0.5, cylinder_center=(0.0, 0.0),
+        x_range=(-6.0, 16.0), y_range=(-5.0, 5.0), resolution=0.55,
+        resolution_around_cylinder=0.18, influence_radius=4.0,
+    )
+    mesh = cylinder_flow_mesh(geo, max_iter=80, seed=0)
+    mark_boundary_facets(mesh, _marker)
+    spaces = define_spaces(mesh)
+    bcs = define_bcs(mesh, spaces, [
+        BoundaryConditionsConfig(marker=INLET, type="dirichlet_velocity", value=(1.0, 0.0)),
+        BoundaryConditionsConfig(marker=BOTTOM, type="neumann_velocity", value=(0.0, 0.0)),
+        BoundaryConditionsConfig(marker=TOP, type="neumann_velocity", value=(0.0, 0.0)),
+        BoundaryConditionsConfig(marker=OUTLET, type="dirichlet_pressure", value=0.0),
+        BoundaryConditionsConfig(marker=CYL, type="dirichlet_velocity", value=(0.0, 0.0)),
+    ])
+    bcs_pert = define_bcs(mesh, spaces, [
+        BoundaryConditionsConfig(marker=INLET, type="dirichlet_velocity", value=(0.0, 0.0)),
+        BoundaryConditionsConfig(marker=CYL, type="dirichlet_velocity", value=(0.0, 0.0)),
+        BoundaryConditionsConfig(marker=OUTLET, type="dirichlet_pressure", value=0.0),
+    ])
+    ctx = AssemblyContext.build(spaces)
+    w = BaseFlowSolver(ctx, mesh, bcs, re=RE).solve(
+        ramp=True, steps=4, tol=1e-10, max_it=40
+    )
+
+    # --- linear theory: leading eigenpair on THIS mesh ---
+    asm = LinearizedNavierStokesAssembler(w, ctx, RE, bcs_pert, mesh)
+    A, M = asm.assemble_eigensystem()
+    es = EigenSolver(A, M, EigensolverConfig(num_eig=2, atol=1e-9, ncv=30))
+    es.set_st_type(STType.SINVERT)
+    es.set_target(0.05 + 0.75j)
+    pairs = es.solve()
+    sigma, vhat = max(pairs, key=lambda p: p[0].real)
+    assert sigma.real > 0.0, sigma  # supercritical on this mesh
+    v = np.real(vhat)
+    v /= np.linalg.norm(v)
+
+    # --- nonlinear DNS from the perturbed baseflow ---
+    eps = 1e-5
+    us = UnsteadySolver(ctx, mesh, bcs, RE, newton_tol=1e-10,
+                        refactor_every=50)
+    # wake probe: the v-velocity DOF nearest (2.5, 0)
+    coords = spaces.velocity.dof_coords
+    nu_dofs = spaces.num_velocity_dofs
+    d2 = (coords[1:nu_dofs:2, 0] - 2.5) ** 2 + coords[1:nu_dofs:2, 1] ** 2
+    probe = 2 * int(np.argmin(d2)) + 1  # v-component (odd interleave)
+    dt, n_steps = 0.25, 360  # ~10.5 shedding periods
+    res = us.run(jnp.asarray(np.asarray(w) + eps * v), dt, n_steps,
+                 probe_dofs=[probe])
+    sig = res.probes[:, 0] - np.asarray(w)[probe]
+    t = res.t
+
+    # frequency from the (windowed) spectrum, after the transient
+    n = len(t)
+    omega_fit = dominant_frequency(t[n // 3:], sig[n // 3:])
+    # growth rate from the log-envelope of the analytic signal over the
+    # second half (the non-eigenmode transient dominates early on;
+    # measured there: 0.0530 vs sigma_r 0.0528 — 0.2%)
+    from scipy.signal import hilbert
+
+    env = np.abs(hilbert(sig - sig.mean()))
+    half = slice(n // 2, 5 * n // 6)
+    p = np.polyfit(t[half], np.log(env[half]), 1)
+    sigma_r_fit = p[0]
+
+    assert abs(omega_fit - sigma.imag) < 0.03 * sigma.imag, (omega_fit, sigma)
+    assert abs(sigma_r_fit - sigma.real) < 0.1 * abs(sigma.real) + 2e-3, (
+        sigma_r_fit, sigma)
+    # the signal actually grew (supercritical, at a rate consistent
+    # with sigma_r over the fit window) and stayed finite
+    span = t[half][-1] - t[half][0]
+    assert env[half][-1] > 0.5 * np.exp(sigma.real * span) * env[half][0]
+    assert np.isfinite(res.q).all()

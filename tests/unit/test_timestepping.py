@@ -1,0 +1,105 @@
+"""Unsteady NS stepper: fixed-point, linear-regime, and frequency checks.
+
+The machinery gate: in the linear regime (eps-scaled eigenvector
+perturbation of a steady state) the NONLINEAR theta-stepper must
+reproduce the dense Crank-Nicolson propagator of the linearized
+system to O(eps) — same matrices, two totally different code paths.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lsafw_tpu.config import BoundaryConditionsConfig
+from lsafw_tpu.fem.assembly import AssemblyContext
+from lsafw_tpu.fem.bcs import define_bcs
+from lsafw_tpu.fem.spaces import define_spaces
+from lsafw_tpu.meshing.mesh import rectangle_mesh
+from lsafw_tpu.meshing.tags import mark_boundary_facets
+from lsafw_tpu.solver.baseflow import BaseFlowSolver
+from lsafw_tpu.solver.timestepping import UnsteadySolver, dominant_frequency
+
+RE = 20.0
+
+
+@pytest.fixture(scope="module")
+def steady_case():
+    mesh = rectangle_mesh((0.0, 0.0), (1.0, 1.0), 6, 6)
+
+    def marker(x):
+        out = np.full(x.shape[0], 3, np.int32)
+        out[np.isclose(x[:, 0], 0.0)] = 1
+        out[np.isclose(x[:, 0], 1.0)] = 2
+        return out
+
+    mark_boundary_facets(mesh, marker)
+    spaces = define_spaces(mesh)
+    bcs = define_bcs(mesh, spaces, [
+        BoundaryConditionsConfig(marker=1, type="dirichlet_velocity", value=(1.0, 0.0)),
+        BoundaryConditionsConfig(marker=3, type="dirichlet_velocity", value=(0.0, 0.0)),
+        BoundaryConditionsConfig(marker=2, type="dirichlet_pressure", value=0.0),
+    ])
+    ctx = AssemblyContext.build(spaces)
+    w = BaseFlowSolver(ctx, mesh, bcs, re=RE).solve(
+        ramp=True, steps=2, tol=1e-11, max_it=40
+    )
+    return mesh, spaces, bcs, ctx, np.asarray(w)
+
+
+def test_steady_state_is_fixed_point(steady_case):
+    mesh, spaces, bcs, ctx, w = steady_case
+    us = UnsteadySolver(ctx, mesh, bcs, RE, newton_tol=1e-12)
+    q = jnp.asarray(w)
+    for _ in range(3):
+        q, st = us.step(q, dt=0.2)
+        assert st.newton_iters <= 3
+    assert float(jnp.linalg.norm(q - jnp.asarray(w))) < 1e-7 * (
+        1.0 + np.linalg.norm(w))
+
+
+def test_linear_regime_matches_dense_cn(steady_case):
+    mesh, spaces, bcs, ctx, w = steady_case
+    from lsafw_tpu.models.navier_stokes import (
+        LinearizedNavierStokesAssembler,
+        StationaryNavierStokesAssembler,
+    )
+
+    pert_bcs = bcs.homogeneous()
+    lin = LinearizedNavierStokesAssembler(jnp.asarray(w), ctx, RE, pert_bcs, mesh)
+    A, M = lin.assemble_eigensystem()
+    # a div-free, BC-homogeneous perturbation: an eigenvector of (A, M)
+    import scipy.sparse.linalg as spla
+
+    lam, V = spla.eigs(
+        A.to_scipy().astype(complex), k=1, M=M.to_scipy().astype(complex),
+        sigma=-0.5 + 0.0j, which="LM",
+    )
+    v = np.real(V[:, 0])
+    v /= np.linalg.norm(v)
+
+    # dense CN of the time-stepper's OWN linearization (dynamics
+    # M dq'/dt = +J q' — the framework's stability convention):
+    # (M - dt/2 J) q1 = (M + dt/2 J) q0
+    st_asm = StationaryNavierStokesAssembler(ctx, mesh, bcs)
+    Jd = np.asarray(st_asm.jacobian(jnp.asarray(w), RE).to_scipy().toarray())
+    Md = np.asarray(lin.assemble_mass_matrix().to_scipy().toarray())
+    dt, nsteps = 0.1, 6
+    S = np.linalg.solve(Md - 0.5 * dt * Jd, Md + 0.5 * dt * Jd)
+
+    eps = 1e-6
+    us = UnsteadySolver(ctx, mesh, bcs, RE, newton_tol=1e-13)
+    q = jnp.asarray(w + eps * v)
+    for _ in range(nsteps):
+        q, _ = us.step(q, dt)
+    got = (np.asarray(q) - w) / eps
+    ref = np.linalg.matrix_power(S, nsteps) @ v
+    err = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    # floor: O(eps) quadratic feedback + Newton/LU rounding, measured ~3e-4
+    assert err < 3e-3, err
+
+
+def test_dominant_frequency():
+    t = np.linspace(0.0, 60.0, 1200)
+    sig = 0.7 * np.sin(0.83 * t + 0.3) + 0.05 * np.sin(2.9 * t)
+    w = dominant_frequency(t, sig)
+    assert abs(w - 0.83) < 0.01
