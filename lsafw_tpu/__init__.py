@@ -7,10 +7,11 @@ tagging, Taylor-Hood / MINI / equal-order finite-element assembly of
 Stokes, stationary Navier-Stokes and linearized Navier-Stokes
 operators, Newton baseflow solves with Reynolds ramping, shift-invert
 Krylov eigensolvers for A x = sigma M x, adjoint-based sensitivity
-(d sigma/d Re, structural-sensitivity wavemaker maps), non-modal
-analyses (resolvent gains and optimal transient growth — beyond the
-reference's modal toolbox) and a linear elasticity eigenproblem
-module.
+(d sigma/d Re, structural-sensitivity wavemaker maps), non-modal and
+nonlinear analyses beyond the reference's modal toolbox (resolvent
+gains, optimal transient growth, unsteady theta-scheme DNS to the
+shedding limit cycle, Floquet multipliers of periodic orbits) and a
+linear elasticity eigenproblem module.
 
 Design (TPU-first, not a port):
   * meshes / dofmaps / sparsity patterns are host-prepared static

@@ -1,0 +1,190 @@
+"""Floquet stability of periodic orbits (e.g. the shedding limit cycle).
+
+The third non-modal/nonlinear analysis beyond the reference's toolbox
+(with :mod:`lsafw_tpu.resolvent` and :mod:`lsafw_tpu.transient`): the
+eigenvalues of the monodromy operator Phi_T — the linearization of the
+period-T flow map around a periodic orbit.  Multipliers |mu| > 1 mean
+the cycle is unstable (secondary instability); a limit cycle of an
+autonomous system always carries the trivial multiplier mu = 1 (phase
+mode, tangent to the orbit) — a built-in self-check.
+
+Discretization: the EXACT linearization of the nonlinear theta-stepper
+(:mod:`lsafw_tpu.solver.timestepping`) around stored orbit snapshots
+q_0..q_{N-1} (q_N = q_0):
+
+    (M - dt theta J(q_{k+1})) v_{k+1} = (M + dt (1-theta) J_mom(q_k)) v_k
+
+with J the stationary Jacobian (identity BC rows) and J_mom its
+momentum-row restriction — the same masks as the stepper, so the
+monodromy of a stepper-converged cycle is consistent to machine
+precision with what the stepper itself would propagate.
+
+Implementation: N implicit factors are built once (host SuperLU or the
+device band LU) and reused across every Arnoldi apply; the explicit
+side is a stored-Jacobian-data SpMV.  Multipliers come from ARPACK on
+the matrix-free Phi_T action.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from lsafw_tpu.fem.assembly import AssemblyContext
+from lsafw_tpu.models.navier_stokes import (
+    LinearizedNavierStokesAssembler,
+    StationaryNavierStokesAssembler,
+)
+from lsafw_tpu.ops.sparse import CSRMatrix, spmv
+from lsafw_tpu.solver.direct import SparseLU
+from lsafw_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+@dataclass
+class FloquetResult:
+    period: float
+    multipliers: np.ndarray  # (k,) complex, descending |mu|
+    modes: np.ndarray  # (k, n) complex
+    trivial_error: float  # min_j |mu_j - 1| (phase-mode check)
+
+
+class FloquetSolver:
+    """Monodromy eigenanalysis around snapshots of one period.
+
+    Args:
+        ctx, mesh, bcs: the NONLINEAR problem's definition (same
+            objects the :class:`UnsteadySolver` marched with).
+        re: Reynolds number.
+        snapshots: (N, n) states over one period (q_N = q_0 implied,
+            uniformly spaced in time).
+        dt: snapshot spacing (period = N * dt).
+        theta: must match the stepper used to generate the orbit.
+        method: "lu" (N host SuperLU factors) or "banded" (N device
+            band factors — one shared plan).
+    """
+
+    def __init__(
+        self,
+        ctx: AssemblyContext,
+        mesh,
+        bcs,
+        re: float,
+        snapshots: np.ndarray,
+        dt: float,
+        *,
+        theta: float = 0.5,
+        method: str = "lu",
+    ) -> None:
+        self.ctx = ctx
+        self.re = float(re)
+        self.dt = float(dt)
+        self.theta = float(theta)
+        self.method = method
+        snaps = np.asarray(snapshots)
+        self.N = snaps.shape[0]
+        self.period = self.N * self.dt
+        asm = StationaryNavierStokesAssembler(ctx, mesh, bcs)
+        n = ctx.spaces.num_dofs
+        nu = ctx.spaces.num_velocity_dofs
+        mom = np.zeros(n, dtype=bool)
+        mom[:nu] = True
+        mom &= ~np.asarray(asm.bc_mask)
+        self._mom = jnp.asarray(mom)
+        lin = LinearizedNavierStokesAssembler(
+            jnp.zeros(n), ctx, self.re, bcs, mesh
+        )
+        Md = lin.assemble_mass_matrix().data
+        self._M = CSRMatrix(ctx.pattern, Md)
+        logger.info(
+            "Floquet: factoring %d implicit steps (%s) over period %.3f",
+            self.N, method, self.period,
+        )
+        self._expl: list[CSRMatrix] = []  # J(q_k) for the explicit side
+        self._facs = []  # implicit factors at q_{k+1}
+        ew = self.dt * (1.0 - self.theta)
+        for k in range(self.N):
+            Jk = asm.jacobian_data(jnp.asarray(snaps[k]), self.re)
+            self._expl.append(CSRMatrix(ctx.pattern, Jk))
+            Jk1 = asm.jacobian_data(
+                jnp.asarray(snaps[(k + 1) % self.N]), self.re
+            )
+            data = Md - (self.dt * self.theta) * Jk1
+            if method == "banded":
+                from lsafw_tpu.solver.band import factor_auto, plan_for_csr
+
+                if not hasattr(self, "_plan"):
+                    self._plan = plan_for_csr(
+                        CSRMatrix(ctx.pattern, data), real=True
+                    )
+                blu, _ = factor_auto(
+                    self._plan, data, diag_slots=ctx.pattern.diag_slots
+                )
+                self._facs.append((blu, CSRMatrix(ctx.pattern, data)))
+            else:
+                import scipy.sparse as sp
+
+                A = sp.csr_matrix(
+                    (np.asarray(data), ctx.pattern.indices, ctx.pattern.indptr),
+                    shape=ctx.pattern.shape,
+                )
+                self._facs.append(SparseLU(A.tocsc()))
+        self._ew = ew
+
+    # ------------------------------------------------------------------
+    def _step_lin(self, k: int, v: np.ndarray) -> np.ndarray:
+        """One linearized theta-step k -> k+1 on a complex vector."""
+        Jv = np.asarray(spmv(self._expl[k], jnp.asarray(v.real))) + 1j * (
+            np.asarray(spmv(self._expl[k], jnp.asarray(v.imag)))
+        )
+        Jv = np.where(np.asarray(self._mom), Jv, 0.0)
+        b = (np.asarray(self._M.matvec(jnp.asarray(v.real)))
+             + 1j * np.asarray(self._M.matvec(jnp.asarray(v.imag)))
+             + self._ew * Jv)
+        fac = self._facs[k]
+        if self.method == "banded":
+            from lsafw_tpu.solver.eigen import BandedSIOp, banded_solve_raw
+            import jax
+
+            blu, A = fac
+            if not hasattr(self, "_jraw"):
+                self._jraw = jax.jit(lambda op, vv: banded_solve_raw(
+                    op, vv, tol=1e-11, max_its=40))
+            op = BandedSIOp(A=A, M=None, blu=blu,
+                            sig_re=jnp.asarray(0.0), sig_im=jnp.asarray(0.0))
+            xr, xi = self._jraw(op, (jnp.asarray(b.real), jnp.asarray(b.imag)))
+            return np.asarray(xr) + 1j * np.asarray(xi)
+        # real factor: solve the two channels separately
+        return fac.solve(np.ascontiguousarray(b.real)) + 1j * fac.solve(
+            np.ascontiguousarray(b.imag))
+
+    def monodromy_apply(self, v: np.ndarray) -> np.ndarray:
+        """Phi_T v — one trip around the orbit."""
+        v = np.asarray(v, dtype=np.complex128)
+        for k in range(self.N):
+            v = self._step_lin(k, v)
+        return v
+
+    # ------------------------------------------------------------------
+    def solve(self, k: int = 5, *, tol: float = 1e-8) -> FloquetResult:
+        """Leading ``k`` Floquet multipliers by |mu| (ARPACK on the
+        matrix-free monodromy action)."""
+        import scipy.sparse.linalg as spla
+
+        n = self.ctx.spaces.num_dofs
+        P = spla.LinearOperator(
+            (n, n), matvec=self.monodromy_apply, dtype=np.complex128
+        )
+        mu, V = spla.eigs(P, k=k, which="LM", tol=tol,
+                          ncv=max(2 * k + 4, 20))
+        order = np.argsort(-np.abs(mu))
+        mu, V = mu[order], V[:, order]
+        triv = float(np.min(np.abs(mu - 1.0)))
+        logger.info(
+            "Floquet multipliers |mu| = %s (trivial-mode error %.2e)",
+            np.array2string(np.abs(mu), precision=4), triv,
+        )
+        return FloquetResult(self.period, mu, V.T.copy(), triv)

@@ -173,17 +173,87 @@ class UnsteadySolver:
         return jnp.asarray(fac.solve(np.asarray(b)))
 
     # ------------------------------------------------------------------
+    def _jit_step(self):
+        """One FUSED chord-Newton step (banded backend): residual
+        assembly, band solve and the Newton while_loop trace into ONE
+        program — one dispatch per time step on high-latency runtimes
+        (the axon tunnel costs ~150 ms per eager op)."""
+        from lsafw_tpu.models.navier_stokes import _jit_ns_residual
+        from lsafw_tpu.solver.eigen import banded_solve_raw
+
+        theta, re = self.theta, self.re
+        tol, maxit = self.newton_tol, self.newton_maxit
+
+        def step(ctx, Mmat, dop, bc, mom, f, outlets, robin, q0, dt):
+            Fm0 = _jit_ns_residual(ctx, q0, re, f, outlets, robin)
+            expl = (dt * (1.0 - theta)) * jnp.where(mom, Fm0, 0.0)
+            Mq0 = Mmat.matvec(q0)
+            scale = jnp.maximum(jnp.linalg.norm(Mq0), 1.0)
+
+            def G_of(q1):
+                F = _jit_ns_residual(ctx, q1, re, f, outlets, robin)
+                F = jnp.where(bc, 0.0, F)
+                return Mmat.matvec(q1) - Mq0 - (dt * theta) * F - expl
+
+            G0 = G_of(q0)
+            res0 = jnp.linalg.norm(G0)
+
+            def cond(st):
+                _, _, res, it = st
+                return (res > tol * scale) & (res > 1e-6 * res0) & (it < maxit)
+
+            def body(st):
+                q1, G, _, it = st
+                dq, _ = banded_solve_raw(
+                    dop, (-G, jnp.zeros_like(G)), tol=1e-11, max_its=40
+                )
+                q1 = q1 + dq
+                G = G_of(q1)
+                return q1, G, jnp.linalg.norm(G), it + 1
+
+            q1, _, res, it = jax.lax.while_loop(
+                cond, body, (q0, G0, res0, jnp.int32(1))
+            )
+            return q1, res, it
+
+        return jax.jit(step)
+
     def step(self, q0: jnp.ndarray, dt: float, t: float = 0.0) -> tuple[jnp.ndarray, StepStats]:
         """One theta step from ``q0`` (must satisfy the Dirichlet BCs)."""
         q0 = jnp.asarray(q0)
-        expl = (dt * (1.0 - self.theta)) * self._masked_residual(
-            q0, mask_to_momentum=True
-        )
-        Mq0 = self._M.matvec(q0)
         refactored = False
         if self._factor is None or self._steps_since_factor >= self.refactor_every:
             self._refactor(q0, dt)
             refactored = True
+        if self._factor[0] == "banded":
+            # fused path: the whole step is one device program
+            from lsafw_tpu.solver.eigen import BandedSIOp
+
+            if not hasattr(self, "_jstep"):
+                self._jstep = self._jit_step()
+            _, blu, A = self._factor
+            dop = BandedSIOp(A=A, M=None, blu=blu,
+                             sig_re=jnp.asarray(0.0), sig_im=jnp.asarray(0.0))
+            q1, res, it = self._jstep(
+                self.ctx, self._M, dop, self._bc_mask, self._mom_mask,
+                self._asm.f, self._asm._outlets, self._asm._robin, q0, dt,
+            )
+            res, it = float(res), int(it)
+            if it >= self.newton_maxit and res > 1e3 * self.newton_tol * max(
+                float(jnp.linalg.norm(self._M.matvec(q0))), 1.0
+            ):
+                logger.warning(
+                    "Unsteady Newton slow at t=%.3f (res %.2e); refactoring.",
+                    t, res,
+                )
+                self._refactor(q1, dt)
+                refactored = True
+            self._steps_since_factor += 1
+            return q1, StepStats(t + dt, it, res, refactored)
+        expl = (dt * (1.0 - self.theta)) * self._masked_residual(
+            q0, mask_to_momentum=True
+        )
+        Mq0 = self._M.matvec(q0)
         q1 = q0
         res = res0 = np.inf
         for it in range(1, self.newton_maxit + 1):

@@ -103,3 +103,22 @@ def test_dominant_frequency():
     sig = 0.7 * np.sin(0.83 * t + 0.3) + 0.05 * np.sin(2.9 * t)
     w = dominant_frequency(t, sig)
     assert abs(w - 0.83) < 0.01
+
+
+def test_banded_fused_step_matches_lu(steady_case):
+    """The fused single-program banded step equals the eager LU step."""
+    import jax.numpy as jnp
+
+    mesh, spaces, bcs, ctx, w = steady_case
+    rng = np.random.default_rng(5)
+    pert = rng.standard_normal(w.size) * 1e-3
+    pert[np.asarray(
+        UnsteadySolver(ctx, mesh, bcs, RE)._bc_mask)] = 0.0
+    q0 = jnp.asarray(w + pert)
+    us_lu = UnsteadySolver(ctx, mesh, bcs, RE, method="lu", newton_tol=1e-12)
+    us_bd = UnsteadySolver(ctx, mesh, bcs, RE, method="banded", newton_tol=1e-12)
+    q_lu, _ = us_lu.step(q0, 0.15)
+    q_bd, st = us_bd.step(q0, 0.15)
+    assert float(jnp.linalg.norm(q_bd - q_lu)) < 1e-8 * (
+        1.0 + float(jnp.linalg.norm(q_lu)))
+    assert np.isfinite(st.residual)
