@@ -100,13 +100,19 @@ class TransientGrowthSolver:
         from lsafw_tpu.solver.eigen import ShiftInvertOperator
 
         s = 2.0 / float(dt)
-        fw = ShiftInvertOperator(
-            self.A, self.M, s, method=self.method, antishift=s,
-            elements=self._elements,
-        )
-        ad = ShiftInvertOperator(
-            self._At, self._Mt, s, method=self.method, elements=None,
-        )
+        if not hasattr(self, "_prop_cache"):
+            self._prop_cache = {}
+        key = round(s, 12)
+        if key not in self._prop_cache:
+            fw = ShiftInvertOperator(
+                self.A, self.M, s, method=self.method, antishift=s,
+                elements=self._elements,
+            )
+            ad = ShiftInvertOperator(
+                self._At, self._Mt, s, method=self.method, elements=None,
+            )
+            self._prop_cache[key] = (fw, ad)
+        fw, ad = self._prop_cache[key]
         return fw, ad, s
 
     def _march(self, op, x: np.ndarray, n_steps: int) -> np.ndarray:
@@ -210,6 +216,7 @@ class TransientGrowthSolver:
     def growth_curve(
         self, horizons, n_steps: int, k: int = 1, *, tol: float = 1e-8
     ) -> list[GrowthResult]:
-        """G(T) over several horizons (one factorization pair per dt —
-        pass horizons sharing a dt to reuse compiled factorizations)."""
+        """G(T) over several horizons.  Factorization pairs are cached
+        per dt = T/n_steps, so horizons scaled with ``n_steps`` (or
+        repeated dt values) reuse their factors."""
         return [self.solve(float(T), n_steps, k=k, tol=tol) for T in horizons]
