@@ -184,14 +184,15 @@ class UnsteadySolver:
         theta, re = self.theta, self.re
         tol, maxit = self.newton_tol, self.newton_maxit
 
-        def step(ctx, Mmat, dop, bc, mom, f, outlets, robin, q0, dt):
-            Fm0 = _jit_ns_residual(ctx, q0, re, f, outlets, robin)
+        def step(ctx, Mmat, dop, bc, mom, f, outlets, robin, q0, dt,
+                 load0, load1):
+            Fm0 = _jit_ns_residual(ctx, q0, re, f, outlets, robin) + load0
             expl = (dt * (1.0 - theta)) * jnp.where(mom, Fm0, 0.0)
             Mq0 = Mmat.matvec(q0)
             scale = jnp.maximum(jnp.linalg.norm(Mq0), 1.0)
 
             def G_of(q1):
-                F = _jit_ns_residual(ctx, q1, re, f, outlets, robin)
+                F = _jit_ns_residual(ctx, q1, re, f, outlets, robin) + load1
                 F = jnp.where(bc, 0.0, F)
                 return Mmat.matvec(q1) - Mq0 - (dt * theta) * F - expl
 
@@ -218,9 +219,24 @@ class UnsteadySolver:
 
         return jax.jit(step)
 
-    def step(self, q0: jnp.ndarray, dt: float, t: float = 0.0) -> tuple[jnp.ndarray, StepStats]:
-        """One theta step from ``q0`` (must satisfy the Dirichlet BCs)."""
+    def step(
+        self,
+        q0: jnp.ndarray,
+        dt: float,
+        t: float = 0.0,
+        load0: jnp.ndarray | None = None,
+        load1: jnp.ndarray | None = None,
+    ) -> tuple[jnp.ndarray, StepStats]:
+        """One theta step from ``q0`` (must satisfy the Dirichlet BCs).
+
+        ``load0``/``load1``: optional assembled body-force vectors at
+        t and t+dt (e.g. ``M @ (P f) * g(t)`` for harmonic forcing —
+        the resolvent's right-hand side), added to R on momentum rows.
+        """
         q0 = jnp.asarray(q0)
+        z = jnp.zeros(self._M.shape[0])
+        load0 = z if load0 is None else jnp.asarray(load0)
+        load1 = z if load1 is None else jnp.asarray(load1)
         refactored = False
         if self._factor is None or self._steps_since_factor >= self.refactor_every:
             self._refactor(q0, dt)
@@ -237,6 +253,7 @@ class UnsteadySolver:
             q1, res, it = self._jstep(
                 self.ctx, self._M, dop, self._bc_mask, self._mom_mask,
                 self._asm.f, self._asm._outlets, self._asm._robin, q0, dt,
+                load0, load1,
             )
             res, it = float(res), int(it)
             if it >= self.newton_maxit and res > 1e3 * self.newton_tol * max(
@@ -250,15 +267,18 @@ class UnsteadySolver:
                 refactored = True
             self._steps_since_factor += 1
             return q1, StepStats(t + dt, it, res, refactored)
-        expl = (dt * (1.0 - self.theta)) * self._masked_residual(
-            q0, mask_to_momentum=True
+        expl = (dt * (1.0 - self.theta)) * jnp.where(
+            self._mom_mask,
+            self._asm.residual(q0, self.re) + load0, 0.0,
         )
         Mq0 = self._M.matvec(q0)
         q1 = q0
         res = res0 = np.inf
         for it in range(1, self.newton_maxit + 1):
             G = (self._M.matvec(q1) - Mq0
-                 - (dt * self.theta) * self._masked_residual(q1)
+                 - (dt * self.theta) * jnp.where(
+                     self._bc_mask, 0.0,
+                     self._asm.residual(q1, self.re) + load1)
                  - expl)
             res = float(jnp.linalg.norm(G))
             if it == 1:
@@ -294,15 +314,22 @@ class UnsteadySolver:
         probe_dofs=None,
         save_every: int = 1,
         t0: float = 0.0,
+        load_fn=None,
     ) -> UnsteadyResult:
         """March ``n_steps``; record ``q[probe_dofs]`` every
-        ``save_every`` steps (the shedding-frequency signal)."""
+        ``save_every`` steps (the shedding-frequency signal).
+        ``load_fn(t)``: optional assembled body-force vector at time t
+        (harmonic forcing studies)."""
         probe_dofs = np.asarray(probe_dofs if probe_dofs is not None else [0])
         q = jnp.asarray(q0)
         ts, probes, stats = [], [], []
         t = t0
         for k in range(n_steps):
-            q, st = self.step(q, dt, t)
+            if load_fn is not None:
+                q, st = self.step(q, dt, t, load0=load_fn(t),
+                                  load1=load_fn(t + dt))
+            else:
+                q, st = self.step(q, dt, t)
             t = st.t
             stats.append(st)
             if (k + 1) % save_every == 0:

@@ -39,7 +39,6 @@ def _marker(x):
     return out
 
 
-@pytest.mark.benchmark
 def test_dns_matches_linear_theory():
     geo = CylinderFlowGeometryConfig(
         dim=2, cylinder_radius=0.5, cylinder_center=(0.0, 0.0),
