@@ -103,16 +103,17 @@ class FloquetSolver:
             "Floquet: factoring %d implicit steps (%s) over period %.3f",
             self.N, method, self.period,
         )
-        self._expl: list[CSRMatrix] = []  # J(q_k) for the explicit side
+        # assemble each snapshot Jacobian ONCE; the implicit matrix of
+        # step k reuses snapshot k+1's data
+        Jdata = [asm.jacobian_data(jnp.asarray(snaps[k]), self.re)
+                 for k in range(self.N)]
+        self._expl: list[CSRMatrix] = [
+            CSRMatrix(ctx.pattern, Jk) for Jk in Jdata
+        ]
         self._facs = []  # implicit factors at q_{k+1}
         ew = self.dt * (1.0 - self.theta)
         for k in range(self.N):
-            Jk = asm.jacobian_data(jnp.asarray(snaps[k]), self.re)
-            self._expl.append(CSRMatrix(ctx.pattern, Jk))
-            Jk1 = asm.jacobian_data(
-                jnp.asarray(snaps[(k + 1) % self.N]), self.re
-            )
-            data = Md - (self.dt * self.theta) * Jk1
+            data = Md - (self.dt * self.theta) * Jdata[(k + 1) % self.N]
             if method == "banded":
                 from lsafw_tpu.solver.band import factor_auto, plan_for_csr
 
@@ -162,8 +163,58 @@ class FloquetSolver:
             np.ascontiguousarray(b.imag))
 
     def monodromy_apply(self, v: np.ndarray) -> np.ndarray:
-        """Phi_T v — one trip around the orbit."""
+        """Phi_T v — one trip around the orbit.
+
+        Banded backend: ONE jitted lax.scan over the stacked snapshot
+        data and factors (everything in the trip is traceable), so an
+        Arnoldi apply costs one dispatch instead of ~6 per snapshot —
+        on the ~150 ms/dispatch tunnel that is the difference between
+        minutes and an hour per eigensolve."""
         v = np.asarray(v, dtype=np.complex128)
+        if self.method == "banded":
+            import jax
+
+            from lsafw_tpu.solver.eigen import BandedSIOp, banded_solve_raw
+
+            if not hasattr(self, "_jtrip"):
+                expl_stack = jnp.stack([E.data for E in self._expl])
+                blu_stack = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs),
+                    *[blu for blu, _ in self._facs],
+                )
+                imp_stack = jnp.stack([A.data for _, A in self._facs])
+                pattern = self.ctx.pattern
+                ew, mom = self._ew, self._mom
+                M = self._M
+
+                def trip(expl_s, blu_s, imp_s, vr, vi):
+                    def body(carry, xs):
+                        vr, vi = carry
+                        ed, blu, idata = xs
+                        E = CSRMatrix(pattern, ed)
+                        A = CSRMatrix(pattern, idata)
+                        br = M.matvec(vr) + ew * jnp.where(mom, spmv(E, vr), 0.0)
+                        bi = M.matvec(vi) + ew * jnp.where(mom, spmv(E, vi), 0.0)
+                        op = BandedSIOp(
+                            A=A, M=None, blu=blu,
+                            sig_re=jnp.asarray(0.0), sig_im=jnp.asarray(0.0),
+                        )
+                        xr, xi = banded_solve_raw(
+                            op, (br, bi), tol=1e-11, max_its=40
+                        )
+                        return (xr, xi), None
+
+                    (vr, vi), _ = jax.lax.scan(
+                        body, (vr, vi), (expl_s, blu_s, imp_s)
+                    )
+                    return vr, vi
+
+                self._jtrip = jax.jit(trip)
+                self._stacks = (expl_stack, blu_stack, imp_stack)
+            es, bs, is_ = self._stacks
+            vr, vi = self._jtrip(es, bs, is_, jnp.asarray(v.real),
+                                 jnp.asarray(v.imag))
+            return np.asarray(vr) + 1j * np.asarray(vi)
         for k in range(self.N):
             v = self._step_lin(k, v)
         return v

@@ -31,8 +31,10 @@ are all reused unchanged — one factorization pair per frequency, many
 Lanczos applies, the same cost shape as a shift-invert eigensolve.
 
 The adjoint operator is always built on the *assembled transposed*
-CSR (not element matrices): Dirichlet rows are eliminated row-wise
-only, so per-cell transposes would not reproduce ``A^T``.
+CSR (not element matrices): the element-operator path imposes the
+Dirichlet identity rows AFTER the per-cell products, a step that does
+not commute with transposition, so per-cell transposes would not
+reproduce ``A^T``.
 """
 
 from __future__ import annotations
@@ -56,8 +58,10 @@ def w_weighted_gains(
     """Leading eigenpairs of the Hermitian PSD operator ``apply_T``
     generalized against SPD ``W`` (mass on the forcing subspace):
     gamma_j, F[:, j] descending.  Dense fallback on tiny subspaces
-    (Lanczos is breakdown-prone there)."""
+    (Lanczos is breakdown-prone there); ``k`` is clamped to the
+    subspace size."""
     nf = W.shape[0]
+    k = min(int(k), nf)
     T = spla.LinearOperator(
         (nf, nf), matvec=lambda fc: apply_T(np.asarray(fc, dtype)), dtype=dtype
     )
@@ -174,7 +178,9 @@ class ResolventSolver:
 
     # ------------------------------------------------------------------
     def solve(self, omega: float, k: int = 1, *, tol: float = 1e-8) -> ResolventModes:
-        """Leading ``k`` gains and modes at frequency ``omega``."""
+        """Leading ``k`` gains and modes at frequency ``omega``
+        (clamped to the forcing-subspace size)."""
+        k = min(int(k), self._fdofs.size)
         si1, si2 = self._si_pair(omega)
         self._napply = 0
         gam, F = w_weighted_gains(
@@ -187,7 +193,8 @@ class ResolventSolver:
             f = np.zeros(self._n, dtype=np.complex128)
             f[self._fdofs] = F[:, j]
             f /= np.sqrt(self._energy(f))  # unit forcing energy
-            q = self._response(si1, self._Ms @ f)
+            # _response applies M internally: q = C^-1 M f
+            q = self._response(si1, f)
             eq = self._energy(q)
             if eq > 0:
                 q /= np.sqrt(eq)

@@ -212,8 +212,10 @@ class UnsteadySolver:
                 G = G_of(q1)
                 return q1, G, jnp.linalg.norm(G), it + 1
 
+            # it counts UPDATES; starting at 0 allows the same maxit
+            # corrections as the eager LU path
             q1, _, res, it = jax.lax.while_loop(
-                cond, body, (q0, G0, res0, jnp.int32(1))
+                cond, body, (q0, G0, res0, jnp.int32(0))
             )
             return q1, res, it
 

@@ -183,7 +183,9 @@ class TransientGrowthSolver:
         self, horizon: float, n_steps: int, k: int = 1, *, tol: float = 1e-8
     ) -> GrowthResult:
         """Leading ``k`` optimal gains over ``[0, horizon]`` with
-        ``n_steps`` CN steps (dt = horizon / n_steps)."""
+        ``n_steps`` CN steps (dt = horizon / n_steps); ``k`` is
+        clamped to the forcing-subspace size."""
+        k = min(int(k), self._fdofs.size)
         dt = float(horizon) / int(n_steps)
         fw, ad, s = self._propagators(dt)
 

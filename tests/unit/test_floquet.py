@@ -63,3 +63,17 @@ def test_monodromy_action_matches_dense(steady_case):  # noqa: F811
     got = fs.monodromy_apply(v)
     ref = Phi @ v
     assert np.linalg.norm(got - ref) < 1e-9 * np.linalg.norm(ref)
+
+
+def test_banded_monodromy_matches_lu(steady_case):  # noqa: F811
+    """The fused lax.scan banded trip equals the eager LU trip."""
+    mesh, spaces, bcs, ctx, w = steady_case
+    dt, N = 0.25, 4
+    snaps = np.tile(w, (N, 1))
+    fs_lu = FloquetSolver(ctx, mesh, bcs, RE, snaps, dt, method="lu")
+    fs_bd = FloquetSolver(ctx, mesh, bcs, RE, snaps, dt, method="banded")
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal(w.size) + 1j * rng.standard_normal(w.size)
+    got = fs_bd.monodromy_apply(v)
+    ref = fs_lu.monodromy_apply(v)
+    assert np.linalg.norm(got - ref) < 1e-8 * np.linalg.norm(ref)

@@ -130,3 +130,21 @@ def test_transpose_pair_shared_pattern(lns_case):
     assert At.pattern.has_full_diagonal
     assert np.allclose((At.to_scipy() - A.to_scipy().T).toarray(), 0.0)
     assert np.allclose((Mt.to_scipy() - M.to_scipy().T).toarray(), 0.0)
+
+
+def test_response_mode_shape(lns_case):
+    """responses[0] is the NORMALIZED true response C^-1 M f (a
+    regression for the double-M bug caught in review)."""
+    import scipy.sparse.linalg as spla
+
+    A, M, spaces, bcs = lns_case
+    rs = ResolventSolver(
+        A, M, spaces.num_velocity_dofs, bcs.dirichlet_mask, method="lu"
+    )
+    m = rs.solve(0.8, k=1)
+    Ms = M.to_scipy()
+    Cd = 1j * m.omega * Ms - A.to_scipy()
+    q_raw = spla.spsolve(Cd.tocsc(), Ms @ m.forcings[0])
+    q_raw /= np.sqrt(np.vdot(q_raw, Ms @ q_raw).real)
+    corr = abs(np.vdot(m.responses[0], Ms @ q_raw))
+    assert abs(corr - 1.0) < 1e-8, corr
