@@ -97,6 +97,7 @@ def main() -> int:
     lin = "banded" if on_tpu else "lu"
     results = []
     w = None
+    v_eig = None
     re_values = np.arange(args.re[0], args.re[1] + 0.5 * args.re[2], args.re[2])
     for re in re_values:
         t0 = time.time()
@@ -118,8 +119,11 @@ def main() -> int:
             es.set_st_pc_type("banded")
             es.set_elements(ctx, A_el, M_el, np.asarray(bcs_pert.dirichlet_mask),
                             dofs=dofs)
+        if v_eig is not None:
+            # continuation warm start: the previous Re's eigenvector
+            es.set_initial_vector(v_eig)
         pairs = es.solve()
-        sigma = max((p[0] for p in pairs), key=lambda s: s.real)
+        sigma, v_eig = max(pairs, key=lambda p: p[0].real)
         dt = time.time() - t0
         row = {
             "re": float(re),

@@ -1065,6 +1065,7 @@ class EigenSolver:
         self._elements = None
         self._filter_degree = 30
         self._shell: tuple | None = None
+        self._v0: np.ndarray | None = None
 
     def _warn_if_not_hermitian(self) -> None:
         """(parity: Hermiticity validation warnings, ``Solver/eigen.py:88-108``)."""
@@ -1120,6 +1121,13 @@ class EigenSolver:
     def set_filter_degree(self, degree: int) -> None:
         """Chebyshev filter polynomial degree (FILTER transform)."""
         self._filter_degree = int(degree)
+
+    def set_initial_vector(self, v0: np.ndarray) -> None:
+        """Warm-start the Krylov iteration (parity: SLEPc
+        ``EPS.setInitialSpace``).  Passing the previous parameter
+        point's eigenvector during a continuation sweep typically
+        halves the Arnoldi work."""
+        self._v0 = np.asarray(v0, dtype=np.complex128).copy()
 
     def _solve_filtered(self, cfg, t0):
         """FILTER path: Krylov-Schur on the Chebyshev-filtered
@@ -1193,6 +1201,7 @@ class EigenSolver:
                 op.apply, n,
                 nev=cfg.num_eig, ncv=min(cfg.ncv, n),
                 which=which, tol=cfg.atol, max_restarts=cfg.max_it,
+                v0=self._v0,
                 device_op=dev_op,
                 traced_apply=op.traced_apply if dev_op is not None else None,
             )

@@ -102,3 +102,25 @@ def test_gmres_matches_lu(ns_case):
     lam_ref = _key([p[0] for p in ref])
     lam_got = _key([p[0] for p in got])
     assert np.allclose(lam_got, lam_ref, rtol=1e-6, atol=1e-7)
+
+
+def test_warm_start_initial_vector(ns_case):
+    """set_initial_vector (SLEPc EPS.setInitialSpace parity): seeding
+    with a converged eigenvector cuts the Arnoldi restarts and returns
+    the same eigenvalues."""
+    A, M, *_ = ns_case
+    import logging
+
+    def _solve_with(v0):
+        solver = EigenSolver(A, M, EigensolverConfig(num_eig=2, atol=1e-10, ncv=12))
+        solver.set_st_type(STType.SINVERT)
+        solver.set_target(0.5 + 0.0j)
+        if v0 is not None:
+            solver.set_initial_vector(v0)
+        return solver.solve()
+
+    cold = _solve_with(None)
+    warm = _solve_with(cold[0][1])
+    lam_c = np.sort_complex([p[0] for p in cold])
+    lam_w = np.sort_complex([p[0] for p in warm])
+    assert np.allclose(lam_c, lam_w, rtol=1e-7, atol=1e-9)
