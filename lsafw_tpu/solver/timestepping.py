@@ -307,6 +307,60 @@ class UnsteadySolver:
         self._steps_since_factor += 1
         return q1, StepStats(t + dt, it, res, refactored)
 
+    # ------------------------------------------------------------------
+    def step_bdf2(
+        self,
+        q1: jnp.ndarray,
+        q0: jnp.ndarray,
+        dt: float,
+        t: float = 0.0,
+        load2: jnp.ndarray | None = None,
+    ) -> tuple[jnp.ndarray, StepStats]:
+        """One BDF2 step (L-stable; preferred for long stiff marches —
+        CN only neutrally damps the unresolved saddle modes):
+
+            G(q2) = M (1.5 q2 - 2 q1 + 0.5 q0) - dt (R(q2) + load2) = 0,
+
+        Newton matrix 1.5 M - dt J(q2); fully implicit, so continuity
+        and BC rows need no explicit-side masking.  Bootstrap the first
+        step with :meth:`step` (CN).  The chord factor is shared with
+        the theta path only in structure, not values, so a dedicated
+        factor is kept (``_factor_bdf2``)."""
+        q1 = jnp.asarray(q1)
+        q0 = jnp.asarray(q0)
+        z = jnp.zeros(self._M.shape[0])
+        load2 = z if load2 is None else jnp.asarray(load2)
+        refactored = False
+        if (getattr(self, "_factor_bdf2", None) is None
+                or self._bdf2_steps_since >= self.refactor_every):
+            Jd = self._asm.jacobian_data(q1, self.re)
+            data = 1.5 * self._M.data - dt * Jd
+            import scipy.sparse as sp
+
+            Asp = sp.csr_matrix(
+                (np.asarray(data), self.ctx.pattern.indices,
+                 self.ctx.pattern.indptr), shape=self.ctx.pattern.shape)
+            self._factor_bdf2 = SparseLU(Asp.tocsc())
+            self._bdf2_steps_since = 0
+            refactored = True
+        rhs = self._M.matvec(2.0 * q1 - 0.5 * q0)
+        q2 = q1
+        res = res0 = np.inf
+        scale = max(float(jnp.linalg.norm(rhs)), 1.0)
+        for it in range(1, self.newton_maxit + 1):
+            G = (1.5 * self._M.matvec(q2) - rhs
+                 - dt * jnp.where(self._bc_mask, 0.0,
+                                  self._asm.residual(q2, self.re) + load2))
+            res = float(jnp.linalg.norm(G))
+            if it == 1:
+                res0 = res
+            if res <= self.newton_tol * scale or res <= 1e-6 * res0:
+                break
+            dq = jnp.asarray(self._factor_bdf2.solve(np.asarray(-G)))
+            q2 = q2 + dq
+        self._bdf2_steps_since += 1
+        return q2, StepStats(t + dt, it, res, refactored)
+
     def run(
         self,
         q0: jnp.ndarray,
@@ -317,20 +371,30 @@ class UnsteadySolver:
         save_every: int = 1,
         t0: float = 0.0,
         load_fn=None,
+        scheme: str = "theta",
     ) -> UnsteadyResult:
         """March ``n_steps``; record ``q[probe_dofs]`` every
         ``save_every`` steps (the shedding-frequency signal).
         ``load_fn(t)``: optional assembled body-force vector at time t
-        (harmonic forcing studies)."""
+        (harmonic forcing studies).  ``scheme``: "theta" (the solver's
+        theta rule) or "bdf2" (L-stable; CN-bootstrapped)."""
         probe_dofs = np.asarray(probe_dofs if probe_dofs is not None else [0])
         q = jnp.asarray(q0)
+        q_prev = None
         ts, probes, stats = [], [], []
         t = t0
         for k in range(n_steps):
-            if load_fn is not None:
+            if scheme == "bdf2" and q_prev is not None:
+                q_new, st = self.step_bdf2(
+                    q, q_prev, dt, t,
+                    load2=None if load_fn is None else load_fn(t + dt))
+                q_prev, q = q, q_new
+            elif load_fn is not None:
+                q_prev = q
                 q, st = self.step(q, dt, t, load0=load_fn(t),
                                   load1=load_fn(t + dt))
             else:
+                q_prev = q
                 q, st = self.step(q, dt, t)
             t = st.t
             stats.append(st)

@@ -122,3 +122,42 @@ def test_banded_fused_step_matches_lu(steady_case):
     assert float(jnp.linalg.norm(q_bd - q_lu)) < 1e-8 * (
         1.0 + float(jnp.linalg.norm(q_lu)))
     assert np.isfinite(st.residual)
+
+
+def test_bdf2_linear_regime_matches_dense(steady_case):
+    """BDF2 steps (CN bootstrap) vs the dense BDF2 recurrence on the
+    linearized system."""
+    import jax.numpy as jnp
+
+    mesh, spaces, bcs, ctx, w = steady_case
+    from lsafw_tpu.models.navier_stokes import (
+        LinearizedNavierStokesAssembler,
+        StationaryNavierStokesAssembler,
+    )
+
+    pert_bcs = bcs.homogeneous()
+    lin = LinearizedNavierStokesAssembler(jnp.asarray(w), ctx, RE, pert_bcs, mesh)
+    A, M = lin.assemble_eigensystem()
+    import scipy.sparse.linalg as spla
+
+    _, V = spla.eigs(A.to_scipy().astype(complex), k=1,
+                     M=M.to_scipy().astype(complex), sigma=-0.5 + 0.0j)
+    v = np.real(V[:, 0]); v /= np.linalg.norm(v)
+
+    st_asm = StationaryNavierStokesAssembler(ctx, mesh, bcs)
+    Jd = np.asarray(st_asm.jacobian(jnp.asarray(w), RE).to_scipy().toarray())
+    Md = np.asarray(lin.assemble_mass_matrix().to_scipy().toarray())
+    dt, nsteps = 0.1, 6
+    # CN bootstrap then BDF2: v2 = (1.5M - dtJ)^-1 M (2 v1 - 0.5 v0)
+    S_cn = np.linalg.solve(Md - 0.5 * dt * Jd, Md + 0.5 * dt * Jd)
+    Nb = np.linalg.inv(1.5 * Md - dt * Jd) @ Md
+    v0d, v1d = v, S_cn @ v
+    for _ in range(nsteps - 1):
+        v0d, v1d = v1d, Nb @ (2.0 * v1d - 0.5 * v0d)
+
+    eps = 1e-6
+    us = UnsteadySolver(ctx, mesh, bcs, RE, newton_tol=1e-13)
+    res = us.run(jnp.asarray(w + eps * v), dt, nsteps, scheme="bdf2")
+    got = (np.asarray(res.q) - w) / eps
+    err = np.linalg.norm(got - v1d) / np.linalg.norm(v1d)
+    assert err < 3e-3, err
