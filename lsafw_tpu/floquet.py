@@ -23,6 +23,14 @@ Implementation: N implicit factors are built once (host SuperLU or the
 device band LU) and reused across every Arnoldi apply; the explicit
 side is a stored-Jacobian-data SpMV.  Multipliers come from ARPACK on
 the matrix-free Phi_T action.
+
+Memory scale: storage is N x (factor + Jacobian data).  At the reduced
+11k-DOF cycle (N=40) that is comfortable on either backend; at the
+167k production mesh the banded factors alone would be N x ~2 GB —
+production-scale Floquet needs inexact implicit solves (Krylov + a
+reusable preconditioner) instead of prestored factors, which is the
+documented next step, not a silent OOM: the constructor logs the
+estimated footprint.
 """
 
 from __future__ import annotations
@@ -134,6 +142,22 @@ class FloquetSolver:
                 )
                 self._facs.append(SparseLU(A.tocsc()))
         self._ew = ew
+        if method == "banded":
+            import jax as _jax
+
+            fac_bytes = sum(
+                leaf.nbytes
+                for blu, _ in self._facs
+                for leaf in _jax.tree_util.tree_leaves(blu)
+                if hasattr(leaf, "nbytes"))
+        else:
+            fac_bytes = sum(
+                f._lu.L.nnz + f._lu.U.nnz for f in self._facs) * 12
+        logger.info(
+            "Floquet factor storage: %.2f GB across %d snapshots "
+            "(production-scale cycles need inexact implicit solves).",
+            fac_bytes / 1e9, self.N,
+        )
 
     # ------------------------------------------------------------------
     def _step_lin(self, k: int, v: np.ndarray) -> np.ndarray:
