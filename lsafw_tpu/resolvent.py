@@ -102,7 +102,13 @@ class ResolventSolver:
             velocity [0, nu) then pressure — ``fem/spaces.py``).
         dirichlet_mask: (n,) bool — constrained DOFs (perturbation BCs).
         method: inner solve backend, ``"lu"`` (host SuperLU) or
-            ``"banded"`` (device band LU + f64 refinement).
+            ``"banded"`` (device band LU + f64 refinement).  NOTE: the
+            banded path holds TWO complex band factors (direct +
+            adjoint) simultaneously; at production sizes set
+            ``LSAFW_BAND_MEM_GB`` to about half the HBM so the
+            per-factor budget leaves room for both (the band plan
+            truncates to a preconditioner past the budget and the MR
+            refinement absorbs it).
         elements: optional ``(dofs, A_el, M_el, bc_mask)`` for the
             matrix-free refinement matvecs of the *direct* operator.
     """
