@@ -37,6 +37,8 @@ def main() -> int:
     ap.add_argument("--t-end", type=float, default=250.0)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--out", type=Path, default=None)
+    ap.add_argument("--checkpoint", type=Path, default=None,
+                    help=".npz march checkpoint (resume on rerun)")
     args = ap.parse_args()
 
     import jax
@@ -102,7 +104,7 @@ def main() -> int:
     n_steps = int(args.t_end / args.dt)
     t0 = time.time()
     res = us.run(jnp.asarray(np.asarray(w) + 1e-3 * v), args.dt, n_steps,
-                 probe_dofs=[probe])
+                 probe_dofs=[probe], checkpoint_path=args.checkpoint)
     print(f"marched {n_steps} steps in {time.time()-t0:.0f}s", file=sys.stderr)
     sig = res.probes[:, 0] - np.asarray(w)[probe]
 

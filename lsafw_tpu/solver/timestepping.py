@@ -372,18 +372,50 @@ class UnsteadySolver:
         t0: float = 0.0,
         load_fn=None,
         scheme: str = "theta",
+        checkpoint_path=None,
+        checkpoint_every: int = 200,
     ) -> UnsteadyResult:
         """March ``n_steps``; record ``q[probe_dofs]`` every
         ``save_every`` steps (the shedding-frequency signal).
         ``load_fn(t)``: optional assembled body-force vector at time t
         (harmonic forcing studies).  ``scheme``: "theta" (the solver's
-        theta rule) or "bdf2" (L-stable; CN-bootstrapped)."""
+        theta rule) or "bdf2" (L-stable; CN-bootstrapped).
+        ``checkpoint_path``: .npz written every ``checkpoint_every``
+        steps; a rerun with the same path resumes from the last
+        checkpoint (state, BDF2 history, probe series — long
+        saturation marches survive interruption; in-solver resume
+        beyond the reference, SURVEY section 5)."""
         probe_dofs = np.asarray(probe_dofs if probe_dofs is not None else [0])
         q = jnp.asarray(q0)
         q_prev = None
         ts, probes, stats = [], [], []
         t = t0
-        for k in range(n_steps):
+        k0 = 0
+        if checkpoint_path is not None:
+            from pathlib import Path
+
+            cp = Path(checkpoint_path)
+            if cp.exists():
+                d = np.load(cp, allow_pickle=False)
+                k0 = int(d["k"])
+                t = float(d["t"])
+                q = jnp.asarray(d["q"])
+                q_prev = jnp.asarray(d["q_prev"]) if d["has_prev"] else None
+                ts = list(d["ts"])
+                probes = list(d["probes"])
+                logger.info(
+                    "Resuming unsteady march from checkpoint %s "
+                    "(step %d, t=%.3f).", cp, k0, t,
+                )
+
+            def _save(k):
+                np.savez(
+                    cp, k=k, t=t, q=np.asarray(q),
+                    q_prev=np.asarray(q_prev if q_prev is not None else q),
+                    has_prev=q_prev is not None,
+                    ts=np.asarray(ts), probes=np.asarray(probes),
+                )
+        for k in range(k0, n_steps):
             if scheme == "bdf2" and q_prev is not None:
                 q_new, st = self.step_bdf2(
                     q, q_prev, dt, t,
@@ -401,6 +433,8 @@ class UnsteadySolver:
             if (k + 1) % save_every == 0:
                 ts.append(t)
                 probes.append(np.asarray(q)[probe_dofs])
+            if checkpoint_path is not None and (k + 1) % checkpoint_every == 0:
+                _save(k + 1)
             if not np.isfinite(st.residual):
                 logger.error("Unsteady solve diverged at t=%.3f.", t)
                 break

@@ -161,3 +161,29 @@ def test_bdf2_linear_regime_matches_dense(steady_case):
     got = (np.asarray(res.q) - w) / eps
     err = np.linalg.norm(got - v1d) / np.linalg.norm(v1d)
     assert err < 3e-3, err
+
+
+def test_checkpoint_resume(steady_case, tmp_path):
+    """Interrupted march + resume == uninterrupted march (state, BDF2
+    history and probe series)."""
+    import jax.numpy as jnp
+
+    mesh, spaces, bcs, ctx, w = steady_case
+    rng = np.random.default_rng(9)
+    pert = rng.standard_normal(w.size) * 1e-3
+    us0 = UnsteadySolver(ctx, mesh, bcs, RE)
+    pert[np.asarray(us0._bc_mask)] = 0.0
+    q0 = jnp.asarray(w + pert)
+    kw = dict(probe_dofs=[3, 7], scheme="bdf2")
+
+    ref = UnsteadySolver(ctx, mesh, bcs, RE).run(q0, 0.2, 10, **kw)
+
+    cp = tmp_path / "march.npz"
+    UnsteadySolver(ctx, mesh, bcs, RE).run(
+        q0, 0.2, 6, checkpoint_path=cp, checkpoint_every=3, **kw)
+    res = UnsteadySolver(ctx, mesh, bcs, RE).run(
+        q0, 0.2, 10, checkpoint_path=cp, checkpoint_every=3, **kw)
+
+    assert np.allclose(res.q, ref.q, atol=1e-12)
+    assert np.allclose(res.t, ref.t)
+    assert np.allclose(res.probes, ref.probes, atol=1e-12)
