@@ -1,0 +1,64 @@
+"""Self-consistent model: marginality and frequency-shift gates.
+
+On a coarse supercritical cylinder the SCM must drive the mean-flow
+eigenvalue to (near) marginality and shift the frequency UP from the
+Hopf value toward the saturated one (the RZIF/DNS-validated direction;
+the quantitative 0.4%-of-DNS match is recorded from the finer mesh in
+doc/scm_re60_small.json).
+"""
+
+import numpy as np
+import pytest
+
+from lsafw_tpu.config import (
+    CylinderFlowGeometryConfig,
+    BoundaryConditionsConfig,
+)
+from lsafw_tpu.fem.assembly import AssemblyContext
+from lsafw_tpu.fem.bcs import define_bcs
+from lsafw_tpu.fem.spaces import define_spaces
+from lsafw_tpu.meshing.geometries import cylinder_flow_mesh
+from lsafw_tpu.meshing.tags import mark_boundary_facets
+from lsafw_tpu.scm import SelfConsistentModel
+from lsafw_tpu.solver.baseflow import BaseFlowSolver
+
+from tests.benchmark.test_unsteady import _marker, INLET, OUTLET, BOTTOM, TOP, CYL
+
+RE = 60.0
+
+
+def test_scm_marginality_and_frequency_shift():
+    geo = CylinderFlowGeometryConfig(
+        dim=2, cylinder_radius=0.5, cylinder_center=(0.0, 0.0),
+        x_range=(-6.0, 16.0), y_range=(-5.0, 5.0), resolution=0.65,
+        resolution_around_cylinder=0.22, influence_radius=4.0,
+    )
+    mesh = cylinder_flow_mesh(geo, max_iter=80, seed=0)
+    mark_boundary_facets(mesh, _marker)
+    spaces = define_spaces(mesh)
+    bcs = define_bcs(mesh, spaces, [
+        BoundaryConditionsConfig(marker=INLET, type="dirichlet_velocity", value=(1.0, 0.0)),
+        BoundaryConditionsConfig(marker=BOTTOM, type="neumann_velocity", value=(0.0, 0.0)),
+        BoundaryConditionsConfig(marker=TOP, type="neumann_velocity", value=(0.0, 0.0)),
+        BoundaryConditionsConfig(marker=OUTLET, type="dirichlet_pressure", value=0.0),
+        BoundaryConditionsConfig(marker=CYL, type="dirichlet_velocity", value=(0.0, 0.0)),
+    ])
+    bcs_pert = define_bcs(mesh, spaces, [
+        BoundaryConditionsConfig(marker=INLET, type="dirichlet_velocity", value=(0.0, 0.0)),
+        BoundaryConditionsConfig(marker=CYL, type="dirichlet_velocity", value=(0.0, 0.0)),
+        BoundaryConditionsConfig(marker=OUTLET, type="dirichlet_pressure", value=0.0),
+    ])
+    ctx = AssemblyContext.build(spaces)
+    w = np.asarray(BaseFlowSolver(ctx, mesh, bcs, re=RE).solve(
+        ramp=True, steps=4, tol=1e-10, max_it=40))
+
+    scm = SelfConsistentModel(ctx, mesh, bcs, bcs_pert, RE)
+    res = scm.solve(w, A0=0.3, tol_sigma=5e-4, max_outer=25)
+    assert res.history[0][1] > 5e-3  # supercritical Hopf to begin with
+    omega_hopf = res.history[0][2]
+    # marginality reached (within the alternation's noise floor)
+    assert abs(res.sigma.real) < 2e-3, res.sigma
+    # frequency shifted UP toward the saturated value
+    assert res.sigma.imag > 1.005 * omega_hopf, (res.sigma, omega_hopf)
+    assert res.sigma.imag < 1.3 * omega_hopf
+    assert res.amplitude > 0.1 and np.isfinite(res.mean).all()
