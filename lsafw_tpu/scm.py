@@ -267,6 +267,8 @@ class SelfConsistentModel:
                 continue
             state = (Ut, modet, sigmat)
             U, mode, sigma = state
+            if x >= x_fail_min:
+                x_fail_min = np.inf  # a success above disproves the wall
             g, omega = sigma.real, abs(sigma.imag)
             history.append((float(np.sqrt(x)), sigma.real, sigma.imag))
             logger.info("SCM outer %d: A = %.5f, sigma = %+.5f %+.5f j",
