@@ -13,6 +13,7 @@ Subcommands:
   sensitivity adjoint d sigma/d Re + wavemaker (reference .examples/sensitivity.py)
   resolvent   optimal harmonic forcing gains sigma_1(omega) (beyond the reference)
   transient   optimal transient energy growth G(T) (beyond the reference)
+  scm         self-consistent mean-flow model (beyond the reference)
 """
 
 from __future__ import annotations
@@ -300,6 +301,43 @@ def _cmd_transient(args) -> int:
     return 0
 
 
+def _cmd_scm(args) -> int:
+    import numpy as np
+
+    from lsafw_tpu.scm import SelfConsistentModel
+    from lsafw_tpu.solver.baseflow import BaseFlowSolver
+    from lsafw_tpu.config import load_bc_config
+    from lsafw_tpu.fem.bcs import define_bcs
+
+    mesh, spaces, bcs, ctx = _build_case(args)
+    if bcs is None:
+        raise SystemExit("scm requires --bc-config")
+    w = BaseFlowSolver(ctx, mesh, bcs, re=args.re).solve(
+        ramp=args.ramp, steps=args.steps, tol=args.tol, max_it=args.max_it
+    )
+    pert_bcs = (
+        define_bcs(mesh, spaces, load_bc_config(args.perturbation_bc_config))
+        if args.perturbation_bc_config
+        else bcs.homogeneous()
+    )
+    scm = SelfConsistentModel(ctx, mesh, bcs, pert_bcs, args.re,
+                              linear_solver="lu")
+    res = scm.solve(np.asarray(w), A0=args.a0, tol_sigma=args.tol_sigma)
+    logger.info(
+        "SCM: A = %.5f, sigma = %+.5e %+.5e j (converged=%s)",
+        res.amplitude, res.sigma.real, res.sigma.imag, res.converged,
+    )
+    if args.outdir:
+        Path(args.outdir).mkdir(parents=True, exist_ok=True)
+        (Path(args.outdir) / "scm.json").write_text(json.dumps({
+            "amplitude": res.amplitude,
+            "sigma": [res.sigma.real, res.sigma.imag],
+            "converged": res.converged,
+            "history": res.history,
+        }, indent=1))
+    return 0 if res.converged else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(
         prog="lsafw_tpu", description="TPU-native global linear stability analysis"
@@ -400,6 +438,15 @@ def main(argv: list[str] | None = None) -> int:
     p_tg.add_argument("--k", type=int, default=1)
     p_tg.add_argument("--si-method", choices=("lu", "banded"), default="lu")
     p_tg.set_defaults(fn=_cmd_transient)
+
+    p_scm = sub.add_parser(
+        "scm", help="self-consistent mean-flow model (limit cycle w/o DNS)"
+    )
+    _solver_args(p_scm)
+    p_scm.add_argument("--perturbation-bc-config", type=Path, default=None)
+    p_scm.add_argument("--a0", type=float, default=0.1)
+    p_scm.add_argument("--tol-sigma", type=float, default=2e-4)
+    p_scm.set_defaults(fn=_cmd_scm)
 
     args = parser.parse_args(argv)
     setup_logging(verbose=args.verbose)

@@ -122,3 +122,17 @@ def test_cli_transient(configs, tmp_path):
     assert rc == 0
     rows = json.loads((tmp_path / "transient_gains.json").read_text())
     assert len(rows) == 2 and all(r["gains"][0] > 0 for r in rows)
+
+
+def test_cli_scm(configs, tmp_path):
+    """SCM on a stable case: returns A = 0 immediately and converged."""
+    import json
+
+    rc = main([
+        "scm", *_case_args(configs),
+        "--perturbation-bc-config", str(configs / "bcs_pert.toml"),
+        "--re", "20", "--outdir", str(tmp_path),
+    ])
+    assert rc == 0
+    d = json.loads((tmp_path / "scm.json").read_text())
+    assert d["converged"] and d["amplitude"] == 0.0
