@@ -151,8 +151,10 @@ class FloquetSolver:
                 for leaf in _jax.tree_util.tree_leaves(blu)
                 if hasattr(leaf, "nbytes"))
         else:
-            fac_bytes = sum(
-                f._lu.L.nnz + f._lu.U.nnz for f in self._facs) * 12
+            # SuperLU.nnz avoids materializing .L/.U copies just to
+            # count them (the copies would transiently double the
+            # factors this log line warns about)
+            fac_bytes = sum(f._lu.nnz for f in self._facs) * 12
         logger.info(
             "Floquet factor storage: %.2f GB across %d snapshots "
             "(production-scale cycles need inexact implicit solves).",

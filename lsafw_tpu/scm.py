@@ -98,10 +98,12 @@ class SelfConsistentModel:
         self.ncv = ncv
         self.atol = atol
         self._base_asm = StationaryNavierStokesAssembler(ctx, mesh, bcs)
-        # energy norm: velocity mass (zero pressure/BC rows)
-        self._Ms = LinearizedNavierStokesAssembler(
+        # mass matrix assembled ONCE (state-independent): the energy
+        # norm and the eigensystem M of every _eig_about call
+        self._Mmat = LinearizedNavierStokesAssembler(
             jnp.zeros(ctx.spaces.num_dofs), ctx, self.re, bcs_pert, mesh
-        ).assemble_mass_matrix().to_scipy()
+        ).assemble_mass_matrix()
+        self._Ms = self._Mmat.to_scipy()
 
     # ------------------------------------------------------------------
     def unit_load(self, mode: np.ndarray) -> jnp.ndarray:
@@ -139,7 +141,8 @@ class SelfConsistentModel:
 
         asm = LinearizedNavierStokesAssembler(
             jnp.asarray(U), self.ctx, self.re, self.bcs_pert, self.mesh)
-        A, M = asm.assemble_eigensystem()
+        A = asm.assemble_linear_operator()  # M is state-independent
+        M = self._Mmat
         es = EigenSolver(A, M, EigensolverConfig(
             num_eig=3, atol=self.atol, ncv=self.ncv))
         es.set_st_type(STType.SINVERT)
@@ -219,6 +222,7 @@ class SelfConsistentModel:
         # toward the last good x instead of aborting.
         state = (U0, mode, sigma)
         U = U0
+        x_good = 0.0  # the x the held state was computed at
         x_lo, g_lo = 0.0, g_hopf
         x_hi = g_hi = None
         x = float(A0) ** 2
@@ -267,6 +271,7 @@ class SelfConsistentModel:
                 continue
             state = (Ut, modet, sigmat)
             U, mode, sigma = state
+            x_good = x
             if x >= x_fail_min:
                 x_fail_min = np.inf  # a success above disproves the wall
             g, omega = sigma.real, abs(sigma.imag)
@@ -299,5 +304,7 @@ class SelfConsistentModel:
                 x_sec = x_lo - g_lo * (x_hi - x_lo) / (g_hi - g_lo)
                 x_mid = 0.5 * (x_lo + x_hi)
                 x = x_sec if x_lo < x_sec < x_hi else x_mid
-        return SCMResult(float(np.sqrt(x)), sigma, U, mode, converged,
+        # report the amplitude of the state actually HELD (x may be a
+        # pending trial value after a failure or max_outer exhaustion)
+        return SCMResult(float(np.sqrt(x_good)), sigma, U, mode, converged,
                          history)

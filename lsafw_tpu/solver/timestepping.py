@@ -135,8 +135,10 @@ class UnsteadySolver:
         Jd = self._asm.jacobian_data(q, self.re)
         return self._M.data - (dt * self.theta) * Jd
 
-    def _refactor(self, q, dt: float) -> None:
-        data = self._newton_matrix_data(q, dt)
+    def _build_factor(self, data):
+        """Backend-dispatched factorization of a Newton-matrix data
+        array on the shared pattern (used by both the theta and BDF2
+        steps)."""
         if self.method == "banded":
             from lsafw_tpu.solver.band import factor_auto, plan_for_csr
 
@@ -146,20 +148,26 @@ class UnsteadySolver:
             blu, _ = factor_auto(
                 self._plan, data, diag_slots=self.ctx.pattern.diag_slots
             )
-            self._factor = ("banded", blu, A)
-        else:
-            import scipy.sparse as sp
+            return ("banded", blu, A)
+        import scipy.sparse as sp
 
-            A = sp.csr_matrix(
-                (np.asarray(data), self.ctx.pattern.indices,
-                 self.ctx.pattern.indptr),
-                shape=self.ctx.pattern.shape,
-            )
-            self._factor = ("lu", SparseLU(A.tocsc()), None)
+        A = sp.csr_matrix(
+            (np.asarray(data), self.ctx.pattern.indices,
+             self.ctx.pattern.indptr),
+            shape=self.ctx.pattern.shape,
+        )
+        return ("lu", SparseLU(A.tocsc()), None)
+
+    def _refactor(self, q, dt: float) -> None:
+        self._factor = self._build_factor(self._newton_matrix_data(q, dt))
+        self._factor_dt = float(dt)
         self._steps_since_factor = 0
 
     def _solve(self, b: jnp.ndarray) -> jnp.ndarray:
-        kind, fac, A = self._factor
+        return self._solve_with(self._factor, b)
+
+    def _solve_with(self, factor, b: jnp.ndarray) -> jnp.ndarray:
+        kind, fac, A = factor
         if kind == "banded":
             from lsafw_tpu.solver.eigen import BandedSIOp, banded_solve_raw
 
@@ -240,7 +248,9 @@ class UnsteadySolver:
         load0 = z if load0 is None else jnp.asarray(load0)
         load1 = z if load1 is None else jnp.asarray(load1)
         refactored = False
-        if self._factor is None or self._steps_since_factor >= self.refactor_every:
+        if (self._factor is None
+                or self._steps_since_factor >= self.refactor_every
+                or getattr(self, "_factor_dt", None) != float(dt)):
             self._refactor(q0, dt)
             refactored = True
         if self._factor[0] == "banded":
@@ -323,24 +333,21 @@ class UnsteadySolver:
 
         Newton matrix 1.5 M - dt J(q2); fully implicit, so continuity
         and BC rows need no explicit-side masking.  Bootstrap the first
-        step with :meth:`step` (CN).  The chord factor is shared with
-        the theta path only in structure, not values, so a dedicated
-        factor is kept (``_factor_bdf2``)."""
+        step with :meth:`step` (CN).  A dedicated chord factor
+        (``_factor_bdf2``) goes through the same backend dispatch as
+        the theta step (host SuperLU or device band LU)."""
         q1 = jnp.asarray(q1)
         q0 = jnp.asarray(q0)
         z = jnp.zeros(self._M.shape[0])
         load2 = z if load2 is None else jnp.asarray(load2)
         refactored = False
         if (getattr(self, "_factor_bdf2", None) is None
-                or self._bdf2_steps_since >= self.refactor_every):
+                or self._bdf2_steps_since >= self.refactor_every
+                or getattr(self, "_bdf2_dt", None) != float(dt)):
             Jd = self._asm.jacobian_data(q1, self.re)
-            data = 1.5 * self._M.data - dt * Jd
-            import scipy.sparse as sp
-
-            Asp = sp.csr_matrix(
-                (np.asarray(data), self.ctx.pattern.indices,
-                 self.ctx.pattern.indptr), shape=self.ctx.pattern.shape)
-            self._factor_bdf2 = SparseLU(Asp.tocsc())
+            self._factor_bdf2 = self._build_factor(
+                1.5 * self._M.data - dt * Jd)
+            self._bdf2_dt = float(dt)
             self._bdf2_steps_since = 0
             refactored = True
         rhs = self._M.matvec(2.0 * q1 - 0.5 * q0)
@@ -356,7 +363,7 @@ class UnsteadySolver:
                 res0 = res
             if res <= self.newton_tol * scale or res <= 1e-6 * res0:
                 break
-            dq = jnp.asarray(self._factor_bdf2.solve(np.asarray(-G)))
+            dq = self._solve_with(self._factor_bdf2, -G)
             q2 = q2 + dq
         self._bdf2_steps_since += 1
         return q2, StepStats(t + dt, it, res, refactored)
@@ -392,9 +399,13 @@ class UnsteadySolver:
         t = t0
         k0 = 0
         if checkpoint_path is not None:
+            import os
             from pathlib import Path
 
+            # np.savez appends .npz; normalize so resume finds the file
             cp = Path(checkpoint_path)
+            if cp.suffix != ".npz":
+                cp = cp.with_suffix(cp.suffix + ".npz")
             if cp.exists():
                 d = np.load(cp, allow_pickle=False)
                 k0 = int(d["k"])
@@ -409,12 +420,16 @@ class UnsteadySolver:
                 )
 
             def _save(k):
+                # atomic: an interrupted write must not corrupt the
+                # only copy (interruption is what checkpoints are FOR)
+                tmp = cp.with_suffix(".tmp.npz")
                 np.savez(
-                    cp, k=k, t=t, q=np.asarray(q),
+                    tmp, k=k, t=t, q=np.asarray(q),
                     q_prev=np.asarray(q_prev if q_prev is not None else q),
                     has_prev=q_prev is not None,
                     ts=np.asarray(ts), probes=np.asarray(probes),
                 )
+                os.replace(tmp, cp)
         for k in range(k0, n_steps):
             if scheme == "bdf2" and q_prev is not None:
                 q_new, st = self.step_bdf2(
@@ -433,11 +448,13 @@ class UnsteadySolver:
             if (k + 1) % save_every == 0:
                 ts.append(t)
                 probes.append(np.asarray(q)[probe_dofs])
-            if checkpoint_path is not None and (k + 1) % checkpoint_every == 0:
-                _save(k + 1)
             if not np.isfinite(st.residual):
+                # never persist a poisoned state: a NaN checkpoint
+                # would brick every resume
                 logger.error("Unsteady solve diverged at t=%.3f.", t)
                 break
+            if checkpoint_path is not None and (k + 1) % checkpoint_every == 0:
+                _save(k + 1)
         return UnsteadyResult(
             np.asarray(ts), np.asarray(probes), np.asarray(q), stats
         )

@@ -178,7 +178,9 @@ def test_checkpoint_resume(steady_case, tmp_path):
 
     ref = UnsteadySolver(ctx, mesh, bcs, RE).run(q0, 0.2, 10, **kw)
 
-    cp = tmp_path / "march.npz"
+    # non-.npz path exercises the suffix normalization (np.savez
+    # appends .npz; resume must still find the file)
+    cp = tmp_path / "march.ckpt"
     UnsteadySolver(ctx, mesh, bcs, RE).run(
         q0, 0.2, 6, checkpoint_path=cp, checkpoint_every=3, **kw)
     res = UnsteadySolver(ctx, mesh, bcs, RE).run(
@@ -187,3 +189,18 @@ def test_checkpoint_resume(steady_case, tmp_path):
     assert np.allclose(res.q, ref.q, atol=1e-12)
     assert np.allclose(res.t, ref.t)
     assert np.allclose(res.probes, ref.probes, atol=1e-12)
+
+
+def test_dt_change_refactors(steady_case):
+    """The chord factor is dt-specific: changing dt must refactor
+    (a stale-dt factor silently degrades Newton — review finding)."""
+    mesh, spaces, bcs, ctx, w = steady_case
+    import jax.numpy as jnp
+
+    us = UnsteadySolver(ctx, mesh, bcs, RE, refactor_every=100)
+    q = jnp.asarray(w)
+    q, st1 = us.step(q, 0.2)
+    q, st2 = us.step(q, 0.2)
+    assert not st2.refactored  # same dt, within refactor_every
+    q, st3 = us.step(q, 0.1)
+    assert st3.refactored  # dt changed -> new factor
