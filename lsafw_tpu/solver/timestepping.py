@@ -124,13 +124,6 @@ class UnsteadySolver:
         self._steps_since_factor = 0
 
     # ------------------------------------------------------------------
-    def _masked_residual(self, q, mask_to_momentum: bool = False):
-        F = self._asm.residual(q, self.re)
-        F = jnp.where(self._bc_mask, 0.0, F)
-        if mask_to_momentum:
-            F = jnp.where(self._mom_mask, F, 0.0)
-        return F
-
     def _newton_matrix_data(self, q, dt: float) -> jnp.ndarray:
         Jd = self._asm.jacobian_data(q, self.re)
         return self._M.data - (dt * self.theta) * Jd
