@@ -35,6 +35,9 @@ def main() -> int:
     ap.add_argument("--t-sat", type=float, default=350.0)
     ap.add_argument("--n-snaps", type=int, default=40)
     ap.add_argument("--k", type=int, default=5)
+    ap.add_argument("--inexact", action="store_true",
+                    help="production-scale memory: one cycle-mean "
+                         "factor as the reusable PC instead of N factors")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--out", type=Path, default=None)
     args = ap.parse_args()
@@ -115,7 +118,8 @@ def main() -> int:
                     / np.linalg.norm(snaps[0]))
     print(f"orbit closure |q(T)-q(0)|/|q(0)| = {closure:.2e}", file=sys.stderr)
 
-    fs = FloquetSolver(ctx, mesh, bcs, args.re, snaps, dt_f, method=lin)
+    fs = FloquetSolver(ctx, mesh, bcs, args.re, snaps, dt_f, method=lin,
+                       inexact=args.inexact)
     fr = fs.solve(k=args.k)
     out = {
         "re": args.re, "dofs": spaces.num_dofs, "period": fr.period,

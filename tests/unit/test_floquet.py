@@ -65,6 +65,26 @@ def test_monodromy_action_matches_dense(steady_case):  # noqa: F811
     assert np.linalg.norm(got - ref) < 1e-9 * np.linalg.norm(ref)
 
 
+def test_inexact_monodromy_matches_exact(steady_case):  # noqa: F811
+    """The production-scale mode (one cycle-mean factor as reusable PC,
+    per-snapshot residual matvecs) equals the prestored-factor trip on
+    an orbit whose snapshots genuinely VARY (distinct Jacobians — on a
+    constant orbit the mean PC would be trivially exact)."""
+    mesh, spaces, bcs, ctx, w = steady_case
+    dt, N = 0.25, 5
+    rng = np.random.default_rng(11)
+    snaps = np.tile(w, (N, 1)) + (
+        0.05 * np.abs(w).max() * rng.standard_normal((N, w.size)))
+    v = rng.standard_normal(w.size) + 1j * rng.standard_normal(w.size)
+    ref = FloquetSolver(
+        ctx, mesh, bcs, RE, snaps, dt, method="lu").monodromy_apply(v)
+    for method in ("lu", "banded"):
+        got = FloquetSolver(
+            ctx, mesh, bcs, RE, snaps, dt, method=method, inexact=True
+        ).monodromy_apply(v)
+        assert np.linalg.norm(got - ref) < 1e-7 * np.linalg.norm(ref), method
+
+
 def test_banded_monodromy_matches_lu(steady_case):  # noqa: F811
     """The fused lax.scan banded trip equals the eager LU trip."""
     mesh, spaces, bcs, ctx, w = steady_case
