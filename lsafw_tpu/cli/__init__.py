@@ -301,6 +301,53 @@ def _cmd_transient(args) -> int:
     return 0
 
 
+def _cmd_span(args) -> int:
+    """sigma(beta) of spanwise-Fourier perturbations of the 2D baseflow
+    (quasi-3D stability; see ``lsafw_tpu.span``)."""
+    import numpy as np
+
+    from lsafw_tpu.config import load_bc_config
+    from lsafw_tpu.fem.bcs import define_bcs
+    from lsafw_tpu.solver.baseflow import BaseFlowSolver
+    from lsafw_tpu.solver.eigen import EigenSolver, EigensolverConfig, STType
+    from lsafw_tpu.span import SpanwiseStability
+
+    mesh, spaces, bcs, ctx = _build_case(args)
+    if bcs is None:
+        raise SystemExit("span requires --bc-config")
+    w = BaseFlowSolver(ctx, mesh, bcs, re=args.re).solve(
+        ramp=args.ramp, steps=args.steps, tol=args.tol, max_it=args.max_it
+    )
+    pert_bcs = (
+        define_bcs(mesh, spaces, load_bc_config(args.perturbation_bc_config))
+        if args.perturbation_bc_config
+        else bcs.homogeneous()
+    )
+    span = SpanwiseStability(ctx, np.asarray(w), args.re, pert_bcs, mesh)
+    target = complex(args.target) if args.target else 0.05 + 0.75j
+    v0 = None
+    rows = []
+    for beta in args.betas:
+        A, M = span.assemble_eigensystem(beta)
+        es = EigenSolver(A, M, EigensolverConfig(
+            num_eig=2, atol=1e-8, ncv=30))
+        es.set_st_type(STType.SINVERT)
+        es.set_target(target)
+        if v0 is not None:
+            es.set_initial_vector(v0)
+        lam, vec = max(es.solve(), key=lambda p: p[0].real)
+        # continue the branch in beta: warm-start vector and target
+        v0, target = vec, lam
+        rows.append({"beta": beta, "sigma": [lam.real, lam.imag]})
+        logger.info("beta = %.3f: sigma = %+.5e %+.5e j",
+                    beta, lam.real, lam.imag)
+    if args.outdir:
+        Path(args.outdir).mkdir(parents=True, exist_ok=True)
+        (Path(args.outdir) / "span_sigma.json").write_text(
+            json.dumps(rows, indent=1))
+    return 0
+
+
 def _cmd_scm(args) -> int:
     import numpy as np
 
@@ -438,6 +485,15 @@ def main(argv: list[str] | None = None) -> int:
     p_tg.add_argument("--k", type=int, default=1)
     p_tg.add_argument("--si-method", choices=("lu", "banded"), default="lu")
     p_tg.set_defaults(fn=_cmd_transient)
+
+    p_span = sub.add_parser(
+        "span", help="quasi-3D spanwise-Fourier stability of a 2D baseflow"
+    )
+    _solver_args(p_span)
+    p_span.add_argument("--perturbation-bc-config", type=Path, default=None)
+    p_span.add_argument("--betas", nargs="+", type=float, required=True)
+    p_span.add_argument("--target", default=None)
+    p_span.set_defaults(fn=_cmd_span)
 
     p_scm = sub.add_parser(
         "scm", help="self-consistent mean-flow model (limit cycle w/o DNS)"
