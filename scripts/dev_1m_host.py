@@ -1,0 +1,113 @@
+"""~1M-DOF flagship eigensolve, host-path functional demonstration.
+
+The production cylinder geometry at ~3x finer resolution than the 167k
+mesh (~1M Taylor-Hood DOFs): mesh generation, assembly, baseflow
+Newton and the shift-invert Krylov-Schur all run in-tree at the
+north-star problem size (BASELINE.md).  On CPU the inner solves ride
+host SuperLU (the reference's MUMPS role); on TPU the banded path
+takes over (see scripts/dev_500k.py for the device-budget variant).
+This script's purpose is FUNCTIONAL scale coverage — memory behavior,
+planner arithmetic, eigensolver convergence at 1M — not device perf.
+
+Run:  timeout 14400 python scripts/dev_1m_host.py     (hours on 1 core)
+Knobs: DEV1M_SCALE (default 0.41 ~ 1M DOFs), DEV1M_NCV (24).
+"""
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+
+from lsafw_tpu.config import (
+    load_bc_config, load_cylinder_flow_config, load_facet_config,
+)
+from lsafw_tpu.fem.assembly import AssemblyContext
+from lsafw_tpu.fem.bcs import define_bcs
+from lsafw_tpu.fem.spaces import define_spaces
+from lsafw_tpu.meshing.geometries import cylinder_flow_mesh
+from lsafw_tpu.meshing.tags import mark_boundary_facets
+from lsafw_tpu.models.navier_stokes import LinearizedNavierStokesAssembler
+from lsafw_tpu.solver.baseflow import BaseFlowSolver
+from lsafw_tpu.solver.eigen import (
+    EigenSolver, EigensolverConfig, STType, eigen_residuals,
+)
+from lsafw_tpu.utils.logging import setup_logging
+
+setup_logging(verbose=True)
+
+SCALE = float(os.environ.get("DEV1M_SCALE", "0.41"))
+NCV = int(os.environ.get("DEV1M_NCV", "24"))
+RE = 50.0
+TARGET = 0.018 + 0.7379601143282424j
+
+cfg_dir = os.path.join(os.path.dirname(__file__), "..", "config_files", "2D", "cylinder")
+geo = load_cylinder_flow_config(os.path.join(cfg_dir, "geometry.toml"))
+geo = dataclasses.replace(
+    geo,
+    resolution=geo.resolution * SCALE,
+    resolution_around_cylinder=geo.resolution_around_cylinder * SCALE,
+)
+marker_fn = load_facet_config(os.path.join(cfg_dir, "facets.toml"))
+
+t0 = time.time()
+mesh = cylinder_flow_mesh(geo)
+mark_boundary_facets(mesh, marker_fn)
+spaces = define_spaces(mesh)
+bcs = define_bcs(mesh, spaces, load_bc_config(os.path.join(cfg_dir, "bcs.toml")))
+bcs_pert = define_bcs(
+    mesh, spaces, load_bc_config(os.path.join(cfg_dir, "bcs_perturbation.toml"))
+)
+ctx = AssemblyContext.build(spaces)
+n = spaces.num_dofs
+t_mesh = time.time() - t0
+print(f"setup: {n} DOFs, {mesh.num_cells} cells ({t_mesh:.0f}s)", flush=True)
+
+on_tpu = jax.default_backend() == "tpu"
+lin = "banded" if on_tpu else "lu"
+t0 = time.time()
+w = BaseFlowSolver(ctx, mesh, bcs, re=RE).solve(
+    ramp=True, steps=3, tol=1e-9, max_it=40, linear_solver=lin,
+)
+t_base = time.time() - t0
+print(f"baseflow: {t_base:.0f}s", flush=True)
+
+t0 = time.time()
+asm = LinearizedNavierStokesAssembler(jnp.asarray(w), ctx, RE, bcs_pert, mesh)
+A, M = asm.assemble_eigensystem()
+A.data.block_until_ready()
+t_asm = time.time() - t0
+print(f"assemble: {t_asm:.0f}s (nnz={A.pattern.nnz})", flush=True)
+
+t0 = time.time()
+es = EigenSolver(A, M, EigensolverConfig(num_eig=1, atol=1e-8, ncv=NCV))
+es.set_st_type(STType.SINVERT)
+es.set_target(TARGET)
+es.set_st_pc_type(lin)
+if on_tpu:
+    A_el, M_el, dofs = asm.element_matrices()
+    es.set_elements(ctx, A_el, M_el, np.asarray(bcs_pert.dirichlet_mask),
+                    dofs=dofs)
+pairs = es.solve()
+t_eig = time.time() - t0
+sigma = pairs[0][0]
+resid = float(eigen_residuals(A, M, pairs)[0])
+print(
+    f"RESULT n={n} sigma={sigma.real:+.5f}{sigma.imag:+.5f}j resid={resid:.2e} "
+    f"mesh={t_mesh:.0f}s baseflow={t_base:.0f}s assemble={t_asm:.0f}s "
+    f"eigen={t_eig:.0f}s",
+    flush=True,
+)
+out = dict(n=n, nnz=int(A.pattern.nnz), sigma_re=sigma.real,
+           sigma_im=sigma.imag, resid=resid, t_mesh=t_mesh, t_base=t_base,
+           t_asm=t_asm, t_eig=t_eig, scale=SCALE, re=RE, backend=lin)
+with open("/tmp/dev1m_result.json", "w") as f:
+    json.dump(out, f)
