@@ -147,11 +147,12 @@ class ResolventSolver:
         self._napply = 0
 
     # ------------------------------------------------------------------
-    def _si_pair(self, omega: float):
-        """(direct, adjoint) shift-invert operators for C = i omega M - A."""
+    def _si_pair(self, sigma: complex):
+        """(direct, adjoint) shift-invert operators for C = sigma M - A
+        (harmonic forcing: sigma = i omega; pseudospectra: any z)."""
         from lsafw_tpu.solver.eigen import ShiftInvertOperator
 
-        sigma = 1j * float(omega)
+        sigma = complex(sigma)
         si1 = ShiftInvertOperator(
             self.A, self.M, sigma, method=self.method, elements=self._elements
         )
@@ -187,7 +188,7 @@ class ResolventSolver:
         """Leading ``k`` gains and modes at frequency ``omega``
         (clamped to the forcing-subspace size)."""
         k = min(int(k), self._fdofs.size)
-        si1, si2 = self._si_pair(omega)
+        si1, si2 = self._si_pair(1j * float(omega))
         self._napply = 0
         gam, F = w_weighted_gains(
             lambda fc: self._apply_T(si1, si2, fc), self._W, k, tol=tol
@@ -218,3 +219,34 @@ class ResolventSolver:
         omega; the reference's closest analog is the per-Re sigma sweep
         of ``.examples/eigenvalues.py``)."""
         return [self.solve(float(w), k=k, tol=tol) for w in omegas]
+
+    # ------------------------------------------------------------------
+    def resolvent_norm(self, z: complex, *, tol: float = 1e-6) -> float:
+        """||R(z)||_E — the energy-norm resolvent norm at a COMPLEX
+        point z (= sigma_1 of the forced problem at sigma = z): the
+        quantity whose level sets are the epsilon-pseudospectrum
+        boundaries (Trefethen & Embree).  Diverges as z approaches an
+        eigenvalue of the pencil."""
+        si1, si2 = self._si_pair(z)
+        gam, _ = w_weighted_gains(
+            lambda fc: self._apply_T(si1, si2, fc), self._W, 1, tol=tol
+        )
+        return float(np.sqrt(max(gam[0], 0.0)))
+
+    def pseudospectrum(
+        self, re_pts, im_pts, *, tol: float = 1e-6
+    ) -> np.ndarray:
+        """Grid of ||R(z)||_E over the complex plane: entry [i, j] is
+        the resolvent norm at ``re_pts[j] + 1j * im_pts[i]`` (one
+        factorization pair per grid point — embarrassingly sweepable).
+        Contour at level 1/eps = boundary of the eps-pseudospectrum in
+        the energy metric.  Non-normal pencils (this one: advection-
+        dominated, non-self-adjoint) show pseudospectra protruding far
+        beyond the eigenvalues — the quantitative link between the
+        spectral picture and the transient-growth/resolvent analyses."""
+        G = np.empty((len(im_pts), len(re_pts)))
+        for i, b in enumerate(im_pts):
+            for j, a in enumerate(re_pts):
+                G[i, j] = self.resolvent_norm(complex(a, b), tol=tol)
+            logger.info("pseudospectrum row %d/%d done", i + 1, len(im_pts))
+        return G

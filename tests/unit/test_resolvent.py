@@ -148,3 +148,46 @@ def test_response_mode_shape(lns_case):
     q_raw /= np.sqrt(np.vdot(q_raw, Ms @ q_raw).real)
     corr = abs(np.vdot(m.responses[0], Ms @ q_raw))
     assert abs(corr - 1.0) < 1e-8, corr
+
+
+def _dense_norm_at(A, M, nu, mask, z):
+    Ad = A.to_scipy().toarray()
+    Md = M.to_scipy().toarray()
+    fmask = np.zeros(Ad.shape[0], dtype=bool)
+    fmask[:nu] = True
+    fmask &= ~np.asarray(mask, dtype=bool)
+    fd = np.nonzero(fmask)[0]
+    Cd = z * Md - Ad
+    Q = np.linalg.solve(Cd, Md[:, fd])
+    T = Q.conj().T @ Md @ Q
+    W = Md[np.ix_(fd, fd)]
+    from scipy.linalg import eigh
+
+    gam = eigh(T, W, eigvals_only=True)
+    return float(np.sqrt(max(gam[-1], 0.0)))
+
+
+def test_pseudospectrum_matches_dense(lns_case):
+    """The resolvent norm at COMPLEX z (pseudospectrum machinery) must
+    match the dense computation, and must blow up ~1/eps as z
+    approaches an eigenvalue of the pencil."""
+    import scipy.linalg as sla
+
+    A, M, spaces, bcs = lns_case
+    nu, mask = spaces.num_velocity_dofs, bcs.dirichlet_mask
+    rs = ResolventSolver(A, M, nu, mask, method="lu")
+    for z in (-0.5 + 0.8j, 0.2 - 0.3j):
+        got = rs.resolvent_norm(z, tol=1e-9)
+        ref = _dense_norm_at(A, M, nu, mask, z)
+        assert abs(got - ref) < 1e-5 * ref, (z, got, ref)
+    # the 2x2 pseudospectrum grid wraps the same call
+    G = rs.pseudospectrum([-0.5, 0.2], [0.8], tol=1e-9)
+    assert G.shape == (1, 2) and G[0, 0] > 0
+    # divergence near an eigenvalue
+    lam = sla.eig(A.to_scipy().toarray(), M.to_scipy().toarray(),
+                  right=False)
+    lam = lam[np.isfinite(lam)]
+    lam0 = lam[np.argmax(lam.real)]
+    n1 = rs.resolvent_norm(complex(lam0) + 0.1, tol=1e-9)
+    n2 = rs.resolvent_norm(complex(lam0) + 0.01, tol=1e-9)
+    assert n2 > 4.0 * n1, (n1, n2)
