@@ -35,6 +35,7 @@ def main() -> int:
     ap.add_argument("--ny", type=int, default=9)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--out", type=Path, default=None)
+    ap.add_argument("--plot", type=Path, default=None)
     args = ap.parse_args()
 
     import jax
@@ -95,6 +96,12 @@ def main() -> int:
     print(json.dumps(out, indent=1))
     if args.out:
         args.out.write_text(json.dumps(out, indent=1))
+    if args.plot:
+        from lsafw_tpu.plot import plot_pseudospectrum
+
+        plot_pseudospectrum(
+            re_pts, im_pts, G, path=args.plot,
+            title=f"cylinder Re={args.re:g}: " r"$\log_{10}\|R(z)\|_E$")
     return 0
 
 

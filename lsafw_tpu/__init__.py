@@ -9,9 +9,11 @@ operators, Newton baseflow solves with Reynolds ramping, shift-invert
 Krylov eigensolvers for A x = sigma M x, adjoint-based sensitivity
 (d sigma/d Re, structural-sensitivity wavemaker maps), non-modal and
 nonlinear analyses beyond the reference's modal toolbox (resolvent
-gains, optimal transient growth, unsteady theta-scheme DNS to the
-shedding limit cycle, Floquet multipliers of periodic orbits) and a
-linear elasticity eigenproblem module.
+gains, energy-norm pseudospectra, optimal transient growth, unsteady
+theta-scheme DNS to the shedding limit cycle, Floquet multipliers of
+periodic orbits, quasi-3D spanwise-Fourier stability incl. secondary
+instability of 2D cycles, self-consistent mean-flow modelling with
+Re-continuation) and a linear elasticity eigenproblem module.
 
 Design (TPU-first, not a port):
   * meshes / dofmaps / sparsity patterns are host-prepared static

@@ -171,3 +171,28 @@ def plot_residuals(history, *, path=None, title: str | None = None):
     ax.grid(True, which="both", alpha=0.3)
     ax.set_title(title or "convergence history")
     return _finish(fig, path)
+
+
+def plot_pseudospectrum(
+    re_pts, im_pts, norms, *, eigenvalues=None, path=None, title=None
+):
+    """Contour map of log10 ||R(z)||_E over the complex plane (the
+    output of ``ResolventSolver.pseudospectrum``); level -log10(eps)
+    bounds the eps-pseudospectrum.  Optional pencil eigenvalues are
+    overlaid as markers."""
+    re_pts = np.asarray(re_pts)
+    im_pts = np.asarray(im_pts)
+    G = np.log10(np.maximum(np.asarray(norms), 1e-300))
+    fig, ax = plt.subplots(figsize=(6, 4.5))
+    cs = ax.contour(re_pts, im_pts, G, levels=10, colors="tab:blue",
+                    linewidths=0.8)
+    ax.clabel(cs, fmt="%.1f", fontsize=7)
+    ax.axvline(0.0, color="0.6", lw=0.8, ls="--")
+    if eigenvalues is not None:
+        ev = np.asarray(eigenvalues)
+        ax.plot(ev.real, ev.imag, "rx", ms=6, label="eigenvalues")
+        ax.legend(loc="best", fontsize=8)
+    ax.set_xlabel("Re z")
+    ax.set_ylabel("Im z")
+    ax.set_title(title or r"$\log_{10}\,\|R(z)\|_E$")
+    return _finish(fig, path)
