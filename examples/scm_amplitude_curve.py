@@ -1,0 +1,112 @@
+"""SCM amplitude curve A(Re) by Re-continuation (Mantic-Lugo et al. 2014).
+
+Round-3's cold-start SCM converged at Re=50/60 but stalled at Re=70:
+the forced-mean Newton hits a hard wall below the marginal amplitude
+when the march starts from the strongly unstable fixed point.  This
+example runs `lsafw_tpu.scm.scm_continuation` up the curve instead —
+each Re warm-starts from the previous converged (mean, mode, sigma)
+and opens at an extrapolated A^2 — which is how the original authors
+reach strongly supercritical Re.
+
+Usage:
+    python examples/scm_amplitude_curve.py [--res 50 60 70 80] [--out f.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=float, nargs="+",
+                    default=[50.0, 60.0, 70.0, 80.0])
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--out", type=Path, default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    if args.platform:
+        jax.config.update("jax_default_device", jax.devices(args.platform)[0])
+
+    from lsafw_tpu.config import (
+        load_bc_config, load_cylinder_flow_config, load_facet_config,
+    )
+    from lsafw_tpu.fem.assembly import AssemblyContext
+    from lsafw_tpu.fem.bcs import define_bcs
+    from lsafw_tpu.fem.spaces import define_spaces
+    from lsafw_tpu.meshing.geometries import cylinder_flow_mesh
+    from lsafw_tpu.meshing.tags import mark_boundary_facets
+    from lsafw_tpu.scm import scm_continuation
+    from lsafw_tpu.solver.baseflow import BaseFlowSolver
+    from lsafw_tpu.utils.logging import setup_logging
+
+    setup_logging(verbose=True)
+    cfg_dir = Path(__file__).resolve().parents[1] / "config_files" / "2D" / "cylinder"
+    geo = load_cylinder_flow_config(cfg_dir / "geometry_small.toml")
+    marker_fn = load_facet_config(cfg_dir / "facets_small.toml")
+    mesh = cylinder_flow_mesh(geo)
+    mark_boundary_facets(mesh, marker_fn)
+    spaces = define_spaces(mesh)
+    bcs = define_bcs(mesh, spaces, load_bc_config(cfg_dir / "bcs.toml"))
+    bcs_pert = define_bcs(
+        mesh, spaces, load_bc_config(cfg_dir / "bcs_perturbation.toml"))
+    ctx = AssemblyContext.build(spaces)
+    print(f"{spaces.num_dofs} DOFs", file=sys.stderr)
+
+    on_tpu = jax.default_backend() == "tpu"
+    lin = "banded" if on_tpu else "lu"
+
+    def baseflow_fn(re: float) -> np.ndarray:
+        w = BaseFlowSolver(ctx, mesh, bcs, re=re).solve(
+            ramp=True, steps=4, tol=1e-10, max_it=40, linear_solver=lin)
+        return np.asarray(w)
+
+    t0 = time.time()
+    results = scm_continuation(
+        ctx, mesh, bcs, bcs_pert, list(args.res), baseflow_fn,
+        linear_solver=lin, si_method=lin if lin == "banded" else "lu",
+        tol_sigma=2e-4,
+    )
+    dt = time.time() - t0
+    points = [
+        {
+            "re": re,
+            "amplitude": r.amplitude,
+            "amplitude_sl_extrapolated": r.amplitude_sl,
+            "sigma_final": [r.sigma.real, r.sigma.imag],
+            "converged": r.converged,
+            "outer_iterations": len(r.history) - 1,
+            "g_hopf": r.history[0][1],
+            "omega_hopf": r.history[0][2],
+        }
+        for re, r in results
+    ]
+    out = {
+        "note": (
+            "SCM amplitude curve by Re-continuation on the reduced "
+            "cylinder; A in the global kinetic-energy norm.  Each point "
+            "warm-starts from the previous converged (mean, mode, sigma) "
+            "with A^2 extrapolated along the curve — reaches strongly "
+            "supercritical Re where round-3's cold start stalled."),
+        "points": points,
+        "seconds": dt,
+    }
+    print(json.dumps(out, indent=1))
+    if args.out:
+        args.out.write_text(json.dumps(out, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -351,7 +351,7 @@ def _cmd_span(args) -> int:
 def _cmd_scm(args) -> int:
     import numpy as np
 
-    from lsafw_tpu.scm import SelfConsistentModel
+    from lsafw_tpu.scm import SelfConsistentModel, scm_continuation
     from lsafw_tpu.solver.baseflow import BaseFlowSolver
     from lsafw_tpu.config import load_bc_config
     from lsafw_tpu.fem.bcs import define_bcs
@@ -359,17 +359,41 @@ def _cmd_scm(args) -> int:
     mesh, spaces, bcs, ctx = _build_case(args)
     if bcs is None:
         raise SystemExit("scm requires --bc-config")
-    w = BaseFlowSolver(ctx, mesh, bcs, re=args.re).solve(
-        ramp=args.ramp, steps=args.steps, tol=args.tol, max_it=args.max_it
-    )
     pert_bcs = (
         define_bcs(mesh, spaces, load_bc_config(args.perturbation_bc_config))
         if args.perturbation_bc_config
         else bcs.homogeneous()
     )
+
+    def baseflow_fn(re):
+        return np.asarray(BaseFlowSolver(ctx, mesh, bcs, re=re).solve(
+            ramp=args.ramp, steps=args.steps, tol=args.tol,
+            max_it=args.max_it))
+
+    if args.res:  # Re-continuation up the amplitude curve
+        results = scm_continuation(
+            ctx, mesh, bcs, pert_bcs, list(args.res), baseflow_fn,
+            linear_solver="lu", tol_sigma=args.tol_sigma)
+        rows = []
+        for re, r in results:
+            rows.append({
+                "re": re, "amplitude": r.amplitude,
+                "sigma": [r.sigma.real, r.sigma.imag],
+                "converged": r.converged,
+            })
+            logger.info(
+                "SCM Re=%g: A = %.5f, sigma = %+.5e %+.5e j (converged=%s)",
+                re, r.amplitude, r.sigma.real, r.sigma.imag, r.converged)
+        if args.outdir:
+            Path(args.outdir).mkdir(parents=True, exist_ok=True)
+            (Path(args.outdir) / "scm_curve.json").write_text(
+                json.dumps(rows, indent=1))
+        return 0 if all(r["converged"] for r in rows) else 1
+
     scm = SelfConsistentModel(ctx, mesh, bcs, pert_bcs, args.re,
                               linear_solver="lu")
-    res = scm.solve(np.asarray(w), A0=args.a0, tol_sigma=args.tol_sigma)
+    res = scm.solve(baseflow_fn(args.re), A0=args.a0,
+                    tol_sigma=args.tol_sigma)
     logger.info(
         "SCM: A = %.5f, sigma = %+.5e %+.5e j (converged=%s)",
         res.amplitude, res.sigma.real, res.sigma.imag, res.converged,
@@ -502,6 +526,10 @@ def main(argv: list[str] | None = None) -> int:
     p_scm.add_argument("--perturbation-bc-config", type=Path, default=None)
     p_scm.add_argument("--a0", type=float, default=0.1)
     p_scm.add_argument("--tol-sigma", type=float, default=2e-4)
+    p_scm.add_argument(
+        "--res", nargs="+", type=float, default=None,
+        help="Re-continuation: solve at each Re ascending, warm-starting "
+             "from the previous converged state (--re is ignored)")
     p_scm.set_defaults(fn=_cmd_scm)
 
     args = parser.parse_args(argv)

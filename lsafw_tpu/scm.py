@@ -22,6 +22,22 @@ Algorithm: alternate (mean solve with the frozen-mode load) and
 zero by a guarded secant on A — g(A) is monotonically decreasing from
 the Hopf growth rate at A = 0.
 
+Robustness stack for strongly supercritical Re (each layer engages
+when the previous fails):
+  1. damping ladder + LOAD-fraction continuation in the frozen-load
+     mean Newton;
+  2. the COUPLED relaxation (:meth:`SelfConsistentModel._coupled_relax`)
+     — a few damped Newton steps interleaved with mode refreshes, which
+     passes the FOLD of the frozen-mode forced-mean branch (where the
+     frozen-load equation has no solution at all, the alternation of
+     Mantic-Lugo et al. taken at the sub-Newton scale);
+  3. Re-continuation (:func:`scm_continuation`) — warm-start each Re
+     from the previous converged (mean, mode, sigma) with A^2
+     extrapolated along the curve;
+  4. wall acceptance — if a residual Newton wall still pins the march
+     inside the alternation's noise floor of marginality, the held
+     state is reported converged at that floor.
+
 Everything reuses the existing stack: the loaded mean solve is the
 standard Newton with a constant extra load (Jacobian unchanged), the
 eigensolve is the standard shift-invert Krylov-Schur.
@@ -53,6 +69,11 @@ class SCMResult:
     mode: np.ndarray  # complex, unit energy
     converged: bool
     history: list = field(default_factory=list)  # (A, sigma_r, omega)
+    # Stuart-Landau zero-crossing extrapolation of the amplitude when
+    # the march is wall-limited below marginality (g(A^2) is ~linear;
+    # the forced-mean fold blocks reaching the root itself) — None
+    # when the root was actually reached
+    amplitude_sl: float | None = None
 
 
 class _LoadedAssembler:
@@ -86,6 +107,7 @@ class SelfConsistentModel:
         target: complex | None = None,
         ncv: int = 30,
         atol: float = 1e-8,
+        mass=None,
     ) -> None:
         self.ctx = ctx
         self.mesh = mesh
@@ -99,10 +121,12 @@ class SelfConsistentModel:
         self.atol = atol
         self._base_asm = StationaryNavierStokesAssembler(ctx, mesh, bcs)
         # mass matrix assembled ONCE (state-independent): the energy
-        # norm and the eigensystem M of every _eig_about call
-        self._Mmat = LinearizedNavierStokesAssembler(
-            jnp.zeros(ctx.spaces.num_dofs), ctx, self.re, bcs_pert, mesh
-        ).assemble_mass_matrix()
+        # norm and the eigensystem M of every _eig_about call.  A
+        # Re-continuation sweep passes the previous model's matrix in.
+        self._Mmat = mass if mass is not None else (
+            LinearizedNavierStokesAssembler(
+                jnp.zeros(ctx.spaces.num_dofs), ctx, self.re, bcs_pert, mesh
+            ).assemble_mass_matrix())
         self._Ms = self._Mmat.to_scipy()
 
     # ------------------------------------------------------------------
@@ -173,8 +197,12 @@ class SelfConsistentModel:
         """Returns the mean state or None when Newton fails (a garbage
         'partial result' would poison the following eigensolve).
         Strongly forced means can defeat undamped Newton — retry down
-        a damping ladder before giving up."""
-        asm = _LoadedAssembler(self._base_asm, jnp.asarray(load))
+        a damping ladder, then by LOAD continuation (ramp the Reynolds
+        stress up in fractions, warm-starting each rung: the strongly
+        supercritical regime where the full load sits outside the
+        Newton basin, Mantic-Lugo et al. 2014 §IV)."""
+        load = jnp.asarray(load)
+        asm = _LoadedAssembler(self._base_asm, load)
         for damping in (1.0, 0.5, 0.25):
             newton = NewtonSolver(
                 asm, linear_solver=self.linear_solver, damping=damping)
@@ -182,9 +210,110 @@ class SelfConsistentModel:
                                max_it=40 if damping == 1.0 else 120)
             if res.converged and np.isfinite(res.w).all():
                 return res.w
-        logger.info("SCM mean solve failed (|F| = %.2e).",
-                    res.residual_norm)
+        logger.info("SCM mean damping ladder failed (|F| = %.2e); "
+                    "trying load continuation.", res.residual_norm)
+        w = U0
+        for frac in (0.25, 0.5, 0.75, 1.0):
+            asm_f = _LoadedAssembler(self._base_asm, frac * load)
+            newton = NewtonSolver(
+                asm_f, linear_solver=self.linear_solver, damping=0.5)
+            res = newton.solve(w, self.re, tol=tol, max_it=120)
+            if not (res.converged and np.isfinite(res.w).all()):
+                logger.info("SCM load continuation failed at fraction "
+                            "%.2f (|F| = %.2e).", frac, res.residual_norm)
+                return None
+            w = res.w
+        return w
+
+    def _coupled_relax(self, x, Ut, modet, sigmat, omega,
+                       *, sweeps: int = 80, tol: float = 1e-8):
+        """Interleaved damped-Newton / mode-refresh relaxation for
+        amplitudes past the FOLD of the frozen-mode forced-mean branch.
+
+        At strongly supercritical Re the forced-mean equation with a
+        FROZEN Reynolds-stress load loses its solution branch (a
+        saddle-node in the load amplitude) below the marginal
+        amplitude — no damping ladder or load continuation can solve a
+        system with no solution.  The coupled system is still solvable
+        because the mode weakens as the mean distorts; this relaxation
+        approximates it without bordered algebra: take a FEW damped
+        Newton steps on the current load, refresh (mode, sigma) about
+        the new mean, rebuild the load, repeat — the alternation of
+        Mantic-Lugo et al. 2014 taken at the sub-Newton scale.
+        Returns (U, mode, sigma) or None."""
+        load = None
+        scale = None
+        res_hist = []
+        for sweep in range(sweeps):
+            new_load = x * self.unit_load(modet)
+            # heavy load under-relaxation: the alternation's
+            # instability near/above the root is load overcorrection
+            load = new_load if load is None else 0.7 * load + 0.3 * new_load
+            if scale is None:
+                scale = max(float(jnp.linalg.norm(new_load)), 1e-30)
+            asm = _LoadedAssembler(self._base_asm, jnp.asarray(load))
+            newton = NewtonSolver(
+                asm, linear_solver=self.linear_solver, damping=0.4)
+            res = newton.solve(Ut, self.re, tol=tol, max_it=2)
+            if not np.isfinite(res.w).all():
+                return None
+            Ut = res.w
+            pair = self._eig_about(
+                Ut, sigmat.real + 1j * abs(sigmat.imag), v0=modet,
+                omega_ref=omega)
+            if pair is None:
+                return None
+            sigmat, modet = pair[0], self._normalize(pair[1])
+            res_hist.append(float(res.residual_norm))
+            # settled: the forced residual is small ON THE SCALE OF THE
+            # LOAD with the load built from the CURRENT mode — the
+            # coupled state exists here, so the frozen-load Newton now
+            # has a solution; the POLISH supplies the final accuracy,
+            # the threshold only needs to reach its basin
+            if res.converged or res_hist[-1] < 1e-4 * scale:
+                return self._relax_polish(
+                    Ut, modet, sigmat, omega, new_load, sweep, res_hist)
+            # diverging: residual grew far above its best, past the
+            # initial transient
+            if sweep >= 5 and res_hist[-1] > 30.0 * min(res_hist):
+                logger.info(
+                    "SCM coupled relaxation diverged (|F| = %.2e).",
+                    res_hist[-1])
+                return None
+            # plateaued far from the target: stop burning sweeps
+            if (sweep >= 20 and res_hist[-1] > 1e-3 * scale
+                    and res_hist[-1] > 0.5 * res_hist[-10]):
+                logger.info(
+                    "SCM coupled relaxation plateaued (|F| = %.2e of "
+                    "scale %.2e).", res_hist[-1], scale)
+                return None
+        if res_hist[-1] < 1e-2 * scale:
+            # out of sweeps but close: let the polish try to finish
+            return self._relax_polish(
+                Ut, modet, sigmat, omega, x * self.unit_load(modet),
+                sweeps - 1, res_hist)
+        logger.info("SCM coupled relaxation did not settle in %d sweeps "
+                    "(|F| = %.2e of scale %.2e).", sweeps, res_hist[-1],
+                    scale)
         return None
+
+    def _relax_polish(self, Ut, modet, sigmat, omega, load, sweep,
+                      res_hist):
+        """Final full Newton at the settled load + eigensolve refresh
+        (the relaxation's exit path — direct-quality end state)."""
+        Um = self._mean_solve(load, Ut)
+        if Um is not None:
+            Ut = Um
+            pair = self._eig_about(
+                Ut, sigmat.real + 1j * abs(sigmat.imag), v0=modet,
+                omega_ref=omega)
+            if pair is None:
+                return None
+            sigmat, modet = pair[0], self._normalize(pair[1])
+        logger.info(
+            "SCM coupled relaxation settled in %d sweeps (|F| = %.2e%s).",
+            sweep + 1, res_hist[-1], ", polished" if Um is not None else "")
+        return Ut, modet, sigmat
 
     # ------------------------------------------------------------------
     def solve(
@@ -195,13 +324,22 @@ class SelfConsistentModel:
         tol_sigma: float = 1e-4,
         max_outer: int = 30,
         inner: int = 6,
+        state0: tuple | None = None,
+        x0: float | None = None,
     ) -> SCMResult:
         """Find (mean, mode, A, omega) with sigma_r = 0.
 
         ``baseflow``: the (unstable) fixed point to start from.
         ``inner``: max mean<->mode sweeps per amplitude (stops early
         once sigma_r settles; the load is under-relaxed across
-        sweeps)."""
+        sweeps).
+        ``state0``/``x0``: Re-continuation warm start — the converged
+        ``(mean, mode, sigma)`` of a NEARBY Re and the x = A^2 to open
+        with (typically extrapolated along the A^2(Re) curve).  The
+        first trial then builds its load from the previous mode and
+        starts the mean Newton from the previous mean, which sits
+        inside the Newton basin where a cold march from the (strongly
+        unstable) fixed point is not."""
         U0 = np.asarray(baseflow)
         sigma, mode = self._eig_about(
             U0, self.target if self.target is not None else 0.05 + 0.75j)
@@ -220,12 +358,17 @@ class SelfConsistentModel:
         # accelerated midpoint.  A failed trial (mean Newton diverged /
         # oscillatory branch lost) counts as "x too large": shrink
         # toward the last good x instead of aborting.
-        state = (U0, mode, sigma)
+        if state0 is not None:
+            Us0, ms0, ss0 = state0
+            state = (np.asarray(Us0), self._normalize(np.asarray(ms0)),
+                     complex(ss0))
+        else:
+            state = (U0, mode, sigma)
         U = U0
         x_good = 0.0  # the x the held state was computed at
         x_lo, g_lo = 0.0, g_hopf
         x_hi = g_hi = None
-        x = float(A0) ** 2
+        x = float(A0) ** 2 if x0 is None else float(x0)
         converged = False
         outer = 0
         x_fail_min = np.inf
@@ -243,8 +386,15 @@ class SelfConsistentModel:
                         else 0.3 * load + 0.7 * new_load)
                 Um = self._mean_solve(load, Ut)
                 if Um is None:
-                    trial_ok = False
-                    break
+                    # frozen-load fold: try the coupled relaxation
+                    # (mode refreshed every few Newton steps)
+                    cr = self._coupled_relax(x, Ut, modet, sigmat, omega)
+                    if cr is None:
+                        trial_ok = False
+                        break
+                    Ut, modet, sigmat = cr
+                    g_seq.append(sigmat.real)
+                    break  # relaxation is already self-consistent
                 Ut = Um
                 pair = self._eig_about(
                     Ut, sigmat.real + 1j * abs(sigmat.imag), v0=modet,
@@ -260,13 +410,25 @@ class SelfConsistentModel:
             if not trial_ok:
                 x_fail_min = min(x_fail_min, x)
                 x_new = 0.5 * (x + x_lo)
+                if x - x_lo < 1e-3 * max(x, 1.0):
+                    # the forced-mean Newton has a hard wall just above
+                    # the last good x; if the held state is already
+                    # inside the alternation's noise floor of
+                    # marginality, that IS the root as well as this
+                    # formulation can resolve it (same criterion as the
+                    # bracket-collapse exit)
+                    if abs(sigma.real) < 20 * tol_sigma:
+                        logger.info(
+                            "SCM wall at x = %.4f with near-marginal "
+                            "sigma_r = %+.2e: accepting.", x, sigma.real)
+                        converged = True
+                    else:
+                        logger.warning("SCM stalled against a failing x; "
+                                       "stopping at the last good state.")
+                    break
                 logger.info(
                     "SCM outer %d: trial failed at x = %.4f; retrying "
                     "x = %.4f.", outer, x, x_new)
-                if abs(x_new - x) < 1e-6 * max(x, 1.0):
-                    logger.warning("SCM stalled against a failing x; "
-                                   "stopping at the last good state.")
-                    break
                 x = x_new
                 continue
             state = (Ut, modet, sigmat)
@@ -279,6 +441,17 @@ class SelfConsistentModel:
             logger.info("SCM outer %d: A = %.5f, sigma = %+.5f %+.5f j",
                         outer, np.sqrt(x), sigma.real, sigma.imag)
             if abs(g) < tol_sigma:
+                converged = True
+                break
+            if (g > 0 and np.isfinite(x_fail_min)
+                    and x_fail_min - x < 2e-3 * max(x, 1.0)
+                    and abs(g) < 20 * tol_sigma):
+                # pinned against the forced-mean Newton wall from the
+                # good side, already inside the alternation's noise
+                # floor: wall-limited convergence
+                logger.info(
+                    "SCM wall-limited convergence at x = %.4f "
+                    "(sigma_r = %+.2e).", x, g)
                 converged = True
                 break
             if g > 0:
@@ -306,5 +479,90 @@ class SelfConsistentModel:
                 x = x_sec if x_lo < x_sec < x_hi else x_mid
         # report the amplitude of the state actually HELD (x may be a
         # pending trial value after a failure or max_outer exhaustion)
+        if (not converged and x_good > 0
+                and abs(sigma.real) < 20 * tol_sigma):
+            logger.info(
+                "SCM outer budget exhausted near marginality "
+                "(sigma_r = %+.2e): accepting.", sigma.real)
+            converged = True
+        amplitude_sl = None
+        if not converged and x_good > 0:
+            # wall-limited below marginality: extrapolate the root of
+            # the ~linear g(x) through the reachable points (Stuart-
+            # Landau law); reported SEPARATELY from converged results
+            pts = np.array([(a * a, g) for a, g, _ in history
+                            if a * a > 0.3 * x_good])
+            if len(pts) >= 2 and np.ptp(pts[:, 0]) > 0:
+                slope, icept = np.polyfit(pts[:, 0], pts[:, 1], 1)
+                if slope < 0:
+                    x_star = -icept / slope
+                    if x_star > x_good:
+                        amplitude_sl = float(np.sqrt(x_star))
+                        logger.info(
+                            "SCM Stuart-Landau extrapolated amplitude "
+                            "A* = %.4f (wall-limited at A = %.4f, "
+                            "sigma_r = %+.3e).",
+                            amplitude_sl, np.sqrt(x_good), sigma.real)
         return SCMResult(float(np.sqrt(x_good)), sigma, U, mode, converged,
-                         history)
+                         history, amplitude_sl)
+
+
+def scm_continuation(
+    ctx: AssemblyContext,
+    mesh,
+    bcs,
+    bcs_pert,
+    res: list[float],
+    baseflow_fn,
+    **kw,
+) -> list[tuple[float, SCMResult]]:
+    """Re-continuation of the self-consistent model up the A(Re) curve.
+
+    Solves the SCM at each Reynolds number of ``res`` (ascending, the
+    first weakly supercritical), warm-starting every solve from the
+    previous converged (mean, mode, sigma) and opening at an x = A^2
+    extrapolated linearly along the curve — the continuation practice
+    of Mantic-Lugo et al. 2014 that reaches strongly supercritical Re
+    where a cold start's forced-mean Newton diverges below the marginal
+    amplitude.
+
+    ``baseflow_fn(re)``: the (unstable) fixed point at ``re``.
+    ``kw``: forwarded to :class:`SelfConsistentModel` (solver choices)
+    and :meth:`SelfConsistentModel.solve` (tolerances) — split on the
+    constructor's signature.
+    """
+    import inspect
+
+    ctor_keys = set(inspect.signature(
+        SelfConsistentModel.__init__).parameters) - {
+            "self", "ctx", "mesh", "bcs", "bcs_pert", "re", "mass"}
+    ctor_kw = {k: v for k, v in kw.items() if k in ctor_keys}
+    solve_kw = {k: v for k, v in kw.items() if k not in ctor_keys}
+    out: list[tuple[float, SCMResult]] = []
+    mass = None
+    xs: list[tuple[float, float]] = []  # converged (re, x) points
+    state = None
+    for re in res:
+        model = SelfConsistentModel(
+            ctx, mesh, bcs, bcs_pert, re, mass=mass, **ctor_kw)
+        mass = model._Mmat
+        x0 = None
+        if len(xs) >= 2:  # linear extrapolation of x(Re)
+            (r1, x1), (r2, x2) = xs[-2], xs[-1]
+            x0 = max(x2 + (x2 - x1) * (re - r2) / (r2 - r1), 0.25 * x2)
+        elif xs:
+            x0 = xs[-1][1]
+        res_i = model.solve(baseflow_fn(re), state0=state, x0=x0,
+                            **solve_kw)
+        out.append((re, res_i))
+        if res_i.amplitude > 0:
+            # a wall-limited state is still the best warm start for the
+            # next Re; the curve extrapolation uses the Stuart-Landau
+            # root estimate when the march could not reach marginality
+            state = (res_i.mean, res_i.mode, res_i.sigma)
+            xs.append((re, (res_i.amplitude_sl or res_i.amplitude) ** 2))
+        if not res_i.converged:
+            logger.warning("SCM continuation: Re = %g wall-limited "
+                           "(A = %.3f, A_SL = %s).", re, res_i.amplitude,
+                           res_i.amplitude_sl)
+    return out

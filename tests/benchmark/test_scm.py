@@ -19,7 +19,7 @@ from lsafw_tpu.fem.bcs import define_bcs
 from lsafw_tpu.fem.spaces import define_spaces
 from lsafw_tpu.meshing.geometries import cylinder_flow_mesh
 from lsafw_tpu.meshing.tags import mark_boundary_facets
-from lsafw_tpu.scm import SelfConsistentModel
+from lsafw_tpu.scm import SelfConsistentModel, scm_continuation
 from lsafw_tpu.solver.baseflow import BaseFlowSolver
 
 from tests.benchmark.test_unsteady import _marker, INLET, OUTLET, BOTTOM, TOP, CYL
@@ -27,7 +27,8 @@ from tests.benchmark.test_unsteady import _marker, INLET, OUTLET, BOTTOM, TOP, C
 RE = 60.0
 
 
-def test_scm_marginality_and_frequency_shift():
+@pytest.fixture(scope="module")
+def coarse_cylinder():
     geo = CylinderFlowGeometryConfig(
         dim=2, cylinder_radius=0.5, cylinder_center=(0.0, 0.0),
         x_range=(-6.0, 16.0), y_range=(-5.0, 5.0), resolution=0.65,
@@ -49,6 +50,11 @@ def test_scm_marginality_and_frequency_shift():
         BoundaryConditionsConfig(marker=OUTLET, type="dirichlet_pressure", value=0.0),
     ])
     ctx = AssemblyContext.build(spaces)
+    return ctx, mesh, bcs, bcs_pert
+
+
+def test_scm_marginality_and_frequency_shift(coarse_cylinder):
+    ctx, mesh, bcs, bcs_pert = coarse_cylinder
     w = np.asarray(BaseFlowSolver(ctx, mesh, bcs, re=RE).solve(
         ramp=True, steps=4, tol=1e-10, max_it=40))
 
@@ -62,3 +68,26 @@ def test_scm_marginality_and_frequency_shift():
     assert res.sigma.imag > 1.005 * omega_hopf, (res.sigma, omega_hopf)
     assert res.sigma.imag < 1.3 * omega_hopf
     assert res.amplitude > 0.1 and np.isfinite(res.mean).all()
+
+
+@pytest.mark.slow
+def test_scm_continuation_up_the_curve(coarse_cylinder):
+    """Re-continuation: each point warm-starts from the previous
+    converged (mean, mode, sigma) and must land on a LARGER amplitude
+    (the supercritical Stuart-Landau branch grows with Re)."""
+    ctx, mesh, bcs, bcs_pert = coarse_cylinder
+
+    def baseflow_fn(re):
+        return np.asarray(BaseFlowSolver(ctx, mesh, bcs, re=re).solve(
+            ramp=True, steps=4, tol=1e-10, max_it=40))
+
+    results = scm_continuation(
+        ctx, mesh, bcs, bcs_pert, [60.0, 66.0], baseflow_fn,
+        tol_sigma=5e-4, max_outer=25)
+    (_, r1), (_, r2) = results
+    assert r1.converged and r2.converged
+    assert r2.amplitude > r1.amplitude > 0.1
+    assert abs(r2.sigma.real) < 2e-3, r2.sigma
+    # the warm start must actually bite: the second point may not cost
+    # more outer iterations than the cold first one
+    assert len(r2.history) <= len(r1.history) + 2
