@@ -13,7 +13,9 @@ gains, energy-norm pseudospectra, optimal transient growth, unsteady
 theta-scheme DNS to the shedding limit cycle, Floquet multipliers of
 periodic orbits, quasi-3D spanwise-Fourier stability incl. secondary
 instability of 2D cycles, self-consistent mean-flow modelling with
-Re-continuation) and a linear elasticity eigenproblem module.
+Re-continuation and a coupled harmonic-balance Newton, weakly
+nonlinear Stuart-Landau expansion at the Hopf point) and a linear
+elasticity eigenproblem module.
 
 Design (TPU-first, not a port):
   * meshes / dofmaps / sparsity patterns are host-prepared static

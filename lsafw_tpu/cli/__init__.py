@@ -348,6 +348,44 @@ def _cmd_span(args) -> int:
     return 0
 
 
+def _cmd_wnl(args) -> int:
+    from lsafw_tpu.config import load_bc_config
+    from lsafw_tpu.fem.bcs import define_bcs
+    from lsafw_tpu.wnl import find_critical_re, weakly_nonlinear
+
+    mesh, spaces, bcs, ctx = _build_case(args)
+    if bcs is None:
+        raise SystemExit("wnl requires --bc-config")
+    pert_bcs = (
+        define_bcs(mesh, spaces, load_bc_config(args.perturbation_bc_config))
+        if args.perturbation_bc_config
+        else bcs.homogeneous()
+    )
+    re_c, w_c, sigma_c = find_critical_re(
+        ctx, mesh, bcs, pert_bcs, args.re_lo, args.re_hi)
+    res = weakly_nonlinear(ctx, mesh, bcs, pert_bcs, re_c, w_c)
+    rows = [{"re": re, "amplitude": res.amplitude(re),
+             "frequency": res.frequency(re)} for re in (args.res or [])]
+    logger.info(
+        "WNL: Re_c = %.4f, omega_c = %.5f, lambda' = %+.4e %+.4e j, "
+        "mu = %+.4e %+.4e j", re_c, res.omega_c, res.lambda_p.real,
+        res.lambda_p.imag, res.mu.real, res.mu.imag)
+    for row in rows:
+        logger.info("WNL Re=%g: A = %.5f, omega = %.5f",
+                    row["re"], row["amplitude"], row["frequency"])
+    if args.outdir:
+        Path(args.outdir).mkdir(parents=True, exist_ok=True)
+        (Path(args.outdir) / "wnl.json").write_text(json.dumps({
+            "re_c": re_c, "omega_c": res.omega_c,
+            "sigma_at_re_c": [sigma_c.real, sigma_c.imag],
+            "lambda_prime": [res.lambda_p.real, res.lambda_p.imag],
+            "mu": [res.mu.real, res.mu.imag],
+            "supercritical": bool(res.mu.real > 0),
+            "points": rows,
+        }, indent=1))
+    return 0
+
+
 def _cmd_scm(args) -> int:
     import numpy as np
 
@@ -394,6 +432,13 @@ def _cmd_scm(args) -> int:
                               linear_solver="lu")
     res = scm.solve(baseflow_fn(args.re), A0=args.a0,
                     tol_sigma=args.tol_sigma)
+    if not res.converged and res.amplitude > 0:
+        # wall-limited alternation: finish with the coupled Newton
+        A0 = res.amplitude_sl or res.amplitude
+        cres = scm.solve_coupled(res.mean, A0 * res.mode,
+                                 abs(res.sigma.imag))
+        if cres.converged:
+            res = cres
     logger.info(
         "SCM: A = %.5f, sigma = %+.5e %+.5e j (converged=%s)",
         res.amplitude, res.sigma.real, res.sigma.imag, res.converged,
@@ -531,6 +576,22 @@ def main(argv: list[str] | None = None) -> int:
         help="Re-continuation: solve at each Re ascending, warm-starting "
              "from the previous converged state (--re is ignored)")
     p_scm.set_defaults(fn=_cmd_scm)
+
+    p_wnl = sub.add_parser(
+        "wnl", help="weakly nonlinear Stuart-Landau expansion at the "
+                    "Hopf point"
+    )
+    _solver_args(p_wnl)
+    p_wnl.add_argument("--perturbation-bc-config", type=Path, default=None)
+    p_wnl.add_argument("--re-lo", type=float, default=40.0,
+                       help="lower bracket of the onset")
+    p_wnl.add_argument("--re-hi", type=float, default=55.0,
+                       help="upper bracket of the onset")
+    p_wnl.add_argument(
+        "--res", nargs="+", type=float, default=None,
+        help="Reynolds numbers to tabulate amplitude/frequency "
+             "predictions at")
+    p_wnl.set_defaults(fn=_cmd_wnl)
 
     args = parser.parse_args(argv)
     setup_logging(verbose=args.verbose)

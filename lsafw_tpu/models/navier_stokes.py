@@ -200,6 +200,30 @@ def _jit_mass_data(ctx, mask, diag):
     return dirichlet_matrix_data(ctx.pattern_dev, data, mask, diag)
 
 
+@jax.jit
+def convective_linearization_data(ctx, b: jnp.ndarray) -> jnp.ndarray:
+    """CSR data of C(b): the convection-only part of the linearized NS
+    operator about the mixed state ``b`` — exactly
+    ``linearized_ns_elements(ctx, b, re) - linearized_ns_elements(ctx, 0, re)``
+    (convection is bilinear; viscous/pressure/divergence are
+    b-independent), assembled WITHOUT any Dirichlet masking.
+
+    C(b) v = -[(b . grad) v + (v . grad) b] tested against velocity test
+    functions.  By the symmetry of the convection bilinear form this one
+    matrix supplies every coupling block of the coupled self-consistent
+    (harmonic-balance) Jacobian: d/dU [A(U) q] = C(q) and
+    d/dq {-1/2 [(q.grad)q]} = 1/2 C(q)."""
+    g = ctx.gdim
+    ub_el, _ = _split_local(ctx, b)
+    conv = convection_scalar(ctx, ub_el)
+    sh = shear_tensor(ctx, ub_el)
+    nc = conv.shape[0]
+    vv = expand_vector_diag(-conv, g)
+    vv = vv - jnp.transpose(sh, (0, 1, 3, 2, 4)).reshape(
+        nc, ctx.nu_el * g, ctx.nu_el * g)
+    return assemble_csr_data(ctx.pattern_dev, compose_mixed(ctx, vv=vv))
+
+
 # ---------------------------------------------------------------------------
 # Assemblers
 # ---------------------------------------------------------------------------

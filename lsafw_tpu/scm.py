@@ -36,7 +36,15 @@ when the previous fails):
      extrapolated along the curve;
   4. wall acceptance — if a residual Newton wall still pins the march
      inside the alternation's noise floor of marginality, the held
-     state is reported converged at that floor.
+     state is reported converged at that floor;
+  5. the fully COUPLED Newton (:meth:`SelfConsistentModel.solve_coupled`)
+     — one monolithic Newton on (U, q, omega) with the amplitude
+     absorbed into ||q||_E and marginality (sigma_r = 0) hardwired,
+     i.e. the first-harmonic harmonic-balance system.  Quadratic
+     convergence where the alternation can only wall-limit; every
+     coupling block is the ONE convective-linearization matrix C(b)
+     (:func:`lsafw_tpu.models.navier_stokes.convective_linearization_data`)
+     evaluated at q_r / q_i, by the symmetry of the convection form.
 
 Everything reuses the existing stack: the loaded mean solve is the
 standard Newton with a constant extra load (Jacobian unchanged), the
@@ -316,6 +324,164 @@ class SelfConsistentModel:
         return Ut, modet, sigmat
 
     # ------------------------------------------------------------------
+    # Fully coupled (harmonic-balance) Newton
+    # ------------------------------------------------------------------
+    def _convective_matrix(self, b: np.ndarray):
+        """C(b) as scipy CSR (unmasked; see
+        ``convective_linearization_data``)."""
+        from lsafw_tpu.models.navier_stokes import (
+            convective_linearization_data,
+        )
+        from lsafw_tpu.ops.sparse import CSRMatrix
+
+        data = convective_linearization_data(self.ctx, jnp.asarray(b))
+        return CSRMatrix(self.ctx.pattern, data).to_scipy()
+
+    def _linearized_scipy(self, U: np.ndarray):
+        asm = LinearizedNavierStokesAssembler(
+            jnp.asarray(U), self.ctx, self.re, self.bcs_pert, self.mesh)
+        return asm.assemble_linear_operator().to_scipy()
+
+    def _coupled_residual(self, U, qr, qi, om, Aop, avec, bvec,
+                          mask_m, mask_p):
+        """Residual of the coupled system F(U, q, omega):
+
+          F1 = R(U) - 1/2 [(q_r.grad)q_r + (q_i.grad)q_i].v   (mean)
+          F2 = (A(U) - i omega M) q                           (mode)
+          F3 = Im <q_ref, q>_M                                (phase)
+
+        with the BC-row masking convention of :class:`NewtonSolver`
+        (rows zeroed; the Jacobian's identity rows keep the deltas
+        zero there)."""
+        load = np.asarray(self.unit_load(qr + 1j * qi))
+        F1 = np.where(mask_m, 0.0, np.asarray(
+            self._base_asm.residual(jnp.asarray(U), self.re)) + load)
+        Ms = self._Ms
+        F2r = np.where(mask_p, 0.0, Aop @ qr + om * (Ms @ qi))
+        F2i = np.where(mask_p, 0.0, Aop @ qi - om * (Ms @ qr))
+        F3 = float(avec @ qi - bvec @ qr)
+        return np.concatenate([F1, F2r, F2i, [F3]])
+
+    def _coupled_matrix(self, U, qr, qi, om, Aop, avec, bvec, zm, zp):
+        """Bordered Jacobian of ``_coupled_residual`` (scipy CSC).
+
+        Layout (rows F1/F2r/F2i/F3 x cols U/q_r/q_i/omega):
+
+          [ J_mean(U)   1/2 Zm C(q_r)  1/2 Zm C(q_i)   0      ]
+          [ Zp C(q_r)   A(U)           omega M         M q_i  ]
+          [ Zp C(q_i)  -omega M        A(U)           -M q_r  ]
+          [ 0          -(M^T q_ref_i)  (M^T q_ref_r)    0      ]
+
+        J_mean/A carry identity Dirichlet rows from their assemblers;
+        the coupling blocks get their equation's rows zeroed (Zm/Zp).
+        Their BC *columns* stay — harmless, as those deltas are pinned
+        to zero by the identity rows + zero residuals."""
+        import scipy.sparse as sp
+
+        Ms = self._Ms
+        Jm = self._base_asm.jacobian(jnp.asarray(U), self.re).to_scipy()
+        Cr = self._convective_matrix(qr)
+        Ci = self._convective_matrix(qi)
+        col_r = sp.csr_matrix((Ms @ qi)[:, None])
+        col_i = sp.csr_matrix((-(Ms @ qr))[:, None])
+        return sp.bmat(
+            [
+                [Jm, 0.5 * (zm @ Cr), 0.5 * (zm @ Ci), None],
+                [zp @ Cr, Aop, om * Ms, col_r],
+                [zp @ Ci, -om * Ms, Aop, col_i],
+                [None, sp.csr_matrix(-bvec[None, :]),
+                 sp.csr_matrix(avec[None, :]), None],
+            ],
+            format="csc",
+        )
+
+    def solve_coupled(
+        self,
+        U0: np.ndarray,
+        q0: np.ndarray,
+        omega0: float,
+        *,
+        tol: float = 1e-8,
+        max_it: int = 25,
+    ) -> SCMResult:
+        """Monolithic Newton on the coupled SCM system (Mantic-Lugo et
+        al. 2014's closure at strongly supercritical Re; equivalently
+        the first-harmonic harmonic-balance Newton).
+
+        Unknowns (U, q_r, q_i, omega), 3N+1 equations: forced mean (N),
+        marginal mode (A(U) - i omega M) q = 0 (2N), and the phase
+        condition Im <q_ref, q>_M = 0 with q_ref = q0.  The amplitude
+        is ||q||_E — NOT a separate unknown — so marginality is
+        hardwired and the fold of the frozen-load mean branch (which
+        stalls the alternation) is invisible to this formulation.
+
+        ``q0`` must carry the amplitude (A * unit mode), e.g. from a
+        wall-limited :meth:`solve` (use ``amplitude_sl``).  The
+        bordered matrix is factored by host sparse LU per iteration —
+        the coupled solve is a polish step (a handful of iterations),
+        not the production inner loop."""
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+
+        n = self.ctx.spaces.num_dofs
+        mask_m = np.asarray(self._base_asm.bc_mask, dtype=bool)
+        bcv_m = np.asarray(self._base_asm.bc_values, dtype=float)
+        mask_p = np.asarray(self.bcs_pert.dirichlet_mask, dtype=bool)
+        zm = sp.diags(np.where(mask_m, 0.0, 1.0))
+        zp = sp.diags(np.where(mask_p, 0.0, 1.0))
+
+        U = np.where(mask_m, bcv_m, np.asarray(U0, dtype=float))
+        qr = np.where(mask_p, 0.0, np.asarray(q0).real.astype(float))
+        qi = np.where(mask_p, 0.0, np.asarray(q0).imag.astype(float))
+        om = float(omega0)
+        # phase reference: frozen initial mode (standard bordering)
+        avec = self._Ms.T @ qr
+        bvec = self._Ms.T @ qi
+
+        Aop = self._linearized_scipy(U)
+        F = self._coupled_residual(U, qr, qi, om, Aop, avec, bvec,
+                                   mask_m, mask_p)
+        normF = float(np.linalg.norm(F))
+        history = []
+        converged = False
+        for it in range(1, max_it + 1):
+            amp = float(np.sqrt(qr @ (self._Ms @ qr)
+                                + qi @ (self._Ms @ qi)))
+            history.append((amp, 0.0, om))
+            if normF < tol:
+                converged = True
+                break
+            K = self._coupled_matrix(U, qr, qi, om, Aop, avec, bvec,
+                                     zm, zp)
+            dz = spla.splu(K).solve(-F)
+            accepted = False
+            for alpha in (1.0, 0.5, 0.25, 0.125):
+                Ut = U + alpha * dz[:n]
+                qrt = qr + alpha * dz[n:2 * n]
+                qit = qi + alpha * dz[2 * n:3 * n]
+                omt = om + alpha * float(dz[-1])
+                At = self._linearized_scipy(Ut)
+                Ft = self._coupled_residual(
+                    Ut, qrt, qit, omt, At, avec, bvec, mask_m, mask_p)
+                normFt = float(np.linalg.norm(Ft))
+                if np.isfinite(normFt) and normFt < (1 - 1e-4 * alpha) * normF:
+                    U, qr, qi, om, Aop, F, normF = (
+                        Ut, qrt, qit, omt, At, Ft, normFt)
+                    accepted = True
+                    break
+            logger.info("SCM coupled Newton %d: |F| = %.3e, A = %.5f, "
+                        "omega = %.5f%s", it, normF, amp, om,
+                        "" if accepted else " (no descent)")
+            if not accepted:
+                logger.warning(
+                    "SCM coupled Newton stalled at |F| = %.3e.", normF)
+                break
+        amp = float(np.sqrt(qr @ (self._Ms @ qr) + qi @ (self._Ms @ qi)))
+        mode = (qr + 1j * qi) / max(amp, 1e-300)
+        return SCMResult(amp, complex(0.0, om), U, mode, converged,
+                         history, None)
+
+    # ------------------------------------------------------------------
     def solve(
         self,
         baseflow: np.ndarray,
@@ -410,7 +576,12 @@ class SelfConsistentModel:
             if not trial_ok:
                 x_fail_min = min(x_fail_min, x)
                 x_new = 0.5 * (x + x_lo)
-                if x - x_lo < 1e-3 * max(x, 1.0):
+                # a trial failure within 1% of the last good x is a
+                # wall probe, not a real step: each one costs a full
+                # relaxation attempt, and the coupled Newton (the
+                # polish of scm_continuation / the CLI) resolves the
+                # root far more cheaply from the held state
+                if x - x_lo < 1e-2 * max(x, 1.0):
                     # the forced-mean Newton has a hard wall just above
                     # the last good x; if the held state is already
                     # inside the alternation's noise floor of
@@ -527,12 +698,17 @@ def scm_continuation(
     amplitude.
 
     ``baseflow_fn(re)``: the (unstable) fixed point at ``re``.
+    ``coupled``: when a point comes out wall-limited (the alternation's
+    forced-mean fold), finish it with the monolithic coupled Newton
+    (:meth:`SelfConsistentModel.solve_coupled`) seeded from the held
+    state at the Stuart-Landau amplitude estimate.
     ``kw``: forwarded to :class:`SelfConsistentModel` (solver choices)
     and :meth:`SelfConsistentModel.solve` (tolerances) — split on the
     constructor's signature.
     """
     import inspect
 
+    coupled = kw.pop("coupled", True)
     ctor_keys = set(inspect.signature(
         SelfConsistentModel.__init__).parameters) - {
             "self", "ctx", "mesh", "bcs", "bcs_pert", "re", "mass"}
@@ -554,6 +730,23 @@ def scm_continuation(
             x0 = xs[-1][1]
         res_i = model.solve(baseflow_fn(re), state0=state, x0=x0,
                             **solve_kw)
+        tol_sig = solve_kw.get("tol_sigma", 1e-4)
+        if coupled and res_i.amplitude > 0 and (
+                not res_i.converged
+                or abs(res_i.sigma.real) > tol_sig):
+            # wall-limited OR accepted only at the alternation's noise
+            # floor: hand the held state to the coupled Newton at the
+            # Stuart-Landau amplitude estimate — it resolves the true
+            # root (sigma_r = 0 exactly) in a few bordered solves
+            A0 = res_i.amplitude_sl or res_i.amplitude
+            cres = model.solve_coupled(
+                res_i.mean, A0 * res_i.mode, abs(res_i.sigma.imag))
+            if cres.converged:
+                logger.info("SCM continuation: coupled Newton closed "
+                            "Re = %g at A = %.4f (from A = %.4f, "
+                            "sigma_r = %+.1e).", re, cres.amplitude,
+                            res_i.amplitude, res_i.sigma.real)
+                res_i = cres
         out.append((re, res_i))
         if res_i.amplitude > 0:
             # a wall-limited state is still the best warm start for the

@@ -91,3 +91,27 @@ def test_scm_continuation_up_the_curve(coarse_cylinder):
     # the warm start must actually bite: the second point may not cost
     # more outer iterations than the cold first one
     assert len(r2.history) <= len(r1.history) + 2
+
+
+@pytest.mark.slow
+def test_scm_coupled_newton_high_re(coarse_cylinder):
+    """The monolithic coupled Newton closes a strongly supercritical
+    point: warm-start from a (possibly wall-limited) alternation solve
+    at Re=74 and require full convergence of the bordered system, with
+    the amplitude above the Re=60 value and the frequency above the
+    Hopf frequency."""
+    ctx, mesh, bcs, bcs_pert = coarse_cylinder
+    re_hi = 74.0
+    w = np.asarray(BaseFlowSolver(ctx, mesh, bcs, re=re_hi).solve(
+        ramp=True, steps=4, tol=1e-10, max_it=40))
+    scm = SelfConsistentModel(ctx, mesh, bcs, bcs_pert, re_hi,
+                              linear_solver="lu")
+    res = scm.solve(w, A0=1.5, tol_sigma=5e-4, max_outer=20)
+    A0 = res.amplitude_sl or res.amplitude
+    assert A0 > 0.5  # the alternation must at least reach the branch
+    cres = scm.solve_coupled(res.mean, A0 * res.mode,
+                             abs(res.sigma.imag))
+    assert cres.converged, cres.history
+    assert cres.amplitude > 1.5
+    omega_hopf = abs(res.history[0][2])
+    assert cres.sigma.imag > omega_hopf
