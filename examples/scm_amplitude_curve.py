@@ -95,10 +95,13 @@ def main() -> int:
     out = {
         "note": (
             "SCM amplitude curve by Re-continuation on the reduced "
-            "cylinder; A in the global kinetic-energy norm.  Each point "
-            "warm-starts from the previous converged (mean, mode, sigma) "
-            "with A^2 extrapolated along the curve — reaches strongly "
-            "supercritical Re where round-3's cold start stalled."),
+            "cylinder; A in the global kinetic-energy norm.  The first "
+            "point cold-starts the alternation; every later point is "
+            "solved DIRECTLY by the coupled harmonic-balance Newton "
+            "(solve_coupled) warm-started from the previous converged "
+            "(mean, mode, omega) at the extrapolated amplitude — a few "
+            "bordered solves per point, sigma_r = 0 exactly, no "
+            "forced-mean fold anywhere."),
         "points": points,
         "seconds": dt,
     }

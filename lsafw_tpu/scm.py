@@ -82,6 +82,8 @@ class SCMResult:
     # the forced-mean fold blocks reaching the root itself) — None
     # when the root was actually reached
     amplitude_sl: float | None = None
+    # second-harmonic field (solve_coupled with harmonics=2 only)
+    q2: np.ndarray | None = None
 
 
 class _LoadedAssembler:
@@ -395,6 +397,74 @@ class SelfConsistentModel:
             format="csc",
         )
 
+    # -- second-harmonic balance (HB2) ---------------------------------
+    # Physical ansatz (same convention as HB1 / the alternation):
+    #   v = Re(q1 e^{i w t}) + Re(q2 e^{2 i w t}),  U the true time-mean.
+    # Collecting harmonics of M dv/dt = R(U) + C(U) v + B(v, v):
+    #   F0 = R(U) + 1/2 B(q1,q1*) + 1/2 B(q2,q2*)          (mean)
+    #   F1 = (A(U) - i w M) q1 + B(q1*, q2)                (E^1)
+    #   F2 = (A(U) - 2 i w M) q2 + 1/2 B(q1, q1)           (E^2)
+    #   F3 = Im <q_ref, q1>_M                              (phase)
+    # where B(a,b) = -1/2[(a.grad)b + (b.grad)a] tested and every
+    # Jacobian coupling block is 1/2 C(.) by d B(a,x)/dx = 1/2 C(a).
+
+    def _hb2_residual(self, U, q1, q2, om, Aop, avec, bvec,
+                      mask_m, mask_p):
+        from lsafw_tpu.wnl import convective_bilinear_load as B
+
+        ctx, Ms = self.ctx, self._Ms
+        F0 = np.where(mask_m, 0.0, np.asarray(
+            self._base_asm.residual(jnp.asarray(U), self.re))
+            + 0.5 * np.real(B(ctx, q1, q1.conj()))
+            + 0.5 * np.real(B(ctx, q2, q2.conj())))
+        F1 = Aop @ q1 - 1j * om * (Ms @ q1) + B(ctx, q1.conj(), q2)
+        F2 = Aop @ q2 - 2j * om * (Ms @ q2) + 0.5 * B(ctx, q1, q1)
+        F1 = np.where(mask_p, 0.0, F1)
+        F2 = np.where(mask_p, 0.0, F2)
+        F3 = float(avec @ q1.imag - bvec @ q1.real)
+        return np.concatenate([
+            F0, F1.real, F1.imag, F2.real, F2.imag, [F3]])
+
+    def _hb2_matrix(self, U, q1, q2, om, Aop, avec, bvec, zm, zp):
+        """Bordered HB2 Jacobian (scipy CSC), block order
+        (U, q1r, q1i, q2r, q2i, omega)."""
+        import scipy.sparse as sp
+
+        Ms = self._Ms
+        Jm = self._base_asm.jacobian(jnp.asarray(U), self.re).to_scipy()
+        C1r = self._convective_matrix(q1.real)
+        C1i = self._convective_matrix(q1.imag)
+        C2r = self._convective_matrix(q2.real)
+        C2i = self._convective_matrix(q2.imag)
+        wM = om * Ms
+        col1r = sp.csr_matrix((Ms @ q1.imag)[:, None])
+        col1i = sp.csr_matrix((-(Ms @ q1.real))[:, None])
+        col2r = sp.csr_matrix((2.0 * (Ms @ q2.imag))[:, None])
+        col2i = sp.csr_matrix((-2.0 * (Ms @ q2.real))[:, None])
+        h = 0.5
+        return sp.bmat(
+            [
+                # F0: mean
+                [Jm, h * (zm @ C1r), h * (zm @ C1i),
+                 h * (zm @ C2r), h * (zm @ C2i), None],
+                # F1r = A q1r + w M q1i + Re B(q1*, q2)
+                [zp @ C1r, Aop + h * (zp @ C2r), wM + h * (zp @ C2i),
+                 h * (zp @ C1r), h * (zp @ C1i), col1r],
+                # F1i = A q1i - w M q1r + Im B(q1*, q2)
+                [zp @ C1i, -wM + h * (zp @ C2i), Aop - h * (zp @ C2r),
+                 -h * (zp @ C1i), h * (zp @ C1r), col1i],
+                # F2r = A q2r + 2w M q2i + 1/2 Re B(q1, q1)
+                [zp @ C2r, h * (zp @ C1r), -h * (zp @ C1i),
+                 Aop, 2.0 * wM, col2r],
+                # F2i = A q2i - 2w M q2r + 1/2 Im B(q1, q1)
+                [zp @ C2i, h * (zp @ C1i), h * (zp @ C1r),
+                 -2.0 * wM, Aop, col2i],
+                [None, sp.csr_matrix(-bvec[None, :]),
+                 sp.csr_matrix(avec[None, :]), None, None, None],
+            ],
+            format="csc",
+        )
+
     def solve_coupled(
         self,
         U0: np.ndarray,
@@ -403,17 +473,28 @@ class SelfConsistentModel:
         *,
         tol: float = 1e-8,
         max_it: int = 25,
+        harmonics: int = 1,
+        q20: np.ndarray | None = None,
     ) -> SCMResult:
         """Monolithic Newton on the coupled SCM system (Mantic-Lugo et
         al. 2014's closure at strongly supercritical Re; equivalently
-        the first-harmonic harmonic-balance Newton).
+        the harmonic-balance Newton of order ``harmonics``).
 
-        Unknowns (U, q_r, q_i, omega), 3N+1 equations: forced mean (N),
-        marginal mode (A(U) - i omega M) q = 0 (2N), and the phase
-        condition Im <q_ref, q>_M = 0 with q_ref = q0.  The amplitude
-        is ||q||_E — NOT a separate unknown — so marginality is
-        hardwired and the fold of the frozen-load mean branch (which
-        stalls the alternation) is invisible to this formulation.
+        ``harmonics=1``: unknowns (U, q_r, q_i, omega), 3N+1 equations:
+        forced mean (N), marginal mode (A(U) - i omega M) q = 0 (2N),
+        and the phase condition Im <q_ref, q>_M = 0 with q_ref = q0.
+        The amplitude is ||q||_E — NOT a separate unknown — so
+        marginality is hardwired and the fold of the frozen-load mean
+        branch (which stalls the alternation) is invisible to this
+        formulation.
+
+        ``harmonics=2``: adds the second-harmonic field q2 (5N+1
+        unknowns; see the HB2 block comment above), retaining the
+        first-harmonic feedback B(q1*, q2) that HB1/the alternation
+        truncate — the frequency moves from the SCM prediction toward
+        the DNS value.  ``q20`` optionally seeds q2; default is the
+        weakly-nonlinear-style linear solve
+        (A - 2 i omega M) q2 = -1/2 B(q1, q1).
 
         ``q0`` must carry the amplitude (A * unit mode), e.g. from a
         wall-limited :meth:`solve` (use ``amplitude_sl``).  The
@@ -423,6 +504,8 @@ class SelfConsistentModel:
         import scipy.sparse as sp
         import scipy.sparse.linalg as spla
 
+        if harmonics not in (1, 2):
+            raise ValueError("harmonics must be 1 or 2")
         n = self.ctx.spaces.num_dofs
         mask_m = np.asarray(self._base_asm.bc_mask, dtype=bool)
         bcv_m = np.asarray(self._base_asm.bc_values, dtype=float)
@@ -431,55 +514,80 @@ class SelfConsistentModel:
         zp = sp.diags(np.where(mask_p, 0.0, 1.0))
 
         U = np.where(mask_m, bcv_m, np.asarray(U0, dtype=float))
-        qr = np.where(mask_p, 0.0, np.asarray(q0).real.astype(float))
-        qi = np.where(mask_p, 0.0, np.asarray(q0).imag.astype(float))
+        q1 = np.where(mask_p, 0.0, np.asarray(q0, dtype=complex))
         om = float(omega0)
         # phase reference: frozen initial mode (standard bordering)
-        avec = self._Ms.T @ qr
-        bvec = self._Ms.T @ qi
+        avec = self._Ms.T @ q1.real
+        bvec = self._Ms.T @ q1.imag
 
         Aop = self._linearized_scipy(U)
-        F = self._coupled_residual(U, qr, qi, om, Aop, avec, bvec,
-                                   mask_m, mask_p)
+        if harmonics == 2:
+            from lsafw_tpu.wnl import convective_bilinear_load as B
+
+            if q20 is not None:
+                q2 = np.where(mask_p, 0.0, np.asarray(q20, dtype=complex))
+            else:
+                rhs = 0.5 * B(self.ctx, q1, q1)
+                rhs[mask_p] = 0.0
+                K2 = (Aop.astype(complex)
+                      - 2j * om * self._Ms.astype(complex)).tocsc()
+                q2 = -spla.splu(K2).solve(rhs)
+        else:
+            q2 = None
+
+        def resid(Uv, q1v, q2v, omv, Av):
+            if harmonics == 1:
+                return self._coupled_residual(
+                    Uv, q1v.real, q1v.imag, omv, Av, avec, bvec,
+                    mask_m, mask_p)
+            return self._hb2_residual(
+                Uv, q1v, q2v, omv, Av, avec, bvec, mask_m, mask_p)
+
+        F = resid(U, q1, q2, om, Aop)
         normF = float(np.linalg.norm(F))
         history = []
         converged = False
         for it in range(1, max_it + 1):
-            amp = float(np.sqrt(qr @ (self._Ms @ qr)
-                                + qi @ (self._Ms @ qi)))
+            amp = float(np.sqrt(
+                np.real(np.vdot(q1, self._Ms @ q1))))
             history.append((amp, 0.0, om))
             if normF < tol:
                 converged = True
                 break
-            K = self._coupled_matrix(U, qr, qi, om, Aop, avec, bvec,
-                                     zm, zp)
+            if harmonics == 1:
+                K = self._coupled_matrix(
+                    U, q1.real, q1.imag, om, Aop, avec, bvec, zm, zp)
+            else:
+                K = self._hb2_matrix(
+                    U, q1, q2, om, Aop, avec, bvec, zm, zp)
             dz = spla.splu(K).solve(-F)
             accepted = False
-            for alpha in (1.0, 0.5, 0.25, 0.125):
+            for alpha in (1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125):
                 Ut = U + alpha * dz[:n]
-                qrt = qr + alpha * dz[n:2 * n]
-                qit = qi + alpha * dz[2 * n:3 * n]
+                q1t = q1 + alpha * (dz[n:2 * n] + 1j * dz[2 * n:3 * n])
+                q2t = (q2 + alpha * (dz[3 * n:4 * n]
+                                     + 1j * dz[4 * n:5 * n])
+                       if harmonics == 2 else None)
                 omt = om + alpha * float(dz[-1])
                 At = self._linearized_scipy(Ut)
-                Ft = self._coupled_residual(
-                    Ut, qrt, qit, omt, At, avec, bvec, mask_m, mask_p)
+                Ft = resid(Ut, q1t, q2t, omt, At)
                 normFt = float(np.linalg.norm(Ft))
                 if np.isfinite(normFt) and normFt < (1 - 1e-4 * alpha) * normF:
-                    U, qr, qi, om, Aop, F, normF = (
-                        Ut, qrt, qit, omt, At, Ft, normFt)
+                    U, q1, q2, om, Aop, F, normF = (
+                        Ut, q1t, q2t, omt, At, Ft, normFt)
                     accepted = True
                     break
-            logger.info("SCM coupled Newton %d: |F| = %.3e, A = %.5f, "
-                        "omega = %.5f%s", it, normF, amp, om,
-                        "" if accepted else " (no descent)")
+            logger.info("SCM coupled Newton (HB%d) %d: |F| = %.3e, "
+                        "A = %.5f, omega = %.5f%s", harmonics, it,
+                        normF, amp, om, "" if accepted else " (no descent)")
             if not accepted:
                 logger.warning(
                     "SCM coupled Newton stalled at |F| = %.3e.", normF)
                 break
-        amp = float(np.sqrt(qr @ (self._Ms @ qr) + qi @ (self._Ms @ qi)))
-        mode = (qr + 1j * qi) / max(amp, 1e-300)
+        amp = float(np.sqrt(np.real(np.vdot(q1, self._Ms @ q1))))
+        mode = q1 / max(amp, 1e-300)
         return SCMResult(amp, complex(0.0, om), U, mode, converged,
-                         history, None)
+                         history, None, q2)
 
     # ------------------------------------------------------------------
     def solve(
@@ -728,8 +836,26 @@ def scm_continuation(
             x0 = max(x2 + (x2 - x1) * (re - r2) / (r2 - r1), 0.25 * x2)
         elif xs:
             x0 = xs[-1][1]
-        res_i = model.solve(baseflow_fn(re), state0=state, x0=x0,
-                            **solve_kw)
+        res_i = None
+        if coupled and state is not None and x0 is not None:
+            # true continuation: the coupled Newton directly from the
+            # previous Re's converged state at the extrapolated
+            # amplitude — one bordered solve per iteration, no
+            # alternation march.  Falls back to the alternation when
+            # the warm start is outside the Newton basin.
+            Us, ms, ss = state
+            cres = model.solve_coupled(
+                np.asarray(Us),
+                float(np.sqrt(x0)) * np.asarray(ms),
+                abs(complex(ss).imag), max_it=12)
+            if cres.converged:
+                logger.info("SCM continuation: coupled Newton solved "
+                            "Re = %g directly (A = %.4f).",
+                            re, cres.amplitude)
+                res_i = cres
+        if res_i is None:
+            res_i = model.solve(baseflow_fn(re), state0=state, x0=x0,
+                                **solve_kw)
         tol_sig = solve_kw.get("tol_sigma", 1e-4)
         if coupled and res_i.amplitude > 0 and (
                 not res_i.converged

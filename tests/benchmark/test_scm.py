@@ -115,3 +115,12 @@ def test_scm_coupled_newton_high_re(coarse_cylinder):
     assert cres.amplitude > 1.5
     omega_hopf = abs(res.history[0][2])
     assert cres.sigma.imag > omega_hopf
+    # second-harmonic balance from the HB1 root: must converge with a
+    # nontrivial second harmonic and only shift the fundamental mildly
+    hb2 = scm.solve_coupled(cres.mean, cres.amplitude * cres.mode,
+                            cres.sigma.imag, harmonics=2)
+    assert hb2.converged, hb2.history
+    assert hb2.q2 is not None
+    A2 = float(np.sqrt(np.real(np.vdot(hb2.q2, scm._Ms @ hb2.q2))))
+    assert 0 < A2 < hb2.amplitude  # second harmonic is subdominant
+    assert abs(hb2.sigma.imag - cres.sigma.imag) < 0.03 * cres.sigma.imag

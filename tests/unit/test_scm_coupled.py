@@ -113,6 +113,55 @@ def test_coupled_jacobian_matches_fd(tiny_model):
     assert err < 1e-6, err
 
 
+def test_hb2_jacobian_matches_fd(tiny_model):
+    """Same FD consistency for the second-harmonic-balance (HB2)
+    bordered system — exercises the q2 blocks, the B(q1*, q2)
+    first-harmonic feedback, and both omega columns."""
+    import scipy.sparse as sp
+
+    model = tiny_model
+    n = model.ctx.spaces.num_dofs
+    rng = np.random.default_rng(11)
+    mask_m = np.asarray(model._base_asm.bc_mask, dtype=bool)
+    bcv_m = np.asarray(model._base_asm.bc_values, dtype=float)
+    mask_p = np.asarray(model.bcs_pert.dirichlet_mask, dtype=bool)
+    zm = sp.diags(np.where(mask_m, 0.0, 1.0))
+    zp = sp.diags(np.where(mask_p, 0.0, 1.0))
+
+    U = np.where(mask_m, bcv_m, 0.3 * rng.standard_normal(n))
+    q1 = np.where(mask_p, 0.0,
+                  rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    q2 = np.where(mask_p, 0.0,
+                  rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    om = 0.73
+    avec = model._Ms.T @ q1.real
+    bvec = model._Ms.T @ q1.imag
+
+    def resid(z):
+        Uz = z[:n]
+        q1z = z[n:2 * n] + 1j * z[2 * n:3 * n]
+        q2z = z[3 * n:4 * n] + 1j * z[4 * n:5 * n]
+        Aop = model._linearized_scipy(Uz)
+        return model._hb2_residual(
+            Uz, q1z, q2z, float(z[-1]), Aop, avec, bvec, mask_m, mask_p)
+
+    z0 = np.concatenate([U, q1.real, q1.imag, q2.real, q2.imag, [om]])
+    Aop = model._linearized_scipy(U)
+    K = model._hb2_matrix(U, q1, q2, om, Aop, avec, bvec, zm, zp)
+    assert K.shape == (5 * n + 1, 5 * n + 1)
+
+    dz = rng.standard_normal(5 * n + 1)
+    for blk in range(5):
+        dz[blk * n:(blk + 1) * n][mask_m if blk == 0 else mask_p] = 0.0
+    dz /= np.linalg.norm(dz)
+
+    eps = 1e-6
+    fd = (resid(z0 + eps * dz) - resid(z0 - eps * dz)) / (2 * eps)
+    an = K @ dz
+    err = np.linalg.norm(an - fd) / np.linalg.norm(fd)
+    assert err < 1e-6, err
+
+
 def test_coupled_residual_zero_at_eigenpair(tiny_model):
     """At (any baseflow U, its exact marginal-shifted eigenpair scaled
     to zero amplitude) F2 must vanish: build q from an actual
