@@ -32,6 +32,11 @@ def main() -> int:
     ap.add_argument("--re", type=float, default=60.0)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--out", type=Path, default=None)
+    ap.add_argument(
+        "--hill", action="store_true",
+        help="Floquet exponents of the HB2 cycle by Hill's method, "
+             "compared against the time-domain monodromy multipliers "
+             "(doc/floquet_re60_small.json)")
     args = ap.parse_args()
 
     import jax
@@ -113,6 +118,39 @@ def main() -> int:
     if dns_omega:
         out["omega_err_hb1"] = abs(hb1.sigma.imag - dns_omega) / dns_omega
         out["omega_err_hb2"] = abs(hb2.sigma.imag - dns_omega) / dns_omega
+
+    if args.hill and hb2.converged:
+        import jax.numpy as jnp
+
+        from lsafw_tpu.hill import hill_floquet
+        from lsafw_tpu.models.navier_stokes import (
+            LinearizedNavierStokesAssembler,
+        )
+
+        om = hb2.sigma.imag
+        asm = LinearizedNavierStokesAssembler(
+            jnp.asarray(hb2.mean), ctx, args.re, bcs, mesh)
+        A, M = (m.to_scipy() for m in asm.assemble_eigensystem())
+        t0 = time.time()
+        hl = hill_floquet(
+            ctx, A, M, [hb2.amplitude * hb2.mode, hb2.q2], om,
+            n_blocks=3, num=12,
+            bc_mask=np.asarray(bcs.dirichlet_mask, bool))
+        t_hill = time.time() - t0
+        lead = sorted(hl.exponents, key=lambda s: -s.real)[:4]
+        out["hill"] = {
+            "exponents": [[s.real, s.imag] for s in lead],
+            "multipliers_abs": sorted(
+                np.abs(hl.multipliers), reverse=True)[:4],
+            "trivial_error": float(min(abs(s) for s in hl.exponents)),
+            "seconds": t_hill,
+            "note": (
+                "Floquet exponents of the HB2 cycle (frequency "
+                "domain).  The trivial (phase) exponent must sit at 0 "
+                "up to the HB truncation; compare |mu| with the "
+                "time-domain monodromy around the DNS cycle, "
+                "doc/floquet_re60_small.json: subdominant |mu| = 0.802."),
+        }
     print(json.dumps(out, indent=1))
     if args.out:
         args.out.write_text(json.dumps(out, indent=1))
