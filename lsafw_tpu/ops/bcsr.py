@@ -218,6 +218,25 @@ def _fill(plan: BCSRPlan, data: jnp.ndarray, dtype) -> jnp.ndarray:
     return flat.reshape(plan.NBR, plan.KB, plan.br, plan.bc)
 
 
+@_partial(jax.jit, static_argnums=(2, 3, 4), donate_argnums=())
+def _fill_grid_jit(pos, data, shape, stored, dtype):
+    """Scatter CSR values STRAIGHT into the padded (S, C, KB, br, bc)
+    scan grid: the grid is a zero-padded contiguous reshape of the flat
+    store, so the flat scatter offsets are unchanged and the pad rows
+    are the zeros never written.  One output buffer — the eager
+    fill -> pad -> reshape chain peaked at ~3x the value storage per
+    operand stacked on the band factor (the 167k eigen-stage OOM)."""
+    flat = jnp.zeros(int(np.prod(shape)), dtype=dtype)
+    flat = flat.at[pos].set(data.astype(dtype))
+    return flat.reshape(shape)
+
+
+def _fill_grid(plan: BCSRPlan, data: jnp.ndarray, S: int, C: int,
+               dtype) -> jnp.ndarray:
+    return _fill_grid_jit(
+        plan.pos, data, (S, C, plan.KB, plan.br, plan.bc), plan.stored, dtype)
+
+
 def _split_hi_lo(x: jnp.ndarray):
     hi = x.astype(jnp.float32)
     lo = (x - hi.astype(jnp.float64)).astype(jnp.float32)
@@ -389,8 +408,10 @@ class BCSRShiftedOp:
     never exists — and a sigma SWEEP refactors with zero refill: the
     shift lives in the pytree leaves, so one compiled apply serves every
     sigma.  The C apply fuses the A- and M-reductions over ONE set of
-    x-block gathers.  ``mass_view()`` adapts the same storage to the
-    ``Mop`` slot of :class:`lsafw_tpu.solver.eigen.BandedSIOp`.
+    x-block gathers.  ``mass_pair`` serves M x over the same storage
+    (the eigen solver's ``_si_apply_M`` calls it directly — wrapping it
+    in :class:`BCSRMassView` as a separate pytree leaf would duplicate
+    the value blocks in every jitted program's parameter list).
     """
 
     vA: jnp.ndarray  # (S, C, KB, br, bc) f64, group-padded to the scan grid
@@ -420,19 +441,20 @@ class BCSRShiftedOp:
                  br: int = 16, bc: int = 128) -> "BCSRShiftedOp":
         if plan is None:
             plan = plan_for_pattern(A, br=br, bc=bc)
-        vA = _fill(plan, A.data, jnp.float64)
-        vM = _fill(plan, M.data, jnp.float64)
         # pad the group axis to an S x C scan grid (<= S-1 extra groups)
         # and store GRIDDED (5-D) — a per-apply reshape of multi-GB f64
-        # buffers is not reliably free under TPU tiling
+        # buffers is not reliably free under TPU tiling.  The values are
+        # scattered DIRECTLY into the gridded layout (one buffer per
+        # operand; see _fill_grid_jit).
         NBR = plan.NBR
         S = -(-NBR // 512)
         C = -(-NBR // S)
         padg = S * C - NBR
+        vA = _fill_grid(plan, A.data, S, C, jnp.float64)
+        vM = _fill_grid(plan, M.data, S, C, jnp.float64)
         pad4 = lambda a: jnp.pad(a, ((0, padg),) + ((0, 0),) * (a.ndim - 1))
-        grid = lambda a: (pad4(a) if padg else a).reshape(S, C, *a.shape[1:])
         colblk = (pad4(plan.colblk) if padg else plan.colblk)
-        return cls(grid(vA), grid(vM), colblk, plan.perm_d, plan.iperm_d,
+        return cls(vA, vM, colblk, plan.perm_d, plan.iperm_d,
                    jnp.asarray(sigma.real, jnp.float64),
                    jnp.asarray(sigma.imag, jnp.float64),
                    plan.n, plan.br, plan.bc, plan.NCB, C)
