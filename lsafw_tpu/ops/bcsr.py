@@ -218,8 +218,8 @@ def _fill(plan: BCSRPlan, data: jnp.ndarray, dtype) -> jnp.ndarray:
     return flat.reshape(plan.NBR, plan.KB, plan.br, plan.bc)
 
 
-@_partial(jax.jit, static_argnums=(2, 3, 4), donate_argnums=())
-def _fill_grid_jit(pos, data, shape, stored, dtype):
+@_partial(jax.jit, static_argnums=(2, 3), donate_argnums=())
+def _fill_grid_jit(pos, data, shape, dtype):
     """Scatter CSR values STRAIGHT into the padded (S, C, KB, br, bc)
     scan grid: the grid is a zero-padded contiguous reshape of the flat
     store, so the flat scatter offsets are unchanged and the pad rows
@@ -234,7 +234,7 @@ def _fill_grid_jit(pos, data, shape, stored, dtype):
 def _fill_grid(plan: BCSRPlan, data: jnp.ndarray, S: int, C: int,
                dtype) -> jnp.ndarray:
     return _fill_grid_jit(
-        plan.pos, data, (S, C, plan.KB, plan.br, plan.bc), plan.stored, dtype)
+        plan.pos, data, (S, C, plan.KB, plan.br, plan.bc), dtype)
 
 
 def _split_hi_lo(x: jnp.ndarray):
@@ -410,8 +410,9 @@ class BCSRShiftedOp:
     sigma.  The C apply fuses the A- and M-reductions over ONE set of
     x-block gathers.  ``mass_pair`` serves M x over the same storage
     (the eigen solver's ``_si_apply_M`` calls it directly — wrapping it
-    in :class:`BCSRMassView` as a separate pytree leaf would duplicate
-    the value blocks in every jitted program's parameter list).
+    in a mass-view adapter passed as a separate pytree leaf would
+    duplicate the value blocks in every jitted program's parameter
+    list).
     """
 
     vA: jnp.ndarray  # (S, C, KB, br, bc) f64, group-padded to the scan grid
@@ -529,29 +530,6 @@ class BCSRShiftedOp:
         xip = gather_f64_fast(xi, self.perm)
         yr, yi = self.mass_pair_permuted(xrp, xip)
         return gather_f64_fast(yr, self.iperm), gather_f64_fast(yi, self.iperm)
-
-    def mass_view(self) -> "BCSRMassView":
-        return BCSRMassView(self)
-
-
-@jax.tree_util.register_pytree_node_class
-@dataclass
-class BCSRMassView:
-    """Adapter exposing ``matvec_pair = M x`` over a
-    :class:`BCSRShiftedOp`'s storage (the ``Mop`` protocol)."""
-
-    op: BCSRShiftedOp
-
-    def tree_flatten(self):
-        return (self.op,), ()
-
-    @classmethod
-    def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves)
-
-    def matvec_pair(self, xr: jnp.ndarray, xi: jnp.ndarray):
-        return self.op.mass_pair(xr, xi)
-
 
 def operator_for_budget(A, *, br: int = 16, bc: int = 128,
                         shadow32: bool = False):

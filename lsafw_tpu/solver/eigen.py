@@ -449,8 +449,8 @@ class ShiftInvertOperator:
         if M is not None:
             Cop = BCSRShiftedOp.from_csr(A, M, self.sigma, plan)
             # Mop stays None: _si_apply_M routes through Cop.mass_pair —
-            # a BCSRMassView here would re-list Cop's value blocks as a
-            # second multi-GB jit parameter (counted twice by XLA).
+            # a mass-view adapter here would re-list Cop's value blocks
+            # as a second multi-GB jit parameter (counted twice by XLA).
             Mop = None
         else:
             diag = A.dev.diag_slots

@@ -106,7 +106,7 @@ def test_bcsr_shifted_op():
     yr, yi = op.matvec_pair(jnp.asarray(z.real), jnp.asarray(z.imag))
     np.testing.assert_allclose(np.asarray(yr) + 1j * np.asarray(yi), C @ z,
                                rtol=1e-12, atol=1e-12)
-    mr, mi = op.mass_view().matvec_pair(jnp.asarray(z.real), jnp.asarray(z.imag))
+    mr, mi = op.mass_pair(jnp.asarray(z.real), jnp.asarray(z.imag))
     np.testing.assert_allclose(np.asarray(mr) + 1j * np.asarray(mi), Md @ z,
                                rtol=1e-12, atol=1e-12)
     # sigma is a pytree leaf: one jitted apply serves every shift
@@ -120,4 +120,46 @@ def test_bcsr_shifted_op():
     yr2, yi2 = apply(op2, jnp.asarray(z.real), jnp.asarray(z.imag))
     C2 = A - (3.1 + 0.2j) * Md
     np.testing.assert_allclose(np.asarray(yr2) + 1j * np.asarray(yi2), C2 @ z,
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_si_apply_m_dispatch():
+    """_si_apply_M routing (advisor round-3): with Mop=None it must take
+    Cop.mass_pair when Cop is a BCSRShiftedOp (shared-storage M apply),
+    and fall back to spmv_pair(M) for Cop types without mass_pair."""
+    from lsafw_tpu.ops.bcsr import BCSRShiftedOp
+    from lsafw_tpu.ops.sparse import CSRMatrix
+    from lsafw_tpu.solver.eigen import BandedSIOp, _si_apply_M
+
+    A = fem_like_matrix(400, seed=12)
+    rng = np.random.default_rng(13)
+    Md = sp.csr_matrix((rng.random(A.nnz) + 0.5, A.indices, A.indptr),
+                       shape=A.shape)
+    Am = _as_csrmatrix(A)
+    Mm = CSRMatrix(Am.pattern, jnp.asarray(Md.data))
+    sigma = 0.3 + 0.9j
+    cop = BCSRShiftedOp.from_csr(Am, Mm, sigma, br=8, bc=32)
+    z = rng.standard_normal(A.shape[0]) + 1j * rng.standard_normal(A.shape[0])
+    xr, xi = jnp.asarray(z.real), jnp.asarray(z.imag)
+
+    sr = jnp.asarray(sigma.real)
+    si = jnp.asarray(sigma.imag)
+    # Mop=None + BCSRShiftedOp Cop -> mass_pair over shared storage.
+    # M is deliberately WRONG (2x) so the assertion proves the route.
+    M2 = CSRMatrix(Am.pattern, jnp.asarray(2.0 * Md.data))
+    op_bcsr = BandedSIOp(A=Am, M=M2, blu=None, sig_re=sr, sig_im=si,
+                         Cop=cop, Mop=None)
+    mr, mi = _si_apply_M(op_bcsr, xr, xi)
+    np.testing.assert_allclose(np.asarray(mr) + 1j * np.asarray(mi), Md @ z,
+                               rtol=1e-12, atol=1e-12)
+
+    # Cop without mass_pair (a plain pair operator) -> spmv_pair(op.M)
+    c_re = CSRMatrix(Am.pattern, Am.data - sigma.real * Mm.data)
+    pair_cop = BCSRPairOperator.from_csr_pair(c_re, -sigma.imag * Mm.data,
+                                              br=8, bc=32)
+    assert not hasattr(pair_cop, "mass_pair")
+    op_plain = BandedSIOp(A=Am, M=Mm, blu=None, sig_re=sr, sig_im=si,
+                          Cop=pair_cop, Mop=None)
+    mr2, mi2 = _si_apply_M(op_plain, xr, xi)
+    np.testing.assert_allclose(np.asarray(mr2) + 1j * np.asarray(mi2), Md @ z,
                                rtol=1e-12, atol=1e-12)
