@@ -13,21 +13,30 @@ column-block ids.  The apply is one slice-gather of x blocks
 (``KB * n/br`` indices instead of ``nnz``) followed by a dense
 (br, bc) x (bc,) contraction per block — pure VPU/MXU work.
 
-The layout only works on a bandwidth-reduced ordering: RCM clusters
-the columns of adjacent rows into a handful of blocks (measured on the
-43k cylinder Jacobian: 4.3 column-blocks of 128 per 8-row group vs ~30
-scattered singles unpermuted).  The plan shares the native-RCM
-permutation infrastructure with :mod:`lsafw_tpu.solver.band`, and the
-operator exposes ``matvec_permuted`` so a banded-SI refinement loop
-(band solve -> residual matvec) can run end-to-end in permuted
-coordinates with no per-iteration permutation gathers.
+Round-4 layout (the 167k eigen-stage OOM fix, VERDICT r3 items 1/4):
 
-f64 path: the value blocks are read LINEARLY (no gather), so they can
-be stored as native f64; only the x-block gather must avoid emulated
-f64 — x rides as hi/lo f32 channels (exactly representable splits,
-recombined in-register), and the contraction runs as multiply+reduce
-in f64 on the VPU (the ddot-clean formulation; the MXU f64 dot drops
-the low word).
+* **Packed lanes** — TPU tiles the last axis to 128 lanes, so a bc < 128
+  block would waste (128/bc)x memory.  Instead ``P = 128 // bc`` logical
+  blocks pack into each physical 128-lane row: storage is
+  (S, C, KB/P, br, 128) and block ``k`` occupies lanes
+  ``[(k % P)*bc, (k % P + 1)*bc)`` of lane-row ``k // P``.  Small bc
+  tracks the actual column clusters of the RCM pattern (measured fill at
+  bc=128 on the 175k cylinder Jacobian: 1.5% — 2.7 GB stored for 41 MB
+  of data), cutting both HBM footprint and the bandwidth-bound apply.
+* **Pre-split f32 channels** — f64 value buffers made XLA materialize
+  per-program X64SplitHigh/Low copies (2 x 1.34 GB temps per operand at
+  175k, the eigen-stage OOM).  Values are stored as exact (hi, lo) f32
+  pairs; the reduce upcasts per scan chunk only.
+* **Gridded + scanned** — all operators store values on an (S, C) scan
+  grid and reduce via ``lax.scan`` over S, bounding live temporaries to
+  chunk size (the round-1/2 ">100k fused-expand kernel fault" fix).
+
+The layout only works on a bandwidth-reduced ordering: RCM clusters the
+columns of adjacent rows into a handful of blocks.  The plan shares the
+native-RCM permutation infrastructure with :mod:`lsafw_tpu.solver.band`,
+and the operators expose ``matvec_permuted`` so a banded-SI refinement
+loop (band solve -> residual matvec) runs end-to-end in permuted
+coordinates with no per-iteration permutation gathers.
 
 Parity: PETSc MatMult as the per-iteration Krylov workhorse
 (``/root/reference/Solver/utils.py:395-403``).
@@ -35,7 +44,9 @@ Parity: PETSc MatMult as the per-iteration Krylov workhorse
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
+from functools import partial as _partial
 
 import jax
 import jax.numpy as jnp
@@ -53,7 +64,6 @@ _PLAN_CACHE_MAX = 8
 # Host-CPU jitted planning arithmetic (pinned to the CPU backend by the
 # caller's jax.default_device context): this VM's numpy runs scalar
 # loops for elementwise integer/float passes, ~500x slower than XLA.
-from functools import partial as _partial
 
 
 @_partial(jax.jit, static_argnums=(3, 4, 5))
@@ -75,38 +85,64 @@ def _plan_kidx(uk, key, offs, gid):
     return (jnp.searchsorted(uk, key) - offs[gid]).astype(jnp.int32)
 
 
-@_partial(jax.jit, static_argnums=(4, 5, 6))
-def _plan_pos(gid, kidx, pr, pc, br, bc, KB):
-    inner = (gid * jnp.int32(KB) + kidx) * jnp.int32(br) + pr % jnp.int32(br)
-    return inner, pc % jnp.int32(bc)
+@_partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _plan_pos(gid, kidx, pr, pc, br, bc, KBP, P):
+    """Flat slot into the packed (NBR, KBP, br, 128) value buffer."""
+    lane_row = gid * jnp.int32(KBP) + kidx // jnp.int32(P)
+    inner = lane_row * jnp.int32(br) + pr % jnp.int32(br)
+    lane = (kidx % jnp.int32(P)) * jnp.int32(bc) + pc % jnp.int32(bc)
+    return inner, lane
 
 
 @dataclass(frozen=True, eq=False)
 class BCSRPlan:
     """Host-built BCSR structure for one sparsity pattern.
 
-    ``pos``: flat scatter targets (nnz,) into the (NBR, KB, br, bc)
-    value buffer, in the PERMUTED CSR entry order given by ``entry_of``
-    (entry_of[k] = original CSR entry feeding permuted slot k).
+    ``pos``: flat scatter targets (nnz,) into the gridded
+    (S, C, KB/P, br, 128) value buffer (group-major, so offsets are the
+    same as for the ungridded store), in original CSR entry order.
+    ``colblk`` is stored grid-padded: (S*C, KB) with pad groups/blocks
+    pointing at column-block 0 (whose value slots are never written).
     """
 
     perm: np.ndarray  # (n,) permuted index -> original
     iperm: np.ndarray  # (n,) original -> permuted
     perm_d: jnp.ndarray
     iperm_d: jnp.ndarray
-    colblk: jnp.ndarray  # (NBR, KB) int32 column-block ids (pad: 0)
+    colblk: jnp.ndarray  # (S*C, KB) int32 column-block ids (pad: 0)
     pos: jnp.ndarray  # (nnz,) int32/int64 flat slots into the value buffer
     n: int
     br: int
     bc: int
-    KB: int
+    KB: int  # logical blocks per group, padded to a multiple of P
     NBR: int
     NCB: int
     nnz: int
+    S: int  # scan steps
+    C: int  # row groups per scan step
+
+    @property
+    def P(self) -> int:
+        """Logical bc-blocks packed per physical 128-lane row."""
+        return 128 // self.bc
+
+    @property
+    def KBP(self) -> int:
+        """Physical 128-lane rows per row group."""
+        return self.KB // self.P
 
     @property
     def stored(self) -> int:
-        return self.NBR * self.KB * self.br * self.bc
+        """f32 slots per channel array (= padded value-buffer size)."""
+        return self.S * self.C * self.KBP * self.br * 128
+
+    @property
+    def bytes_per_matrix(self) -> int:
+        """Device bytes for one stored matrix (hi + lo f32 channels)."""
+        return self.stored * 8
+
+    def grid_shape(self, channels: int = 2) -> tuple:
+        return (channels, self.S, self.C, self.KBP, self.br, 128)
 
     @classmethod
     def build(cls, A: sp.spmatrix, *, br: int = 8, bc: int = 128,
@@ -115,6 +151,9 @@ class BCSRPlan:
         to the native RCM ordering (shared with the band planner)."""
         from lsafw_tpu.solver.band import rcm_permutation
 
+        if 128 % bc != 0:
+            raise ValueError("bc must divide 128 (TPU lane width)")
+        P = 128 // bc
         A = sp.csr_matrix(A)
         n = A.shape[0]
         if perm is None:
@@ -151,39 +190,53 @@ class BCSRPlan:
             ublk = np.asarray(blk_j)
         counts = np.bincount(ug, minlength=NBR)
         KB = int(counts.max())
+        KB = -(-KB // P) * P  # pad to full 128-lane rows
         offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
         with jax.default_device(cpu):
             kidx_j = _plan_kidx(jnp.asarray(uk), key_j, jnp.asarray(offs), gid_j)
             kidx = np.asarray(kidx_j)
 
-        colblk = np.zeros((NBR, KB), dtype=np.int32)
+        # scan grid: chunk row groups so per-step temporaries stay small
+        S = -(-NBR // 512)
+        C = -(-NBR // S)
+        colblk = np.zeros((S * C, KB), dtype=np.int32)
         colblk[ug, np.arange(len(uk), dtype=np.int32) - offs[ug]] = ublk
 
         # flat value-buffer slot of every ORIGINAL CSR entry: the
-        # pre-column part fits int32 (< stored/bc); widen only at the
+        # pre-lane part fits int32 (< stored/128); widen only at the
         # final combine when the buffer crosses 2^31
-        stored_total = NBR * KB * br * bc
+        KBP = KB // P
+        stored_total = S * C * KBP * br * 128
         with jax.default_device(cpu):
-            inner_j, remc_j = _plan_pos(gid_j, kidx_j, pr_j, pc_j, br, bc, KB)
+            inner_j, lane_j = _plan_pos(gid_j, kidx_j, pr_j, pc_j, br, bc, KBP, P)
             if stored_total < 2**31:
-                pos_of_orig = np.asarray(inner_j * jnp.int32(bc) + remc_j)
+                pos_of_orig = np.asarray(inner_j * jnp.int32(128) + lane_j)
             else:  # rare; numpy int64 is slow on this VM but correct
-                pos_of_orig = (np.asarray(inner_j).astype(np.int64) * bc
-                               + np.asarray(remc_j))
+                pos_of_orig = (np.asarray(inner_j).astype(np.int64) * 128
+                               + np.asarray(lane_j))
 
-        stored = NBR * KB * br * bc
         logger.info(
-            "BCSRPlan: n=%d nnz=%d br=%d bc=%d KB=%d stored=%.1fM fill=%.3f",
-            n, A.nnz, br, bc, KB, stored / 1e6, A.nnz / stored,
+            "BCSRPlan: n=%d nnz=%d br=%d bc=%d (P=%d) KB=%d stored=%.1fM "
+            "fill=%.3f", n, A.nnz, br, bc, P, KB,
+            stored_total / 1e6, A.nnz / stored_total,
         )
-        idx_dtype = jnp.int32 if stored < 2**31 else jnp.int64
+        idx_dtype = jnp.int32 if stored_total < 2**31 else jnp.int64
         return cls(
             perm=perm, iperm=iperm,
             perm_d=jnp.asarray(perm), iperm_d=jnp.asarray(iperm),
             colblk=jnp.asarray(colblk),
             pos=jnp.asarray(pos_of_orig, dtype=idx_dtype),
             n=n, br=br, bc=bc, KB=KB, NBR=NBR, NCB=NCB, nnz=int(A.nnz),
+            S=S, C=C,
         )
+
+
+def default_block_shape() -> tuple[int, int]:
+    """(br, bc) used by the production SI/Newton paths; bc=32 tracks the
+    RCM column clusters ~4x tighter than bc=128 on the cylinder patterns
+    (overridable: LSAFW_BCSR_BR / LSAFW_BCSR_BC)."""
+    return (int(os.environ.get("LSAFW_BCSR_BR", "16")),
+            int(os.environ.get("LSAFW_BCSR_BC", "32")))
 
 
 def plan_for_pattern(A, *, br: int = 8, bc: int = 128) -> BCSRPlan:
@@ -205,36 +258,27 @@ def plan_for_pattern(A, *, br: int = 8, bc: int = 128) -> BCSRPlan:
     return plan
 
 
-@_partial(jax.jit, static_argnums=(2, 3), donate_argnums=())
-def _fill_jit(pos, data, stored, dtype):
-    flat = jnp.zeros(stored, dtype=dtype)
-    return flat.at[pos].set(data.astype(dtype))
+@_partial(jax.jit, static_argnums=(2,), donate_argnums=())
+def _fill_split_jit(pos, data, shape):
+    """Scatter CSR values STRAIGHT into the gridded value buffer as
+    exact (hi, lo) f32 channels.  One output buffer per channel — no
+    f64 intermediate ever exists on device (f64 buffers force XLA to
+    materialize X64Split copies inside every consuming program; that
+    was the 167k eigen-stage OOM)."""
+    flat = int(np.prod(shape))
+    hi_v = data.astype(jnp.float32)
+    lo_v = (data - hi_v.astype(jnp.float64)).astype(jnp.float32)
+    hi = jnp.zeros(flat, jnp.float32).at[pos].set(hi_v).reshape(shape)
+    lo = jnp.zeros(flat, jnp.float32).at[pos].set(lo_v).reshape(shape)
+    return hi, lo
 
 
-def _fill(plan: BCSRPlan, data: jnp.ndarray, dtype) -> jnp.ndarray:
-    # jitted so XLA materializes ONE buffer (eager .at[].set copies the
-    # zeros first — a 2.7 GB transient per fill at production sizes)
-    flat = _fill_jit(plan.pos, data, plan.stored, dtype)
-    return flat.reshape(plan.NBR, plan.KB, plan.br, plan.bc)
-
-
-@_partial(jax.jit, static_argnums=(2, 3), donate_argnums=())
-def _fill_grid_jit(pos, data, shape, dtype):
-    """Scatter CSR values STRAIGHT into the padded (S, C, KB, br, bc)
-    scan grid: the grid is a zero-padded contiguous reshape of the flat
-    store, so the flat scatter offsets are unchanged and the pad rows
-    are the zeros never written.  One output buffer — the eager
-    fill -> pad -> reshape chain peaked at ~3x the value storage per
-    operand stacked on the band factor (the 167k eigen-stage OOM)."""
-    flat = jnp.zeros(int(np.prod(shape)), dtype=dtype)
-    flat = flat.at[pos].set(data.astype(dtype))
-    return flat.reshape(shape)
-
-
-def _fill_grid(plan: BCSRPlan, data: jnp.ndarray, S: int, C: int,
-               dtype) -> jnp.ndarray:
-    return _fill_grid_jit(
-        plan.pos, data, (S, C, plan.KB, plan.br, plan.bc), dtype)
+def _fill_split(plan: BCSRPlan, data: jnp.ndarray):
+    """(hi, lo) f32 value buffers, gridded (S, C, KBP, br, 128)."""
+    shape = (plan.S, plan.C, plan.KBP, plan.br, 128)
+    if data.dtype != jnp.float64:
+        data = data.astype(jnp.float64)
+    return _fill_split_jit(plan.pos, data, shape)
 
 
 def _split_hi_lo(x: jnp.ndarray):
@@ -243,13 +287,48 @@ def _split_hi_lo(x: jnp.ndarray):
     return hi, lo
 
 
+def _red(vhi: jnp.ndarray, vlo: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
+    """One chunk reduction: sum_{kp, lane} V[c,kp,r,lane] * X[c,kp,lane]
+    with V recombined to f64 per chunk (multiply+reduce on the VPU —
+    the ddot-clean formulation; the MXU f64 dot drops the low word)."""
+    V = vhi.astype(jnp.float64) + vlo.astype(jnp.float64)
+    return (V * X[:, :, None, :]).sum(axis=(1, 3))
+
+
+class _PlanGeom:
+    """Shared gather/grid helpers over the packed layout (mixin)."""
+
+    def _xg(self, xp: jnp.ndarray) -> jnp.ndarray:
+        """Gathered x blocks, gridded (S, C, KBP, 128) f64: x rides as
+        exact hi/lo f32 channels through the slice gather."""
+        hi, lo = _split_hi_lo(xp)
+        npad = self.NCB * self.bc
+        pad = lambda v: jnp.pad(v, (0, npad - self.n)).reshape(self.NCB, self.bc)
+        xg = (pad(hi)[self.colblk].astype(jnp.float64)
+              + pad(lo)[self.colblk].astype(jnp.float64))
+        G, KB = xg.shape[0], xg.shape[1]
+        return xg.reshape(G // self.chunk, self.chunk, KB * self.bc // 128, 128)
+
+    def _xg32(self, xp: jnp.ndarray) -> jnp.ndarray:
+        npad = self.NCB * self.bc
+        xb = jnp.pad(xp.astype(jnp.float32),
+                     (0, npad - self.n)).reshape(self.NCB, self.bc)
+        xg = xb[self.colblk]
+        G, KB = xg.shape[0], xg.shape[1]
+        return xg.reshape(G // self.chunk, self.chunk, KB * self.bc // 128, 128)
+
+    def _unpad(self, y: jnp.ndarray) -> jnp.ndarray:
+        return y.reshape(-1)[: self.n]
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
-class BCSROperator:
-    """One real matrix in BCSR layout (f64 values, f32 shadow)."""
+class BCSROperator(_PlanGeom):
+    """One real matrix in packed BCSR layout (exact hi/lo f32 channels,
+    gridded for the scan reduce)."""
 
-    vals: jnp.ndarray  # (NBR, KB, br, bc) f64
-    vals32: jnp.ndarray  # f32 shadow for the fast path
+    v_hi: jnp.ndarray  # (S, C, KBP, br, 128) f32
+    v_lo: jnp.ndarray
     colblk: jnp.ndarray
     perm: jnp.ndarray
     iperm: jnp.ndarray
@@ -257,10 +336,11 @@ class BCSROperator:
     br: int
     bc: int
     NCB: int
+    chunk: int
 
     def tree_flatten(self):
-        return ((self.vals, self.vals32, self.colblk, self.perm, self.iperm),
-                (self.n, self.br, self.bc, self.NCB))
+        return ((self.v_hi, self.v_lo, self.colblk, self.perm, self.iperm),
+                (self.n, self.br, self.bc, self.NCB, self.chunk))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -272,48 +352,47 @@ class BCSROperator:
                  shadow32: bool = True) -> "BCSROperator":
         if plan is None:
             plan = plan_for_pattern(A, br=br, bc=bc)
-        vals = _fill(plan, A.data, jnp.float64)
-        return cls(vals, vals.astype(jnp.float32) if shadow32 else None,
-                   plan.colblk, plan.perm_d, plan.iperm_d,
-                   plan.n, plan.br, plan.bc, plan.NCB)
+        hi, lo = _fill_split(plan, A.data)
+        return cls(hi, lo, plan.colblk, plan.perm_d, plan.iperm_d,
+                   plan.n, plan.br, plan.bc, plan.NCB, plan.C)
 
     # -- permuted-space applies ----------------------------------------
-    def _xblocks(self, xp: jnp.ndarray, dtype):
-        """Pad permuted x to block grid and slice-gather (NBR, KB, bc)."""
-        npad = self.NCB * self.bc
-        xb = jnp.pad(xp.astype(dtype), (0, npad - self.n)).reshape(self.NCB, self.bc)
-        return xb[self.colblk]
-
     def matvec_permuted32(self, xp: jnp.ndarray) -> jnp.ndarray:
-        xg = self._xblocks(xp, jnp.float32)
-        y = jnp.einsum("gkrc,gkc->gr", self.vals32, xg)
-        return y.reshape(-1)[: self.n]
+        xg = self._xg32(xp)
+
+        def step(_, vx):
+            vh, x_ = vx
+            return None, jnp.einsum("gkrc,gkc->gr", vh, x_)
+
+        _, y = jax.lax.scan(step, None, (self.v_hi, xg))
+        return self._unpad(y)
 
     def matvec_permuted(self, xp: jnp.ndarray) -> jnp.ndarray:
-        """Clean-f64 apply: x gathered as hi/lo f32 channels, values read
-        linearly as f64, multiply+reduce on the VPU."""
-        hi, lo = _split_hi_lo(xp)
-        npad = self.NCB * self.bc
-        pad = lambda v: jnp.pad(v, (0, npad - self.n)).reshape(self.NCB, self.bc)
-        xg = (pad(hi)[self.colblk].astype(jnp.float64)
-              + pad(lo)[self.colblk].astype(jnp.float64))
-        prod = self.vals * xg[:, :, None, :]
-        return prod.sum(axis=(1, 3)).reshape(-1)[: self.n]
+        """Clean-f64 apply: x gathered as hi/lo f32 channels, values
+        recombined per scan chunk, multiply+reduce on the VPU."""
+        xg = self._xg(xp)
+
+        def step(_, vx):
+            vh, vl, x_ = vx
+            return None, _red(vh, vl, x_)
+
+        _, y = jax.lax.scan(step, None, (self.v_hi, self.v_lo, xg))
+        return self._unpad(y)
 
     def matvec_pair_permuted(self, xr: jnp.ndarray, xi: jnp.ndarray):
         """Real operator on a complex pair: one linear read of the value
         blocks serves both channels (the ``Mop`` slot of the banded SI)."""
-        hi_r, lo_r = _split_hi_lo(xr)
-        hi_i, lo_i = _split_hi_lo(xi)
-        npad = self.NCB * self.bc
-        pad = lambda v: jnp.pad(v, (0, npad - self.n)).reshape(self.NCB, self.bc)
-        xgr = (pad(hi_r)[self.colblk].astype(jnp.float64)
-               + pad(lo_r)[self.colblk].astype(jnp.float64))
-        xgi = (pad(hi_i)[self.colblk].astype(jnp.float64)
-               + pad(lo_i)[self.colblk].astype(jnp.float64))
-        yr = (self.vals * xgr[:, :, None, :]).sum(axis=(1, 3))
-        yi = (self.vals * xgi[:, :, None, :]).sum(axis=(1, 3))
-        return yr.reshape(-1)[: self.n], yi.reshape(-1)[: self.n]
+        xgr, xgi = self._xg(xr), self._xg(xi)
+
+        def step(_, vx):
+            vh, vl, xr_, xi_ = vx
+            V = vh.astype(jnp.float64) + vl.astype(jnp.float64)
+            red = lambda X: (V * X[:, :, None, :]).sum(axis=(1, 3))
+            return None, (red(xr_), red(xi_))
+
+        _, (yr, yi) = jax.lax.scan(
+            step, None, (self.v_hi, self.v_lo, xgr, xgi))
+        return self._unpad(yr), self._unpad(yi)
 
     def matvec_pair(self, xr: jnp.ndarray, xi: jnp.ndarray):
         from lsafw_tpu.ops.exact import gather_f64_fast
@@ -339,13 +418,15 @@ class BCSROperator:
 
 @jax.tree_util.register_pytree_node_class
 @dataclass
-class BCSRPairOperator:
-    """Complex operator C = Cr + i Ci in BCSR layout; the refinement
-    residual matvec of the banded shift-invert (replaces the ~100 ms
-    element-op apply on production meshes)."""
+class BCSRPairOperator(_PlanGeom):
+    """Complex operator C = Cr + i Ci in packed BCSR layout; the
+    refinement residual matvec of the banded shift-invert (replaces the
+    ~100 ms element-op apply on production meshes)."""
 
-    vr: jnp.ndarray  # (NBR, KB, br, bc) f64
-    vi: jnp.ndarray
+    vr_hi: jnp.ndarray  # (S, C, KBP, br, 128) f32
+    vr_lo: jnp.ndarray
+    vi_hi: jnp.ndarray
+    vi_lo: jnp.ndarray
     colblk: jnp.ndarray
     perm: jnp.ndarray
     iperm: jnp.ndarray
@@ -353,10 +434,12 @@ class BCSRPairOperator:
     br: int
     bc: int
     NCB: int
+    chunk: int
 
     def tree_flatten(self):
-        return ((self.vr, self.vi, self.colblk, self.perm, self.iperm),
-                (self.n, self.br, self.bc, self.NCB))
+        return ((self.vr_hi, self.vr_lo, self.vi_hi, self.vi_lo,
+                 self.colblk, self.perm, self.iperm),
+                (self.n, self.br, self.bc, self.NCB, self.chunk))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -369,25 +452,27 @@ class BCSRPairOperator:
         same pattern (or None for a real operator)."""
         if plan is None:
             plan = plan_for_pattern(Ar, br=br, bc=bc)
-        vr = _fill(plan, Ar.data, jnp.float64)
-        vi = _fill(plan, Ai_data if Ai_data is not None
-                   else jnp.zeros_like(Ar.data), jnp.float64)
-        return cls(vr, vi, plan.colblk, plan.perm_d, plan.iperm_d,
-                   plan.n, plan.br, plan.bc, plan.NCB)
-
-    def _xg(self, xp: jnp.ndarray):
-        hi, lo = _split_hi_lo(xp)
-        npad = self.NCB * self.bc
-        pad = lambda v: jnp.pad(v, (0, npad - self.n)).reshape(self.NCB, self.bc)
-        return (pad(hi)[self.colblk].astype(jnp.float64)
-                + pad(lo)[self.colblk].astype(jnp.float64))
+        rh, rl = _fill_split(plan, Ar.data)
+        ih, il = _fill_split(plan, Ai_data if Ai_data is not None
+                             else jnp.zeros_like(Ar.data))
+        return cls(rh, rl, ih, il, plan.colblk, plan.perm_d, plan.iperm_d,
+                   plan.n, plan.br, plan.bc, plan.NCB, plan.C)
 
     def matvec_pair_permuted(self, xr: jnp.ndarray, xi: jnp.ndarray):
         xgr, xgi = self._xg(xr), self._xg(xi)
-        red = lambda V, X: (V * X[:, :, None, :]).sum(axis=(1, 3))
-        yr = red(self.vr, xgr) - red(self.vi, xgi)
-        yi = red(self.vr, xgi) + red(self.vi, xgr)
-        return yr.reshape(-1)[: self.n], yi.reshape(-1)[: self.n]
+
+        def step(_, vx):
+            rh, rl, ih, il, xr_, xi_ = vx
+            Vr = rh.astype(jnp.float64) + rl.astype(jnp.float64)
+            Vi = ih.astype(jnp.float64) + il.astype(jnp.float64)
+            red = lambda V, X: (V * X[:, :, None, :]).sum(axis=(1, 3))
+            return None, (red(Vr, xr_) - red(Vi, xi_),
+                          red(Vr, xi_) + red(Vi, xr_))
+
+        _, (yr, yi) = jax.lax.scan(
+            step, None,
+            (self.vr_hi, self.vr_lo, self.vi_hi, self.vi_lo, xgr, xgi))
+        return self._unpad(yr), self._unpad(yi)
 
     def matvec_pair(self, xr: jnp.ndarray, xi: jnp.ndarray):
         from lsafw_tpu.ops.exact import gather_f64_fast
@@ -400,9 +485,9 @@ class BCSRPairOperator:
 
 @jax.tree_util.register_pytree_node_class
 @dataclass
-class BCSRShiftedOp:
-    """C = A - sigma M with A and M stored as BCSR value blocks and
-    sigma a traced scalar pair.
+class BCSRShiftedOp(_PlanGeom):
+    """C = A - sigma M with A and M stored as packed BCSR value blocks
+    and sigma a traced scalar pair.
 
     2/3 the memory of materializing (Re C, Im C, M) — Im C = -Im(sigma) M
     never exists — and a sigma SWEEP refactors with zero refill: the
@@ -415,8 +500,10 @@ class BCSRShiftedOp:
     list).
     """
 
-    vA: jnp.ndarray  # (S, C, KB, br, bc) f64, group-padded to the scan grid
-    vM: jnp.ndarray
+    vA_hi: jnp.ndarray  # (S, C, KBP, br, 128) f32
+    vA_lo: jnp.ndarray
+    vM_hi: jnp.ndarray
+    vM_lo: jnp.ndarray
     colblk: jnp.ndarray  # (S*C, KB) — pad groups point at block 0
     perm: jnp.ndarray
     iperm: jnp.ndarray
@@ -429,7 +516,8 @@ class BCSRShiftedOp:
     chunk: int  # C: row groups per scan step
 
     def tree_flatten(self):
-        return ((self.vA, self.vM, self.colblk, self.perm, self.iperm,
+        return ((self.vA_hi, self.vA_lo, self.vM_hi, self.vM_lo,
+                 self.colblk, self.perm, self.iperm,
                  self.sig_re, self.sig_im),
                 (self.n, self.br, self.bc, self.NCB, self.chunk))
 
@@ -442,36 +530,12 @@ class BCSRShiftedOp:
                  br: int = 16, bc: int = 128) -> "BCSRShiftedOp":
         if plan is None:
             plan = plan_for_pattern(A, br=br, bc=bc)
-        # pad the group axis to an S x C scan grid (<= S-1 extra groups)
-        # and store GRIDDED (5-D) — a per-apply reshape of multi-GB f64
-        # buffers is not reliably free under TPU tiling.  The values are
-        # scattered DIRECTLY into the gridded layout (one buffer per
-        # operand; see _fill_grid_jit).
-        NBR = plan.NBR
-        S = -(-NBR // 512)
-        C = -(-NBR // S)
-        padg = S * C - NBR
-        vA = _fill_grid(plan, A.data, S, C, jnp.float64)
-        vM = _fill_grid(plan, M.data, S, C, jnp.float64)
-        pad4 = lambda a: jnp.pad(a, ((0, padg),) + ((0, 0),) * (a.ndim - 1))
-        colblk = (pad4(plan.colblk) if padg else plan.colblk)
-        return cls(vA, vM, colblk, plan.perm_d, plan.iperm_d,
+        ah, al = _fill_split(plan, A.data)
+        mh, ml = _fill_split(plan, M.data)
+        return cls(ah, al, mh, ml, plan.colblk, plan.perm_d, plan.iperm_d,
                    jnp.asarray(sigma.real, jnp.float64),
                    jnp.asarray(sigma.imag, jnp.float64),
-                   plan.n, plan.br, plan.bc, plan.NCB, C)
-
-    def _xg(self, xp: jnp.ndarray):
-        hi, lo = _split_hi_lo(xp)
-        npad = self.NCB * self.bc
-        pad = lambda v: jnp.pad(v, (0, npad - self.n)).reshape(self.NCB, self.bc)
-        return (pad(hi)[self.colblk].astype(jnp.float64)
-                + pad(lo)[self.colblk].astype(jnp.float64))
-
-    def _grid(self, a: jnp.ndarray):
-        """Grid small per-apply arrays (x blocks) for the scan; the
-        value buffers are stored pre-gridded."""
-        S = a.shape[0] // self.chunk
-        return a.reshape(S, self.chunk, *a.shape[1:])
+                   plan.n, plan.br, plan.bc, plan.NCB, plan.C)
 
     def _reduce_all(self, xgr: jnp.ndarray, xgi: jnp.ndarray):
         """(A xr, A xi, M xr, M xi) via ONE scan over row-group chunks.
@@ -485,15 +549,18 @@ class BCSRShiftedOp:
         to chunk size (~tens of MB)."""
 
         def step(_, vx):
-            va, vm, xr_, xi_ = vx
+            ah, al, mh, ml, xr_, xi_ = vx
+            Va = ah.astype(jnp.float64) + al.astype(jnp.float64)
+            Vm = mh.astype(jnp.float64) + ml.astype(jnp.float64)
             red = lambda V, X: (V * X[:, :, None, :]).sum(axis=(1, 3))
-            return None, (red(va, xr_), red(va, xi_), red(vm, xr_), red(vm, xi_))
+            return None, (red(Va, xr_), red(Va, xi_),
+                          red(Vm, xr_), red(Vm, xi_))
 
         _, (Ar, Ai, Mr, Mi) = jax.lax.scan(
             step, None,
-            (self.vA, self.vM, self._grid(xgr), self._grid(xgi)))
-        unp = lambda a: a.reshape(-1)[: self.n]
-        return unp(Ar), unp(Ai), unp(Mr), unp(Mi)
+            (self.vA_hi, self.vA_lo, self.vM_hi, self.vM_lo, xgr, xgi))
+        return (self._unpad(Ar), self._unpad(Ai),
+                self._unpad(Mr), self._unpad(Mi))
 
     def matvec_pair_permuted(self, xr: jnp.ndarray, xi: jnp.ndarray):
         """(A - sigma M) (xr + i xi) in permuted coordinates."""
@@ -506,14 +573,15 @@ class BCSRShiftedOp:
         """M-only scan (the shift-invert RHS): reads just the vM blocks."""
 
         def step(_, vx):
-            vm, xr_, xi_ = vx
-            red = lambda V, X: (V * X[:, :, None, :]).sum(axis=(1, 3))
-            return None, (red(vm, xr_), red(vm, xi_))
+            mh, ml, xr_, xi_ = vx
+            Vm = mh.astype(jnp.float64) + ml.astype(jnp.float64)
+            red = lambda X: (Vm * X[:, :, None, :]).sum(axis=(1, 3))
+            return None, (red(xr_), red(xi_))
 
         xgr, xgi = self._xg(xr), self._xg(xi)
         _, (Mr, Mi) = jax.lax.scan(
-            step, None, (self.vM, self._grid(xgr), self._grid(xgi)))
-        return Mr.reshape(-1)[: self.n], Mi.reshape(-1)[: self.n]
+            step, None, (self.vM_hi, self.vM_lo, xgr, xgi))
+        return self._unpad(Mr), self._unpad(Mi)
 
     def matvec_pair(self, xr: jnp.ndarray, xi: jnp.ndarray):
         from lsafw_tpu.ops.exact import gather_f64_fast
@@ -531,22 +599,23 @@ class BCSRShiftedOp:
         yr, yi = self.mass_pair_permuted(xrp, xip)
         return gather_f64_fast(yr, self.iperm), gather_f64_fast(yi, self.iperm)
 
-def operator_for_budget(A, *, br: int = 16, bc: int = 128,
+
+def operator_for_budget(A, *, br: int | None = None, bc: int | None = None,
                         shadow32: bool = False):
     """Best-effort BCSR operator for refinement matvecs: returns None
     (caller keeps its scalar-gather path) when planning fails or the
-    padded blocks would bust ``LSAFW_BCSR_MEM_GB`` (default 6)."""
-    import os
-
+    packed blocks would bust ``LSAFW_BCSR_MEM_GB`` (default 6)."""
+    dbr, dbc = default_block_shape()
+    br = dbr if br is None else br
+    bc = dbc if bc is None else bc
     try:
         plan = plan_for_pattern(A, br=br, bc=bc)
     except Exception as e:
         logger.warning("BCSR planning failed (%s); keeping ELL matvecs.", e)
         return None
-    per_op = plan.stored * (8 + (4 if shadow32 else 0))
     budget = float(os.environ.get("LSAFW_BCSR_MEM_GB", "6")) * 1e9
-    if per_op > budget:
+    if plan.bytes_per_matrix > budget:
         logger.info("BCSR blocks (%.1f GB) over budget; keeping ELL matvecs.",
-                    per_op / 1e9)
+                    plan.bytes_per_matrix / 1e9)
         return None
-    return BCSROperator.from_csr(A, plan, shadow32=shadow32)
+    return BCSROperator.from_csr(A, plan)

@@ -70,6 +70,38 @@ def segment_sum_fast(
     return jax.ops.segment_sum(values, segment_ids, num_segments=num_segments)
 
 
+def fixed_point_channels(
+    values: jnp.ndarray, num_chunks: int = 4,
+    max_abs: jnp.ndarray | None = None,
+):
+    """Decompose f64 ``values`` into ``num_chunks`` exactly-summable f32
+    fixed-point channels on a global power-of-two grid.
+
+    Returns ``(channels, quanta)``: ``channels[k]`` has the same shape
+    as ``values`` with integer entries ``|c| <= 2^(CHUNK_BITS-1)``;
+    ``values == sum_k channels[k] * quanta[k]`` up to the f64 tail
+    beyond ``16 * num_chunks`` bits below the global max exponent.
+    Sums of up to :data:`MAX_ADDENDS` channel entries are exact in f32
+    — the invariant behind both :func:`segment_sum_exact` and the
+    one-hot row-assembly reduction (:mod:`lsafw_tpu.fem.rowassembly`).
+    """
+    if max_abs is None:
+        max_abs = jnp.max(jnp.abs(values))
+    E = jnp.ceil(jnp.log2(jnp.maximum(max_abs, 1e-300))) + 1.0
+    E = jnp.clip(E, -56.0, 110.0)  # see segment_sum_exact
+    chans = []
+    quanta = []
+    r = values
+    for k in range(num_chunks):
+        q = jnp.exp2(E - CHUNK_BITS * (k + 1))
+        qinv = jnp.exp2(CHUNK_BITS * (k + 1) - E)
+        ck = jnp.floor(r * qinv + 0.5)
+        r = r - ck * q
+        chans.append(ck.astype(jnp.float32))
+        quanta.append(q)
+    return chans, quanta
+
+
 def segment_sum_exact(
     values: jnp.ndarray,
     segment_ids: jnp.ndarray,

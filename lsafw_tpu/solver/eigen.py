@@ -415,10 +415,12 @@ class ShiftInvertOperator:
 
         Memory-aware: the blocks must coexist with the band factor, so
         the budget is min(``LSAFW_BCSR_MEM_GB``, HBM headroom left by
-        the factor); bc steps 128 -> 64 (~60% the storage, ~15% slower
-        apply) before falling back to the element-op/CSR paths."""
+        the factor); bc steps down through the packed-lane sizes (each
+        ~halves the storage at a modest gather-count cost) before
+        falling back to the element-op/CSR paths."""
         from lsafw_tpu.ops.bcsr import (
-            BCSRPairOperator, BCSRShiftedOp, plan_for_pattern,
+            BCSRPairOperator, BCSRShiftedOp, default_block_shape,
+            plan_for_pattern,
         )
 
         A, M = self.A, self.M
@@ -430,19 +432,20 @@ class ShiftInvertOperator:
             float(os.environ.get("LSAFW_BCSR_MEM_GB", "6")) * 1e9,
             hbm - float(band_bytes) - 3.5e9,  # workspace + fragmentation margin
         )
+        br, bc0 = default_block_shape()
         plan = None
-        for bc in (128, 64):
+        for bc in [b for b in (bc0, 16, 8) if b <= bc0]:
             try:
-                cand = plan_for_pattern(A, br=16, bc=bc)
+                cand = plan_for_pattern(A, br=br, bc=bc)
             except Exception as e:  # planning is best-effort
                 logger.warning("BCSR planning failed (%s); falling back.", e)
                 return None, None
-            if cand.stored * 8 * n_ops <= budget:
+            if cand.bytes_per_matrix * n_ops <= budget:
                 plan = cand
                 break
             logger.info(
                 "BCSR blocks bc=%d (%.1f GB) over budget %.1f GB.",
-                bc, cand.stored * 8 * n_ops / 1e9, budget / 1e9,
+                bc, cand.bytes_per_matrix * n_ops / 1e9, budget / 1e9,
             )
         if plan is None:
             return None, None
@@ -460,8 +463,8 @@ class ShiftInvertOperator:
                 CSRMatrix(A.pattern, c_re), c_im, plan)
             Mop = None
         logger.info(
-            "BCSR refinement matvecs: KB=%d stored %.2f GB x %d ops",
-            plan.KB, plan.stored * 8 / 1e9, n_ops,
+            "BCSR refinement matvecs: br=%d bc=%d KB=%d, %.2f GB x %d ops",
+            plan.br, plan.bc, plan.KB, plan.bytes_per_matrix / 1e9, n_ops,
         )
         self._bcsr_plan = plan
         return Cop, Mop

@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 import scipy.sparse as sp
 
-from lsafw_tpu.ops.bcsr import BCSRPlan, BCSROperator, BCSRPairOperator, _fill
+from lsafw_tpu.ops.bcsr import BCSRPlan, BCSROperator, BCSRPairOperator
 
 
 def fem_like_matrix(n=900, seed=0):
