@@ -141,9 +141,11 @@ class _ContextBase:
     Jinv: jnp.ndarray  # (nc, tdim, gdim)
     pattern: SparsityPattern
     pattern_dev: PatternDev = None  # type: ignore[assignment]
+    row_plan: object = None  # RowPlan | None (row-gather assembly on TPU)
 
     # names of array fields that become pytree leaves (subclasses extend)
-    _LEAF_FIELDS = ("w", "phi_u", "dphi_u", "detJ", "Jinv", "pattern_dev")
+    _LEAF_FIELDS = ("w", "phi_u", "dphi_u", "detJ", "Jinv", "pattern_dev",
+                    "row_plan")
     # cached reference tensors included as leaves (computed at build)
     _LEAF_CACHED = ("M0", "K0", "metric")
     _AUX_FIELDS = ("rule", "pattern")
@@ -152,6 +154,9 @@ class _ContextBase:
     def nu_el(self) -> int:
         return int(self.phi_u.shape[1])
 
+    def _row_cell_dofs(self):
+        raise NotImplementedError
+
     def _warm(self) -> None:
         """Evaluate the cached reference tensors eagerly.  They must not
         be first computed inside a jit trace (the cached value would be
@@ -159,6 +164,21 @@ class _ContextBase:
         _ = (self.M0, self.K0, self.metric)
         if self.pattern_dev is None:
             object.__setattr__(self, "pattern_dev", self.pattern.dev)
+        if self.row_plan is None:
+            from lsafw_tpu.fem.rowassembly import RowPlan, row_plan_enabled
+
+            if row_plan_enabled():
+                try:
+                    object.__setattr__(
+                        self, "row_plan",
+                        RowPlan.build(np.asarray(self._row_cell_dofs()),
+                                      self.pattern))
+                except Exception as e:  # planning is best-effort
+                    from lsafw_tpu.utils.logging import get_logger
+
+                    get_logger(__name__).warning(
+                        "Row-assembly planning failed (%s); keeping the "
+                        "segment-sum scatter.", e)
 
     # --- pytree protocol (registered on subclasses) ---
     def tree_flatten(self):
@@ -289,6 +309,9 @@ class AssemblyContext(_ContextBase):
         _ = (ctx.M0_p, ctx.B0)
         return ctx
 
+    def _row_cell_dofs(self):
+        return self.spaces.mixed_cell_dofs
+
     @property
     def gdim(self) -> int:
         return self.spaces.velocity.mesh.gdim
@@ -346,6 +369,9 @@ class SpaceContext(_ContextBase):
         ctx._warm()
         return ctx
 
+    def _row_cell_dofs(self):
+        return self.space.cell_dofs
+
     @property
     def gdim(self) -> int:
         return self.space.mesh.gdim
@@ -353,7 +379,7 @@ class SpaceContext(_ContextBase):
     def scatter(self, element_mats: jnp.ndarray) -> CSRMatrix:
         return CSRMatrix(
             self.pattern,
-            assemble_csr_data(self.pattern_dev, element_mats),
+            scatter_entries(self, element_mats),
             self.pattern_dev,
         )
 
@@ -467,10 +493,26 @@ def compose_mixed(
     return A
 
 
+def scatter_entries(ctx: _ContextBase, element_mats: jnp.ndarray) -> jnp.ndarray:
+    """Full-cell element matrices -> flat CSR data.
+
+    Dispatches to the row-gather formulation
+    (:mod:`lsafw_tpu.fem.rowassembly`) when the context carries a
+    :class:`RowPlan` (the TPU default — the per-index scatter wall costs
+    ~8 ns/entry x 4 channels; the row-gather path replaces it with slice
+    gathers + a one-hot reduction), else the exact segment-sum scatter.
+    The dispatch is static at trace time (pytree structure)."""
+    if ctx.row_plan is not None:
+        from lsafw_tpu.fem.rowassembly import assemble_rows
+
+        return assemble_rows(ctx.row_plan, ctx.pattern_dev.slots, element_mats)
+    return assemble_csr_data(ctx.pattern_dev, element_mats)
+
+
 def scatter_matrix(ctx: AssemblyContext, element_mats: jnp.ndarray) -> CSRMatrix:
     """Element matrices -> global CSR on the shared mixed pattern."""
     return CSRMatrix(
-        ctx.pattern, assemble_csr_data(ctx.pattern_dev, element_mats), ctx.pattern_dev
+        ctx.pattern, scatter_entries(ctx, element_mats), ctx.pattern_dev
     )
 
 

@@ -37,6 +37,7 @@ from lsafw_tpu.fem.assembly import (
     divergence_block,
     expand_vector_diag,
     mass_scalar,
+    scatter_entries,
     scatter_matrix,
     scatter_vector,
     shear_tensor,
@@ -178,7 +179,7 @@ def _jit_ns_residual(ctx, w, re, f, outlets, robin):
 
 @jax.jit
 def _jit_ns_jacobian_data(ctx, w, re, mask, outlets, robin):
-    data = assemble_csr_data(ctx.pattern_dev, linearized_ns_elements(ctx, w, re))
+    data = scatter_entries(ctx, linearized_ns_elements(ctx, w, re))
     for fc in outlets:
         data = data + (1.0 / re) * viscous_outlet_matrix_data(fc, ctx, 1.0)
     for fc, alpha, _ in robin:
@@ -188,7 +189,7 @@ def _jit_ns_jacobian_data(ctx, w, re, mask, outlets, robin):
 
 @jax.jit
 def _jit_linearized_data(ctx, w, re, mask, outlets):
-    data = assemble_csr_data(ctx.pattern_dev, linearized_ns_elements(ctx, w, re))
+    data = scatter_entries(ctx, linearized_ns_elements(ctx, w, re))
     for fc in outlets:
         data = data + (1.0 / re) * viscous_outlet_matrix_data(fc, ctx, 1.0)
     return dirichlet_matrix_data(ctx.pattern_dev, data, mask, 1.0)
@@ -196,7 +197,7 @@ def _jit_linearized_data(ctx, w, re, mask, outlets):
 
 @jax.jit
 def _jit_mass_data(ctx, mask, diag):
-    data = assemble_csr_data(ctx.pattern_dev, mass_elements(ctx))
+    data = scatter_entries(ctx, mass_elements(ctx))
     return dirichlet_matrix_data(ctx.pattern_dev, data, mask, diag)
 
 
@@ -221,7 +222,7 @@ def convective_linearization_data(ctx, b: jnp.ndarray) -> jnp.ndarray:
     vv = expand_vector_diag(-conv, g)
     vv = vv - jnp.transpose(sh, (0, 1, 3, 2, 4)).reshape(
         nc, ctx.nu_el * g, ctx.nu_el * g)
-    return assemble_csr_data(ctx.pattern_dev, compose_mixed(ctx, vv=vv))
+    return scatter_entries(ctx, compose_mixed(ctx, vv=vv))
 
 
 # ---------------------------------------------------------------------------
