@@ -43,10 +43,13 @@ def _finish(fig, path: Path | str | None):
 
 
 def plot_mesh(mesh: Mesh, *, show_tags: bool = True, path=None, title=None):
-    """Triangle mesh render with tagged boundary facets colored
-    (parity: ``plot_mesh``, ``Meshing/plot.py:34``)."""
-    if mesh.tdim != 2:
-        raise NotImplementedError("plot_mesh renders 2D meshes.")
+    """Mesh render with tagged boundary facets colored (parity:
+    ``plot_mesh``, ``Meshing/plot.py:34-123``).  2D: triangulation +
+    colored facet segments; 3D: boundary-surface render (the matplotlib
+    counterpart of the reference's PyVista surface extraction) with
+    facets colored by marker."""
+    if mesh.tdim == 3:
+        return _plot_mesh_3d(mesh, show_tags=show_tags, path=path, title=title)
     fig, ax = plt.subplots(figsize=(9, 6))
     ax.triplot(
         mesh.vertices[:, 0], mesh.vertices[:, 1], mesh.cells,
@@ -64,6 +67,33 @@ def plot_mesh(mesh: Mesh, *, show_tags: bool = True, path=None, title=None):
             ax.plot([], [], color=cmap(int(m) % 10), label=f"marker {m}")
         ax.legend(loc="upper right", fontsize=8)
     ax.set_aspect("equal")
+    ax.set_title(title or mesh.summary())
+    return _finish(fig, path)
+
+
+def _plot_mesh_3d(mesh: Mesh, *, show_tags: bool = True, path=None,
+                  title=None):
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+    btris = mesh.facets[mesh.boundary_facets]
+    fig = plt.figure(figsize=(9, 7))
+    ax = fig.add_subplot(projection="3d")
+    polys = Poly3DCollection(mesh.vertices[btris], linewidths=0.1,
+                             edgecolors="0.4", alpha=1.0)
+    tags = mesh.facet_tags
+    if show_tags and tags is not None and np.any(tags):
+        cmap = plt.get_cmap("tab10")
+        fvals = tags[mesh.boundary_facets].astype(int)
+        polys.set_facecolor(cmap(fvals % 10))
+        for m in np.unique(fvals[fvals > 0]):
+            ax.plot([], [], color=cmap(int(m) % 10), label=f"marker {m}")
+        ax.legend(loc="upper right", fontsize=8)
+    else:
+        polys.set_facecolor("0.8")
+    ax.add_collection3d(polys)
+    lo, hi = mesh.vertices.min(axis=0), mesh.vertices.max(axis=0)
+    ax.set_xlim(lo[0], hi[0]); ax.set_ylim(lo[1], hi[1]); ax.set_zlim(lo[2], hi[2])
+    ax.set_box_aspect(hi - lo + 1e-12)
     ax.set_title(title or mesh.summary())
     return _finish(fig, path)
 
@@ -88,29 +118,78 @@ def plot_mixed_function(
     title: str | None = None,
     path=None,
 ):
-    """Velocity streamlines/quiver over pressure contours
-    (parity: ``plot_mixed_function``, ``FEM/plot.py:130-441``)."""
+    """Velocity magnitude + streamlines over pressure contours
+    (parity: ``plot_mixed_function``, ``FEM/plot.py:130-441``: the
+    reference's matplotlib path does P2 -> P1 down-interpolation then
+    streamlines; here the vertex subset of the P2 field IS the P1
+    interpolant).  3D fields render as a boundary surface colored by
+    |u| with an interior quiver (the PyVista glyph-plot counterpart,
+    ``FEM/plot.py:162-260``)."""
     mesh = spaces.velocity.mesh
-    if mesh.tdim != 2:
-        raise NotImplementedError("plot_mixed_function renders 2D fields.")
+    if mesh.tdim == 3:
+        return _plot_mixed_function_3d(
+            w, spaces, scale=scale, title=title, path=path)
     u, p = spaces.split(np.real(np.asarray(w)))
     nv = mesh.num_vertices
     tri = mtri.Triangulation(mesh.vertices[:, 0], mesh.vertices[:, 1], mesh.cells)
     fig, axes = plt.subplots(2, 1, figsize=(9, 8))
     tc = axes[0].tripcolor(tri, np.linalg.norm(u[:nv], axis=1), shading="gouraud")
     fig.colorbar(tc, ax=axes[0], label="|u|")
-    step = max(1, nv // 1500)
-    axes[0].quiver(
-        mesh.vertices[::step, 0], mesh.vertices[::step, 1],
-        u[:nv:step, 0], u[:nv:step, 1], scale=None if scale == 1.0 else 1.0 / scale,
-        width=0.002,
-    )
+    # streamlines on a regular grid through the P1 (vertex) interpolant;
+    # points outside the domain come back masked and break the lines
+    try:
+        gx = np.linspace(mesh.vertices[:, 0].min(), mesh.vertices[:, 0].max(), 120)
+        gy = np.linspace(mesh.vertices[:, 1].min(), mesh.vertices[:, 1].max(), 80)
+        GX, GY = np.meshgrid(gx, gy)
+        iu = mtri.LinearTriInterpolator(tri, u[:nv, 0])
+        iv = mtri.LinearTriInterpolator(tri, u[:nv, 1])
+        U, V = iu(GX, GY), iv(GX, GY)
+        axes[0].streamplot(GX, GY, U.filled(0.0), V.filled(0.0),
+                           density=1.2, color="w", linewidth=0.5,
+                           arrowsize=0.6)
+    except Exception:  # degenerate fields: keep the magnitude plot
+        step = max(1, nv // 1500)
+        axes[0].quiver(
+            mesh.vertices[::step, 0], mesh.vertices[::step, 1],
+            u[:nv:step, 0], u[:nv:step, 1],
+            scale=None if scale == 1.0 else 1.0 / scale, width=0.002,
+        )
     axes[0].set_aspect("equal")
     axes[0].set_title(title or "velocity")
     pc = axes[1].tripcolor(tri, p[:nv] if p.size >= nv else np.resize(p, nv), shading="gouraud")
     fig.colorbar(pc, ax=axes[1], label="p")
     axes[1].set_aspect("equal")
     axes[1].set_title("pressure")
+    return _finish(fig, path)
+
+
+def _plot_mixed_function_3d(w, spaces, *, scale=1.0, title=None, path=None):
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+    mesh = spaces.velocity.mesh
+    u, _ = spaces.split(np.real(np.asarray(w)))
+    nv = mesh.num_vertices
+    mag = np.linalg.norm(u[:nv], axis=1)
+    btris = mesh.facets[mesh.boundary_facets]
+    fig = plt.figure(figsize=(9, 7))
+    ax = fig.add_subplot(projection="3d")
+    polys = Poly3DCollection(mesh.vertices[btris], linewidths=0.05,
+                             edgecolors="none", alpha=0.25)
+    polys.set_array(mag[btris].mean(axis=1))
+    ax.add_collection3d(polys)
+    # interior velocity glyphs on a vertex subsample
+    step = max(1, nv // 800)
+    vs = mesh.vertices[::step]
+    us = u[:nv:step]
+    ax.quiver(vs[:, 0], vs[:, 1], vs[:, 2], us[:, 0], us[:, 1], us[:, 2],
+              length=scale * 0.05 * float(np.linalg.norm(
+                  mesh.vertices.max(0) - mesh.vertices.min(0))),
+              normalize=True, linewidth=0.4, color="k")
+    lo, hi = mesh.vertices.min(axis=0), mesh.vertices.max(axis=0)
+    ax.set_xlim(lo[0], hi[0]); ax.set_ylim(lo[1], hi[1]); ax.set_zlim(lo[2], hi[2])
+    ax.set_box_aspect(hi - lo + 1e-12)
+    fig.colorbar(polys, ax=ax, label="|u|", shrink=0.7)
+    ax.set_title(title or "velocity")
     return _finish(fig, path)
 
 
