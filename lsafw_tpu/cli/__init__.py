@@ -466,6 +466,12 @@ def main(argv: list[str] | None = None) -> int:
         help="pin the JAX default device (cpu is useful for small problems "
         "where per-kernel compile latency dominates)",
     )
+    parser.add_argument(
+        "--distributed", action="store_true",
+        help="initialize the multi-controller runtime (one process per "
+        "host on a TPU pod slice — the mpirun -n analog; see "
+        "parallel/launch.py)",
+    )
     sub = parser.add_subparsers(dest="command", required=True)
 
     p_mesh = sub.add_parser("mesh", help="generate or import and tag a mesh")
@@ -602,6 +608,10 @@ def main(argv: list[str] | None = None) -> int:
     jax.config.update("jax_enable_x64", True)
     if args.platform != "auto":
         jax.config.update("jax_default_device", jax.devices(args.platform)[0])
+    if args.distributed:
+        from lsafw_tpu.parallel import initialize_distributed
+
+        initialize_distributed()
     try:
         return args.fn(args)
     except Exception as exc:  # fail-fast with exit 1 (parity: Solver/cli.py:348)

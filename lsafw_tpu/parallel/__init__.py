@@ -21,6 +21,11 @@ from lsafw_tpu.parallel.sharded import (
     sharded_solve,
 )
 from lsafw_tpu.parallel.partition import partition_cells
+from lsafw_tpu.parallel.launch import (
+    global_mesh,
+    initialize_distributed,
+    is_rank0,
+)
 
 __all__ = [
     "device_mesh",
@@ -30,4 +35,7 @@ __all__ = [
     "sharded_solve",
     "sharded_eigensolve",
     "partition_cells",
+    "initialize_distributed",
+    "global_mesh",
+    "is_rank0",
 ]
