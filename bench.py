@@ -99,6 +99,22 @@ def main() -> None:
     dev = jax.devices()[0]
     log(f"bench device: {dev.device_kind} ({dev.platform})")
 
+    # benchmark hygiene (VERDICT r3 item 10): the round-3 driver bench
+    # regressed 2x on host-bound stages because the single-core VM was
+    # also running the test suite.  Record the 1-minute load average and
+    # flag contention loudly — host-bound numbers (scipy baseline, cold
+    # pipeline stages) are untrustworthy when the host is shared.
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:
+        load1 = 0.0
+    ncpu = os.cpu_count() or 1
+    contended = load1 > 0.5 + 0.5 * ncpu
+    if contended:
+        log(f"WARNING: host contended (load1={load1:.2f}, {ncpu} cpus) — "
+            "host-bound timings (scipy baseline, cold stage walls) are "
+            "inflated; device slope timings remain valid")
+
     # Roofline rails (TPU v5e): 197 Tflop/s bf16 matmul peak, 819 GB/s
     # HBM.  MFU numbers below are against the bf16 rail even for f32
     # work (honest: f32-HIGHEST products cost multiple bf16 passes).
@@ -259,23 +275,19 @@ def main() -> None:
 
     # ---------------- BCSR SpMV (slice-gathered blocks) ----------------
     def _bcsr():
-        from lsafw_tpu.ops.bcsr import BCSROperator, plan_for_pattern
+        from lsafw_tpu.ops.bcsr import (
+            BCSROperator, default_block_shape, plan_for_pattern,
+        )
         from lsafw_tpu.ops.sparse import CSRMatrix
 
         A64 = CSRMatrix(ctx.pattern, data64)
-        plan = plan_for_pattern(A64, br=16, bc=128)
-        log(f"BCSR plan: KB={plan.KB} stored {plan.stored/1e6:.0f}M "
-            f"(fill {plan.nnz/plan.stored:.3f})")
+        br, bc = default_block_shape()
+        plan = plan_for_pattern(A64, br=br, bc=bc)
+        log(f"BCSR plan: br={br} bc={bc} KB={plan.KB} "
+            f"stored {plan.stored/1e6:.0f}M (fill {plan.nnz/plan.stored:.3f})")
+        op = BCSROperator.from_csr(A64, plan)
 
         def run(dtype, label):
-            flat = jnp.zeros(plan.stored, dtype=dtype).at[plan.pos].set(
-                data64.astype(dtype))
-            vals = flat.reshape(plan.NBR, plan.KB, plan.br, plan.bc)
-            op = BCSROperator(
-                vals if dtype == jnp.float64 else None,
-                vals if dtype == jnp.float32 else None,
-                plan.colblk, plan.perm_d, plan.iperm_d,
-                plan.n, plan.br, plan.bc, plan.NCB)
             xp0 = jnp.asarray(rng.standard_normal(n), dtype=dtype)
 
             @jax.jit
@@ -291,11 +303,11 @@ def main() -> None:
             t = slope(loop, (op, xp0, 1), (op, xp0, K + 1), K)
             timings[label] = t * 1e3
             s = np.dtype(dtype).itemsize
-            bytes_moved = plan.stored * s + (plan.NBR * plan.KB * plan.bc + 2 * n) * s
+            nch = 2 if dtype == jnp.float64 else 1
+            bytes_moved = plan.stored * 4 * nch + (plan.stored // plan.br + 2 * n) * s
             timings[label.replace("_ms", "_gbps")] = bytes_moved / t / 1e9
             log(f"{label}: {t*1e3:.3f} ms/iter ({t_host/t:.1f}x scipy; "
-                f"{roofline(bytes_moved, 2.0 * plan.stored, t)})")
-            del op, vals, flat
+                f"{roofline(bytes_moved, 2.0 * plan.stored * nch, t)})")
 
         run(jnp.float32, "bcsr_spmv_f32_ms")
         run(jnp.float64, "bcsr_spmv_f64_ms")
@@ -304,12 +316,15 @@ def main() -> None:
 
     # ---------------- assembly loop ----------------
     def _assembly():
+        """Production assembly dispatch (scatter_entries: row-gather on
+        TPU, segment-sum elsewhere) plus the legacy scatter for
+        comparison."""
+        from lsafw_tpu.fem.assembly import scatter_entries
+
         @jax.jit
         def asm_loop(ctx, w, k):
             def body(i, acc):
-                data = assemble_csr_data(
-                    ctx.pattern_dev, linearized_ns_elements(ctx, w, 50.0 + i)
-                )
+                data = scatter_entries(ctx, linearized_ns_elements(ctx, w, 50.0 + i))
                 # vdot forces the full scatter (data[0] alone is DCE'd)
                 return acc + jnp.vdot(data, data)
 
@@ -319,7 +334,28 @@ def main() -> None:
         t = slope(asm_loop, (ctx, w_base, 1), (ctx, w_base, K_asm + 1), K_asm)
         timings["assembly_ms"] = t * 1e3
         timings["assembly_mdofs_per_s"] = n / t / 1e6
-        log(f"assembly: {t*1e3:.2f} ms/op -> {n/t/1e6:.1f} MDOF/s ({nnz/t/1e6:.0f} Mnnz/s)")
+        log(f"assembly ({'row-gather' if ctx.row_plan is not None else 'segment'}): "
+            f"{t*1e3:.2f} ms/op -> {n/t/1e6:.1f} MDOF/s ({nnz/t/1e6:.0f} Mnnz/s)")
+
+        if ctx.row_plan is not None:
+            import dataclasses
+
+            ctx_seg = dataclasses.replace(ctx, row_plan=None)
+
+            @jax.jit
+            def seg_loop(ctx, w, k):
+                def body(i, acc):
+                    data = assemble_csr_data(
+                        ctx.pattern_dev, linearized_ns_elements(ctx, w, 50.0 + i))
+                    return acc + jnp.vdot(data, data)
+
+                return lax.fori_loop(0, k, body, 0.0)
+
+            t2 = slope(seg_loop, (ctx_seg, w_base, 1),
+                       (ctx_seg, w_base, K_asm + 1), K_asm)
+            timings["assembly_segment_ms"] = t2 * 1e3
+            log(f"assembly (segment scatter): {t2*1e3:.2f} ms/op "
+                f"({t2/t:.1f}x the row-gather path)")
 
     stage("assembly", _assembly)
 
@@ -391,6 +427,18 @@ def main() -> None:
         t_eig = time.time() - t0
         sigma = pairs[0][0]
         resid = float(eigen_residuals(A, M, pairs)[0])
+        # warm time-to-eigenpair: same solve with compiles cached (the
+        # per-point cost of a sigma sweep; VERDICT r3 item 10 asks for
+        # warm vs cold separation)
+        t0 = time.time()
+        es2 = EigenSolver(A, M, EigensolverConfig(num_eig=1, atol=1e-8, ncv=16))
+        es2.set_st_type(STType.SINVERT)
+        es2.set_target(0.0 + 0.74j)
+        es2.set_st_pc_type("banded")
+        es2.set_elements(cctx, A_el, M_el, np.asarray(bcs_pert.dirichlet_mask), dofs=dofs)
+        es2.solve()
+        timings["pipeline_eigen_warm_s"] = time.time() - t0
+        log(f"pipeline eigen warm: {timings['pipeline_eigen_warm_s']:.1f}s")
         timings["pipeline_seconds"] = time.time() - t_pipe
         timings["pipeline_baseflow_s"] = t_base
         timings["pipeline_assemble_s"] = t_asm
@@ -441,6 +489,8 @@ def main() -> None:
             "nnz": nnz,
             "ell_width": w_ell,
             "device": f"{dev.device_kind}",
+            "host_load1": round(load1, 2),
+            "host_contended": bool(contended),
             **{
                 k: (
                     float(f"{v:.3e}")
