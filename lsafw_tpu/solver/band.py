@@ -430,21 +430,60 @@ def _factor_chunk(band_re, band_im, Vr, Vi, k0, delta, *, chunk, B, nb):
     return band_re, band_im, Vr, Vi, dXr, dXi
 
 
-@partial(jax.jit, donate_argnums=(0,), static_argnames=("pad_one", "nb"))
-def _scatter_band(band, pos_row, pos_off, d, pad_row, pad_off, *, pad_one: bool, nb: int):
-    """Scatter CSR data into a DONATED 4-D gridded band buffer:
-    donation guarantees the scatter runs in place.  Without it XLA's
-    buffer assignment kept a second multi-GB copy live (measured: the
-    8.5 GB 500k-DOF band compiled to a 15.85 GB program — 100 MB over
-    the chip).  The flat in-row offsets are unraveled to (r, i, j) on
-    device so the buffer is born in its final (rows, R, nb, nb) layout
-    — an eager ``reshape`` afterwards is a tiled-layout change that
-    copies the whole band (the 500k fill OOM)."""
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("nb",))
+def _scatter_band_part(band, pos_row, pos_off, d, *, nb: int):
+    """One donated in-place scatter of a chunk of CSR entries into the
+    4-D gridded band.  ``mode="drop"`` lets the host driver pad the
+    tail chunk with out-of-range rows instead of recompiling."""
     r, rem = pos_off // (nb * nb), pos_off % (nb * nb)
-    band = band.at[pos_row, r, rem // nb, rem % nb].set(d.astype(band.dtype))
+    return band.at[pos_row, r, rem // nb, rem % nb].set(
+        d.astype(band.dtype), mode="drop")
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("nb",))
+def _scatter_band_ones(band, pad_row, pad_off, *, nb: int):
+    pr, prem = pad_off // (nb * nb), pad_off % (nb * nb)
+    return band.at[pad_row, pr, prem // nb, prem % nb].set(1.0, mode="drop")
+
+
+# Per-chunk cap on scattered entries.  XLA stacks the four index
+# components into an s32[chunk, 4] tensor whose minor dim is lane-padded
+# to 128 (a 32x expansion): an unchunked 15.5M-entry scatter at 500k
+# DOFs allocated a 7.4 GB index temp next to the 8.5 GB band and OOM'd
+# the Stokes factor.  2M entries cap that temp at ~1 GB.
+_SCATTER_CHUNK = 2_000_000
+
+
+def _scatter_band(band, pos_row, pos_off, d, pad_row, pad_off, *,
+                  pad_one: bool, nb: int):
+    """Scatter CSR data into a DONATED 4-D gridded band buffer, in
+    chunks of ``_SCATTER_CHUNK`` entries.  Donation guarantees every
+    chunk runs in place — peak memory is the band plus one ~1 GB padded
+    index temp.  Without donation XLA's buffer assignment kept a second
+    multi-GB copy live (measured: the 8.5 GB 500k-DOF band compiled to
+    a 15.85 GB program — 100 MB over the chip).  The flat in-row
+    offsets are unraveled to (r, i, j) on device so the buffer is born
+    in its final (rows, R, nb, nb) layout — an eager ``reshape``
+    afterwards is a tiled-layout change that copies the whole band (the
+    round-3 500k fill OOM)."""
+    nnz = int(pos_row.shape[0])
+    C = _SCATTER_CHUNK
+    if nnz <= C:
+        band = _scatter_band_part(band, pos_row, pos_off, d, nb=nb)
+    else:
+        npadded = -(-nnz // C) * C
+        # pad with out-of-range rows (dropped by the scatter) so every
+        # chunk shares one compiled shape
+        pr = jnp.pad(pos_row, (0, npadded - nnz), constant_values=2**30)
+        po = jnp.pad(pos_off, (0, npadded - nnz))
+        dp = jnp.pad(d, (0, npadded - nnz))
+        for k in range(npadded // C):
+            band = _scatter_band_part(
+                band, jax.lax.slice_in_dim(pr, k * C, (k + 1) * C),
+                jax.lax.slice_in_dim(po, k * C, (k + 1) * C),
+                jax.lax.slice_in_dim(dp, k * C, (k + 1) * C), nb=nb)
     if pad_one:
-        pr, prem = pad_off // (nb * nb), pad_off % (nb * nb)
-        band = band.at[pad_row, pr, prem // nb, prem % nb].set(1.0)
+        band = _scatter_band_ones(band, pad_row, pad_off, nb=nb)
     return band
 
 

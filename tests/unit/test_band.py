@@ -514,3 +514,23 @@ def test_factor_auto_real_policy():
     # complex data on a real plan must be rejected
     with pytest.raises(ValueError):
         factor_auto(plan, dre, jnp.zeros_like(dre))
+
+
+def test_scatter_band_chunked_matches_unchunked(monkeypatch):
+    """The chunked band fill (the 500k index-temp OOM fix: XLA pads the
+    s32[nnz, 4] scatter-index tensor 32x on TPU) is bit-identical to a
+    single-shot scatter."""
+    import lsafw_tpu.solver.band as band_mod
+
+    n, bw = 400, 25
+    A = _random_banded(n, bw)
+    b = np.random.default_rng(7).standard_normal(n) + 0.3j
+    lu_ref = BandedLU.from_complex_csr(A, nb=16, chunk=8)
+    x_ref = lu_ref.solve(b)
+    monkeypatch.setattr(band_mod, "_SCATTER_CHUNK", 1000)  # force ~20 chunks
+    lu_chk = BandedLU.from_complex_csr(A, nb=16, chunk=8)
+    np.testing.assert_array_equal(
+        np.asarray(lu_chk.band_re), np.asarray(lu_ref.band_re))
+    np.testing.assert_array_equal(
+        np.asarray(lu_chk.band_im), np.asarray(lu_ref.band_im))
+    np.testing.assert_array_equal(np.asarray(lu_chk.solve(b)), np.asarray(x_ref))
