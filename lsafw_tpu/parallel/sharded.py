@@ -252,6 +252,57 @@ def _si_apply_sharded(pc, Cre, Cim, cols_C, Mre, cols_M, vr, vi, *,
     return res.x[:npad], res.x[npad:], res.residual
 
 
+@partial(
+    jax.jit,
+    static_argnames=("mesh_axis_carrier", "tol", "max_refine"),
+)
+def _si_apply_spike(solver, Cre, Cim, cols_C, Mre, cols_M, vr, vi, *,
+                    mesh_axis_carrier, tol: float, max_refine: int):
+    """One sharded shift-invert apply through the EXACT SPIKE direct
+    solver: y0 = spike(M v), then defect-correction refinement against
+    the true sharded C until the relative residual reaches ``tol``
+    (each refinement = 2 local banded substitutions + the reduced
+    sweep; the solver is exact to factor grade, so refinement converges
+    at the f32-roundoff/regularization rate, typically 2-4 steps)."""
+    mesh = mesh_axis_carrier
+    br = (Mre * vr[cols_M]).sum(1)
+    bi = (Mre * vi[cols_M]).sum(1)
+
+    def mvC(xr, xi):
+        xrg = xr[cols_C]
+        xig = xi[cols_C]
+        return (
+            (Cre * xrg).sum(1) - (Cim * xig).sum(1),
+            (Cre * xig).sum(1) + (Cim * xrg).sum(1),
+        )
+
+    nb0 = jnp.sqrt(jnp.sum(br * br + bi * bi)) + 1e-300
+
+    def resid(xr, xi):
+        ar, ai = mvC(xr, xi)
+        return br - ar, bi - ai
+
+    xr, xi = solver.solve_pair_sharded(br, bi, mesh)
+    rr, ri = resid(xr, xi)
+    r0 = jnp.sqrt(jnp.sum(rr * rr + ri * ri)) / nb0
+
+    def cond(state):
+        _, _, _, _, rn, it = state
+        return (rn > tol) & (it < max_refine)
+
+    def body(state):
+        xr, xi, rr, ri, _, it = state
+        dr, di = solver.solve_pair_sharded(rr, ri, mesh)
+        xr, xi = xr + dr, xi + di
+        rr, ri = resid(xr, xi)
+        rn = jnp.sqrt(jnp.sum(rr * rr + ri * ri)) / nb0
+        return xr, xi, rr, ri, rn, it + 1
+
+    xr, xi, _, _, rn, _ = jax.lax.while_loop(
+        cond, body, (xr, xi, rr, ri, r0, 0))
+    return xr, xi, rn
+
+
 def sharded_si_eigensolve(
     A: CSRMatrix,
     M: CSRMatrix,
@@ -267,10 +318,19 @@ def sharded_si_eigensolve(
     inner_tol: float = 1e-11,
     inner_restart: int = 80,
     inner_maxiter: int | None = None,
+    spike: str = "exact",
     axis: str = "dof",
 ):
     """Multi-device generalized shift-invert Krylov-Schur: eigenvalues
     of ``A x = lam M x`` nearest ``sigma`` over a sharded DOF axis.
+
+    ``spike="exact"`` (default) solves each shift-invert apply with the
+    exact SPIKE direct solver (:class:`ShardedSpikeSolver`: two local
+    banded substitutions + the reduced interface sweep, refined against
+    the true operator — no inner Krylov).  ``spike="truncated"`` keeps
+    the truncated-SPIKE factors as a *preconditioner* inside FGMRES
+    inner solves; it is also the automatic fallback when the bandwidth
+    exceeds the segment width (exactness impossible).
 
     The production inner loop under sharding (VERDICT round-2 weak
     item 6; parity: MPI-distributed SLEPc SINVERT + MUMPS,
@@ -286,8 +346,11 @@ def sharded_si_eigensolve(
     """
     import scipy.sparse as sp
 
-    from lsafw_tpu.solver.band_sharded import ShardedBandedPrecond
+    from lsafw_tpu.solver.band_sharded import (
+        ShardedBandedPrecond, ShardedSpikeSolver,
+    )
     from lsafw_tpu.solver.eigen import EpsWhich, krylov_schur
+    from lsafw_tpu.utils.logging import get_logger
 
     n = A.shape[0]
     D = int(np.prod(list(mesh.shape.values())))
@@ -295,7 +358,16 @@ def sharded_si_eigensolve(
     Ms = M.to_scipy() if M is not None else sp.identity(n, format="csr")
     Cs = (As.astype(np.complex128) - complex(sigma) * Ms).tocsr()
 
-    pc = ShardedBandedPrecond.build(Cs, D, nb=nb, chunk=chunk)
+    solver = None
+    if spike == "exact":
+        try:
+            solver = ShardedSpikeSolver.build(Cs, D, nb=nb, chunk=chunk)
+        except ValueError as e:
+            get_logger(__name__).warning(
+                "exact SPIKE unavailable (%s); falling back to the "
+                "truncated-SPIKE FGMRES inner solves", e)
+    pc = solver.pc if solver is not None else ShardedBandedPrecond.build(
+        Cs, D, nb=nb, chunk=chunk)
     npad = pc.npad
 
     Cre_h, Cim_h, colsC_h = _ell_of(Cs, npad, identity_pad=True)
@@ -314,12 +386,18 @@ def sharded_si_eigensolve(
     def apply_op(v):
         vr = jax.device_put(v[0], vec_sh)
         vi = jax.device_put(v[1], vec_sh)
-        yr, yi, rres = _si_apply_sharded(
-            pc, Cre, Cim, colsC, Mre, colsM, vr, vi,
-            mesh_axis_carrier=mesh,
-            inner_tol=inner_tol, inner_restart=inner_restart,
-            inner_maxiter=im,
-        )
+        if solver is not None:
+            yr, yi, rres = _si_apply_spike(
+                solver, Cre, Cim, colsC, Mre, colsM, vr, vi,
+                mesh_axis_carrier=mesh, tol=inner_tol, max_refine=20,
+            )
+        else:
+            yr, yi, rres = _si_apply_sharded(
+                pc, Cre, Cim, colsC, Mre, colsM, vr, vi,
+                mesh_axis_carrier=mesh,
+                inner_tol=inner_tol, inner_restart=inner_restart,
+                inner_maxiter=im,
+            )
         return yr, yi
 
     rng = np.random.default_rng(3)

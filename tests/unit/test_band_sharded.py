@@ -99,3 +99,73 @@ def test_spike_outer_iteration_converges():
             break
     assert rel < 1e-10, f"SPIKE outer iteration stalled at {rel:.2e} (it {it})"
     assert it < 100, f"SPIKE preconditioner too weak: {it} iterations"
+
+
+def test_exact_spike_direct_solve_matches_splu():
+    """ShardedSpikeSolver (VERDICT r3 item 7: SPIKE promoted from PC to
+    solver) solves C x = b to factor grade in ONE apply — the reduced
+    interface system makes the cross-segment coupling exact."""
+    from lsafw_tpu.solver.band_sharded import ShardedSpikeSolver
+
+    n, bw = 600, 9
+    C = _banded_complex(n, bw, seed=5)
+    mesh = _mesh()
+    solver = ShardedSpikeSolver.build(C, 8, nb=16, chunk=2)
+    rng = np.random.default_rng(6)
+    b = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    npad = solver.npad
+    br = jnp.asarray(np.concatenate([b.real, np.zeros(npad - n)]))
+    bi = jnp.asarray(np.concatenate([b.imag, np.zeros(npad - n)]))
+    with mesh:
+        xr, xi = solver.solve_pair_sharded(br, bi, mesh)
+    x = np.asarray(xr)[:n] + 1j * np.asarray(xi)[:n]
+    x_ref = sp.linalg.splu(C.tocsc()).solve(b)
+    rel = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
+    assert rel < 5e-5, f"exact SPIKE disagrees with splu: {rel:.2e}"
+
+
+def test_exact_spike_jit_and_refinement():
+    """The solver is a pytree (jit-safe argument) and two defect-
+    correction refinements against the true operator reach f64 grade."""
+    from lsafw_tpu.solver.band_sharded import ShardedSpikeSolver
+
+    n, bw = 400, 7
+    C = _banded_complex(n, bw, seed=8)
+    mesh = _mesh()
+    solver = ShardedSpikeSolver.build(C, 8, nb=16, chunk=2)
+    rng = np.random.default_rng(9)
+    b = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    npad = solver.npad
+    bp_r = jnp.asarray(np.concatenate([b.real, np.zeros(npad - n)]))
+    bp_i = jnp.asarray(np.concatenate([b.imag, np.zeros(npad - n)]))
+
+    @jax.jit
+    def solve_refined(solver, br, bi):
+        xr, xi = solver.solve_pair_sharded(br, bi, mesh)
+        return xr, xi
+
+    with mesh:
+        xr, xi = solve_refined(solver, bp_r, bp_i)
+    x = np.asarray(xr)[:n] + 1j * np.asarray(xi)[:n]
+    for _ in range(2):  # host-side defect correction to f64
+        r = b - C @ x
+        rr = jnp.asarray(np.concatenate([r.real, np.zeros(npad - n)]))
+        ri = jnp.asarray(np.concatenate([r.imag, np.zeros(npad - n)]))
+        with mesh:
+            dr, di = solve_refined(solver, rr, ri)
+        x = x + (np.asarray(dr)[:n] + 1j * np.asarray(di)[:n])
+    rel = np.linalg.norm(b - C @ x) / np.linalg.norm(b)
+    assert rel < 1e-12, f"refined exact SPIKE not f64-grade: {rel:.2e}"
+
+
+def test_exact_spike_rejects_truncated_bandwidth():
+    """When the bandwidth exceeds the segment width the segment factors
+    are truncated and exactness is impossible: build must refuse."""
+    import pytest
+
+    from lsafw_tpu.solver.band_sharded import ShardedSpikeSolver
+
+    n = 256
+    C = _banded_complex(n, 40, seed=11)  # bw 40 vs seg 32 rows at D=8
+    with pytest.raises(ValueError):
+        ShardedSpikeSolver.build(C, 8, nb=16, chunk=1)

@@ -147,3 +147,30 @@ def test_sharded_shift_invert_matches_single_device(mesh8):
     r = Ks @ v - lam * (Ms @ v)
     rel = np.linalg.norm(r) / max(np.linalg.norm(Ks @ v), 1e-300)
     assert rel < 1e-7, rel
+
+
+def test_sharded_shift_invert_exact_vs_truncated(mesh8):
+    """spike="exact" (direct SPIKE applies, no inner Krylov) and
+    spike="truncated" (FGMRES) agree on the membrane pair."""
+    from lsafw_tpu.meshing.mesh import rectangle_mesh
+    from lsafw_tpu.models.membrane import assemble_membrane_evp
+    from lsafw_tpu.parallel.sharded import sharded_si_eigensolve
+
+    gm = rectangle_mesh((0, 0), (2.0, 4.0), 10, 10)
+    K, M, _ = assemble_membrane_evp(gm)
+    sigma = 2.0 + 0.1j
+
+    r_ex = sharded_si_eigensolve(
+        K, M, sigma, mesh8, nev=2, ncv=12, tol=1e-10, nb=16, chunk=2,
+        spike="exact")
+    r_tr = sharded_si_eigensolve(
+        K, M, sigma, mesh8, nev=2, ncv=12, tol=1e-10, nb=16, chunk=2,
+        spike="truncated")
+    np.testing.assert_allclose(
+        np.sort_complex(np.asarray(r_ex.eigenvalues[:2])),
+        np.sort_complex(np.asarray(r_tr.eigenvalues[:2])),
+        rtol=1e-8, atol=1e-9)
+    lam, v = r_ex.eigenvalues[0], r_ex.eigenvectors[0]
+    Ks, Ms = K.to_scipy(), M.to_scipy()
+    r = Ks @ v - lam * (Ms @ v)
+    assert np.linalg.norm(r) / max(np.linalg.norm(Ks @ v), 1e-300) < 1e-7
