@@ -147,6 +147,7 @@ class BandPlan:
         max_bytes: int | None = None,
         min_B: int | None = None,
         real: bool = False,
+        force_f32: bool = False,
     ) -> "BandPlan":
         """Plan the band of the (pattern of) ``csr``.  Data values are
         ignored; only the sparsity is used.
@@ -199,7 +200,14 @@ class BandPlan:
             def _bytes(B_, per_entry):
                 return (nblk_pad + B_) * (2 * B_ + 1) * nb * nb * per_entry
 
-            if _bytes(B, f32_b) > max_bytes and _bytes(B, bf16_b) <= max_bytes:
+            if force_f32:
+                # f32 at-rest, truncating B to fit: the retry rung when
+                # the bf16 full-width factor goes unstable (measured at
+                # 500k: pivot-free elimination growth turns the bf16
+                # Stokes/NS factors into stall/nan preconditioners)
+                while B > 1 and _bytes(B, f32_b) > max_bytes:
+                    B -= 1
+            elif _bytes(B, f32_b) > max_bytes and _bytes(B, bf16_b) <= max_bytes:
                 # memory ladder step 1: halve the at-rest storage (the
                 # elimination arithmetic stays f32; measured refinement
                 # contraction 8e-3 on the 43k cylinder operator)
@@ -264,7 +272,8 @@ def band_mem_budget() -> int:
 
 
 def plan_for_csr(A, *, nb: int | None = None, chunk: int = 128,
-                 max_bytes: int | None = None, real: bool = False) -> BandPlan:
+                 max_bytes: int | None = None, real: bool = False,
+                 force_f32: bool = False) -> BandPlan:
     """Cached :class:`BandPlan` for a CSRMatrix's sparsity pattern —
     sigma sweeps and Newton refactorizations reuse one plan.
     ``max_bytes`` defaults to :func:`band_mem_budget`.
@@ -285,7 +294,7 @@ def plan_for_csr(A, *, nb: int | None = None, chunk: int = 128,
         nb = int(os.environ.get("LSAFW_BAND_NB", "128"))
     if max_bytes is None:
         max_bytes = band_mem_budget()
-    key = (id(A.pattern), nb, chunk, max_bytes, real)
+    key = (id(A.pattern), nb, chunk, max_bytes, real, force_f32)
     hit = _PLAN_CACHE.get(key)
     if hit is not None and hit[0] is A.pattern:
         _PLAN_CACHE[key] = _PLAN_CACHE.pop(key)
@@ -298,7 +307,8 @@ def plan_for_csr(A, *, nb: int | None = None, chunk: int = 128,
         ),
         shape=A.pattern.shape,
     )
-    plan = BandPlan.build(csr, nb=nb, chunk=chunk, max_bytes=max_bytes, real=real)
+    plan = BandPlan.build(csr, nb=nb, chunk=chunk, max_bytes=max_bytes,
+                          real=real, force_f32=force_f32)
     while len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
         _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
     _PLAN_CACHE[key] = (A.pattern, plan)

@@ -61,9 +61,22 @@ class BaseFlowSolver:
             blu, _ = factor_auto(plan, A.data, diag_slots=A.pattern.diag_slots)
             from lsafw_tpu.ops.bcsr import operator_for_budget
 
-            res = _banded_mr(A, blu, b, operator_for_budget(A), tol=1e-10)
+            Aop = operator_for_budget(A)
+            res = _banded_mr(A, blu, b, Aop, tol=1e-10)
             if bool(res.converged):
                 return np.asarray(res.x)
+            if plan.band_dtype == "bf16":
+                # bf16 full-width factors stall at production sizes
+                # (measured 500k); retry with a budget-truncated f32 band
+                logger.warning(
+                    "bf16 Stokes band stalled (res=%.2e); retrying with a "
+                    "budget-truncated f32 band", float(res.residual))
+                plan = plan_for_csr(A, real=True, force_f32=True)
+                blu, _ = factor_auto(plan, A.data,
+                                     diag_slots=A.pattern.diag_slots)
+                res = _banded_mr(A, blu, b, Aop, tol=1e-10)
+                if bool(res.converged):
+                    return np.asarray(res.x)
             logger.warning(
                 "Banded Stokes solve stalled (res=%.2e); falling back to host LU",
                 float(res.residual),

@@ -143,6 +143,22 @@ class NewtonSolver:
             res = _banded_mr(J, blu, b, Jop, tol=self._linear_tol)
             if bool(res.converged) and bool(np.isfinite(np.asarray(res.x)).all()):
                 return res.x
+            if self._band_plan.band_dtype == "bf16":
+                # bf16 full-width factors go unstable under pivot-free
+                # elimination growth at production sizes (measured 500k:
+                # stall/nan); retry with a budget-truncated f32 band —
+                # narrower but numerically sound, MR absorbs the
+                # truncation against the true operator
+                logger.warning(
+                    "bf16 full-width band failed (rel res %.2e); retrying "
+                    "with a budget-truncated f32 band", float(res.residual))
+                self._band_plan = plan_for_csr(J, real=True, force_f32=True)
+                blu, _ = factor_auto(
+                    self._band_plan, J.data, diag_slots=J.pattern.diag_slots)
+                res = _banded_mr(J, blu, b, Jop, tol=self._linear_tol)
+                if bool(res.converged) and bool(
+                        np.isfinite(np.asarray(res.x)).all()):
+                    return res.x
             # pivot-free f32 factors can overflow or precondition badly
             # on unlucky operators; degrade to the host direct solve for
             # the REST of this Newton solve rather than paying a failed

@@ -62,12 +62,19 @@ print(f"setup: {n} DOFs, {mesh.num_cells} cells ({time.time()-t0:.0f}s)", flush=
 
 t0 = time.time()
 on_tpu = jax.default_backend() == "tpu"
-w = BaseFlowSolver(ctx, mesh, bcs, re=RE).solve(
-    ramp=True, steps=4, tol=1e-9, max_it=40,
-    linear_solver="banded" if on_tpu else "lu",
-)
-t_base = time.time() - t0
-print(f"baseflow: {t_base:.0f}s", flush=True)
+WCACHE = f"/tmp/w500k_{SCALE}.npy"
+if os.path.exists(WCACHE):
+    w = np.load(WCACHE)
+    t_base = 0.0
+    print("baseflow loaded from cache", flush=True)
+else:
+    w = BaseFlowSolver(ctx, mesh, bcs, re=RE).solve(
+        ramp=True, steps=4, tol=1e-9, max_it=40,
+        linear_solver="banded" if on_tpu else "lu",
+    )
+    np.save(WCACHE, np.asarray(w))
+    t_base = time.time() - t0
+    print(f"baseflow: {t_base:.0f}s", flush=True)
 
 t0 = time.time()
 asm = LinearizedNavierStokesAssembler(jnp.asarray(w), ctx, RE, bcs_pert, mesh)

@@ -534,3 +534,19 @@ def test_scatter_band_chunked_matches_unchunked(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(lu_chk.band_im), np.asarray(lu_ref.band_im))
     np.testing.assert_array_equal(np.asarray(lu_chk.solve(b)), np.asarray(x_ref))
+
+
+def test_band_plan_force_f32_ladder():
+    """force_f32 truncates B to the budget at f32 storage instead of
+    keeping full width in bf16 (the 500k bf16-instability retry rung)."""
+    from lsafw_tpu.ops.sparse import CSRMatrix
+    from lsafw_tpu.solver.band import plan_for_csr
+
+    A = CSRMatrix.from_scipy(_random_banded(800, 60).tocsr())
+    # budget that fits bf16 full width (258 KB) but not f32 full (516 KB)
+    full = plan_for_csr(A, nb=16, chunk=4, max_bytes=300_000, real=True)
+    assert full.band_dtype == "bf16"
+    trunc = plan_for_csr(A, nb=16, chunk=4, max_bytes=300_000, real=True,
+                         force_f32=True)
+    assert trunc.band_dtype == "f32"
+    assert trunc.B < full.B
