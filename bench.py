@@ -188,14 +188,42 @@ def main() -> None:
         _ = As @ xh
     t_host = (time.time() - t0) / 10
     timings["scipy_spmv_ms"] = t_host * 1e3
-    # honest multi-rank proxy: the reference would run 8-rank PETSc
-    # MatMult, not single-process scipy; assume ~70% strong-scaling
-    # efficiency (the reference's own harness plots sub-linear scaling,
-    # tests/performance/data/mpi_efficiency.png)
+    # second MEASURED host row: torch CSR (the only other sparse host
+    # library in this image; petsc4py is not installable here — no
+    # package in the image and zero egress).  On this host torch is
+    # ~1.3x slower than scipy, so the scipy row is not a strawman
+    # baseline — it is the faster of the two available CSR kernels.
+    try:
+        import torch
+
+        At = torch.sparse_csr_tensor(
+            torch.from_numpy(ctx.pattern.indptr.astype(np.int64)),
+            torch.from_numpy(ctx.pattern.indices.astype(np.int64)),
+            torch.from_numpy(data_np), size=(n, n))
+        xt = torch.from_numpy(xh)
+        for _ in range(3):
+            _ = At @ xt
+        t0 = time.time()
+        for _ in range(10):
+            _ = At @ xt
+        t_torch = (time.time() - t0) / 10
+        timings["torch_spmv_ms"] = t_torch * 1e3
+        log(f"torch CSR baseline: {t_torch*1e3:.2f} ms/iter")
+    except Exception as e:  # torch sparse is beta; never fail the bench
+        log(f"torch CSR baseline skipped: {e}")
+    # multi-rank PROXY (synthetic, labeled as such): the reference runs
+    # 8-rank PETSc MatMult; a measured PETSc row is impossible in this
+    # image (petsc4py absent, installs prohibited, zero egress).  The
+    # proxy assumes PERFECT per-rank parity with scipy and 70%
+    # strong-scaling efficiency — generous to the baseline on both
+    # counts (PETSc MatMult per-rank ~ scipy CSR; the reference's own
+    # harness plots sub-linear MPI scaling,
+    # tests/performance/data/mpi_efficiency.png).
     t_petsc8 = t_host / (8 * 0.7)
     timings["petsc8_proxy_ms"] = t_petsc8 * 1e3
     log(f"scipy CSR baseline: {t_host*1e3:.2f} ms/iter "
-        f"(8-rank PETSc proxy ~{t_petsc8*1e3:.2f} ms at 70% efficiency)")
+        f"(8-rank PETSc proxy ~{t_petsc8*1e3:.2f} ms at 70% efficiency; "
+        "SYNTHETIC — see comment)")
 
     # ---------------- stencil operator (f32 then f64) ----------------
     def _stencil(dtype, label):

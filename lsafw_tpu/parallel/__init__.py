@@ -18,6 +18,7 @@ from lsafw_tpu.parallel.sharded import (
     shard_csr,
     shard_vector,
     sharded_eigensolve,
+    sharded_si_eigensolve,
     sharded_solve,
 )
 from lsafw_tpu.parallel.partition import partition_cells
@@ -34,6 +35,7 @@ __all__ = [
     "ShardedOperator",
     "sharded_solve",
     "sharded_eigensolve",
+    "sharded_si_eigensolve",
     "partition_cells",
     "initialize_distributed",
     "global_mesh",
