@@ -271,6 +271,20 @@ def band_mem_budget() -> int:
     return int(float(os.environ.get("LSAFW_BAND_MEM_GB", "12")) * 1e9)
 
 
+# patterns whose bf16 full-width factor was observed unstable (stall or
+# nan) this process: subsequent plans go straight to the truncated-f32
+# rung instead of re-paying a failed bf16 attempt per Newton/ramp stage
+_BF16_UNSTABLE: set = set()
+
+
+def mark_bf16_unstable(pattern) -> None:
+    _BF16_UNSTABLE.add(id(pattern))
+
+
+def bf16_unstable(pattern) -> bool:
+    return id(pattern) in _BF16_UNSTABLE
+
+
 def plan_for_csr(A, *, nb: int | None = None, chunk: int = 128,
                  max_bytes: int | None = None, real: bool = False,
                  force_f32: bool = False) -> BandPlan:
@@ -292,6 +306,10 @@ def plan_for_csr(A, *, nb: int | None = None, chunk: int = 128,
         # substitution is loop-latency bound, so larger nb cuts solve
         # latency ~linearly (measured 43k: nb=256 factors faster too)
         nb = int(os.environ.get("LSAFW_BAND_NB", "128"))
+    if os.environ.get("LSAFW_BAND_DTYPE", "").lower() == "f32":
+        force_f32 = True  # operator-wide escape hatch (skip bf16 rung)
+    if bf16_unstable(A.pattern):
+        force_f32 = True
     if max_bytes is None:
         max_bytes = band_mem_budget()
     key = (id(A.pattern), nb, chunk, max_bytes, real, force_f32)

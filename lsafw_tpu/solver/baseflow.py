@@ -71,6 +71,10 @@ class BaseFlowSolver:
                 logger.warning(
                     "bf16 Stokes band stalled (res=%.2e); retrying with a "
                     "budget-truncated f32 band", float(res.residual))
+                del blu, res  # free the stalled band BEFORE the new fill
+                from lsafw_tpu.solver.band import mark_bf16_unstable
+
+                mark_bf16_unstable(A.pattern)
                 plan = plan_for_csr(A, real=True, force_f32=True)
                 blu, _ = factor_auto(plan, A.data,
                                      diag_slots=A.pattern.diag_slots)

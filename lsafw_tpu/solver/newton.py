@@ -152,6 +152,10 @@ class NewtonSolver:
                 logger.warning(
                     "bf16 full-width band failed (rel res %.2e); retrying "
                     "with a budget-truncated f32 band", float(res.residual))
+                del blu, res  # free the failed band BEFORE the new fill
+                from lsafw_tpu.solver.band import mark_bf16_unstable
+
+                mark_bf16_unstable(J.pattern)
                 self._band_plan = plan_for_csr(J, real=True, force_f32=True)
                 blu, _ = factor_auto(
                     self._band_plan, J.data, diag_slots=J.pattern.diag_slots)
