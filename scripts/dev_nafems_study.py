@@ -20,12 +20,15 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import numpy as np
 import jax
 
+# this image preimports jax with the TPU client before env vars can
+# steer it: pin the CPU device explicitly so the study never contends
+# for the chip's HBM (conftest.py does the same for the test suite)
 jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests", "benchmark"))
 from test_elasticity import NAFEMS_FREQS, build_plate, solve_modes  # noqa: E402

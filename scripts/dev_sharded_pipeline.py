@@ -35,6 +35,11 @@ import numpy as np
 import jax
 
 jax.config.update("jax_enable_x64", True)
+# the image preimports jax with the TPU client, so JAX_PLATFORMS above
+# only guarantees the CPU client exists; pin the default device so the
+# unsharded stages (assembly contexts, host planning jits) never touch
+# the chip's HBM
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
