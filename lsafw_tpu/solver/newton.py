@@ -34,16 +34,19 @@ from lsafw_tpu.utils.logging import get_logger
 logger = get_logger(__name__)
 
 
-@partial(jax.jit, static_argnames=("tol", "max_its"))
-def _banded_mr(J, blu, b, Jop=None, *, tol, max_its: int = 60):
-    """Minimal-residual refinement on the real Jacobian with the f32
-    banded preconditioner: x += alpha d, alpha = <Cd, r>/<Cd, Cd>, so
-    the residual is non-increasing by construction (plain refinement
-    can diverge when the saddle-point regularization perturbs the
-    factor too far; a GMRES wrapper inlines the band solve at 4+ call
-    sites and OOMs at 10 GB bands).  ``Jop``: optional BCSR operator
-    for the residual matvecs (slice-gathered blocks instead of the
-    scalar-gather ELL path)."""
+@partial(jax.jit, static_argnames=("tol", "max_its", "m"))
+def _banded_mr(J, blu, b, Jop=None, *, tol, max_its: int = 300, m: int = 8):
+    """Truncated GCR(m) on the real Jacobian with the f32 banded
+    preconditioner: each step orthogonalizes the new search direction's
+    image against the last ``m`` kept images, so the residual is
+    minimized over a genuine Krylov window (m=1 degenerates to the
+    round-3 minimal-residual refinement, whose one-direction contraction
+    stalls when the band is budget-TRUNCATED or bf16 — measured 500k
+    Stokes: 9e-3 / 2e-1 at the old 60-iteration cap).  Fixed (m, n)
+    direction buffers keep the while_loop memory bounded (a full GMRES
+    wrapper inlines the band solve at 4+ call sites and OOMs at 10 GB
+    bands).  ``Jop``: optional BCSR operator for the residual matvecs
+    (slice-gathered blocks instead of the scalar-gather ELL path)."""
     from lsafw_tpu.ops.dots import ddot
     from lsafw_tpu.ops.sparse import spmv
     from lsafw_tpu.solver.linear import SolveResult
@@ -66,22 +69,38 @@ def _banded_mr(J, blu, b, Jop=None, *, tol, max_its: int = 60):
     bnorm = jnp.maximum(jnp.sqrt(ddot(b, b)), 1e-300)
     x = bsolve(b)
     r = b - jmv(x)
+    n = b.shape[0]
+    D = jnp.zeros((m, n))   # kept directions (image-orthonormalized)
+    CD = jnp.zeros((m, n))  # their Jacobian images
 
     def cond(st):
-        _, r, k = st
+        _, r, _, _, k = st
         rn = jnp.sqrt(ddot(r, r))
         # exit on non-finite residuals (overflowed factor) so the
         # caller's converged flag triggers the fallback path
         return jnp.isfinite(rn) & (rn > tol * bnorm) & (k < max_its)
 
     def body(st):
-        x, r, k = st
+        x, r, D, CD, k = st
         d = bsolve(r)
         Cd = jmv(d)
-        alpha = ddot(Cd, r) / jnp.maximum(ddot(Cd, Cd), 1e-300)
-        return x + alpha * d, r - alpha * Cd, k + 1
+        # orthogonalize Cd against the kept images (CGS, zero rows of
+        # CD contribute nothing)
+        beta = CD @ Cd
+        Cd = Cd - CD.T @ beta
+        d = d - D.T @ beta
+        nrm = jnp.sqrt(ddot(Cd, Cd))
+        safe = jnp.maximum(nrm, 1e-300)
+        dn, Cdn = d / safe, Cd / safe
+        alpha = ddot(Cdn, r)
+        x = x + alpha * dn
+        r = r - alpha * Cdn
+        slot = jnp.mod(k, m)
+        D = jax.lax.dynamic_update_index_in_dim(D, dn, slot, 0)
+        CD = jax.lax.dynamic_update_index_in_dim(CD, Cdn, slot, 0)
+        return x, r, D, CD, k + 1
 
-    x, r, k = jax.lax.while_loop(cond, body, (x, r, jnp.int32(0)))
+    x, r, _, _, k = jax.lax.while_loop(cond, body, (x, r, D, CD, jnp.int32(0)))
     res = jnp.sqrt(ddot(r, r)) / bnorm
     return SolveResult(x, k, res, res <= tol)
 

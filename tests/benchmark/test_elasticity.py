@@ -79,9 +79,22 @@ def test_nafems_plate_frequencies():
     freqs = np.array([m.fn for m in modes[:7]])
     ref = np.array(NAFEMS_FREQS)
     rel = np.abs(freqs - ref) / ref
-    # discretization-error bound (P2 tets, 10x10x2): all modes within 5%
+    # NAFEMS gate stays 5%: the refinement ladder
+    # (scripts/dev_nafems_study.py -> scripts/data/nafems_study.json)
+    # shows the CONVERGED 3D-elasticity values sit 1.3-3.8% below the
+    # plate-theory-era NAFEMS targets on the bending modes (Richardson
+    # f_inf = 44.17, 107.31 x2, 163.07, 193.64, 203.1, 203.4 Hz; the
+    # thickness-dominated mode 5 agrees to 0.03%) — the gap is a
+    # modeling difference, not discretization error, and the
+    # reference's Q1 32x32x6 hexes land nearer the targets through
+    # shear-locking stiffness cancelling the 3D softening.
     assert rel[0] < 0.05, (freqs[:3], rel)
     assert rel.max() < 0.05, (freqs, rel)
+    # self-consistency regression gate against the recorded study values
+    # on this exact (10, 2) mesh (1% window)
+    study_10_2 = np.array(
+        [44.479, 108.1, 108.3, 165.5, 193.74, 205.6, 205.9])
+    assert np.all(np.abs(freqs - study_10_2) / study_10_2 < 0.01), freqs
     # double modes present (109.44 x2 within discrete accuracy)
     assert abs(freqs[1] - freqs[2]) / freqs[1] < 0.02
     # mass-normalization held

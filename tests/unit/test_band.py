@@ -550,3 +550,29 @@ def test_band_plan_force_f32_ladder():
                          force_f32=True)
     assert trunc.band_dtype == "f32"
     assert trunc.B < full.B
+
+
+def test_banded_gcr_beats_single_direction_on_truncated_band():
+    """With a budget-TRUNCATED band preconditioner, the GCR(m) window
+    converges where the round-3 single-direction MR stalls (the 500k
+    Stokes failure mode)."""
+    import jax.numpy as jnp
+
+    from lsafw_tpu.ops.sparse import CSRMatrix
+    from lsafw_tpu.solver.band import factor_auto, plan_for_csr
+    from lsafw_tpu.solver.newton import _banded_mr
+
+    A = _random_banded(900, 40).real.tocsr()  # real, diagonally dominant
+    Ac = CSRMatrix.from_scipy(A)
+    # truncate the band hard: B=1 of ceil(40/16)=3
+    plan = plan_for_csr(Ac, nb=16, chunk=4, real=True, force_f32=True,
+                        max_bytes=40_000)
+    assert plan.B < 3
+    blu, _ = factor_auto(plan, Ac.data)
+    rng = np.random.default_rng(2)
+    b = jnp.asarray(rng.standard_normal(900))
+    res1 = _banded_mr(Ac, blu, b, tol=1e-11, max_its=60, m=1)
+    res8 = _banded_mr(Ac, blu, b, tol=1e-11, max_its=60, m=8)
+    assert float(res8.residual) < 1e-11, float(res8.residual)
+    # the Krylov window can only help: never more iterations than MR(1)
+    assert int(res8.iterations) <= int(res1.iterations)
