@@ -157,6 +157,47 @@ class BaseFlowSolver:
         return sol
 
 
+def interpolate_state(
+    w_coarse: np.ndarray, spaces_coarse, spaces_fine
+) -> np.ndarray:
+    """Mixed Taylor-Hood state on one mesh -> the same fields sampled
+    on another mesh's spaces: the mesh-SEQUENCED continuation initial
+    guess (solve the ramp once on a coarse mesh, Newton-polish on the
+    fine one — at 500k DOFs this replaces a multi-stage ramp of
+    expensive fine-mesh solves with 2-3 Newton steps).  Beyond the
+    reference, which restarts every resolution from the Stokes guess
+    (``/root/reference/Solver/baseflow.py:81-90``).
+
+    Linear interpolation through the coarse node clouds
+    (component-wise for velocity), nearest-neighbor outside the hull.
+    """
+    import scipy.interpolate as si
+    from scipy.spatial import cKDTree
+
+    w_coarse = np.asarray(w_coarse)
+    u_c, p_c = spaces_coarse.split(w_coarse)
+
+    def _interp(pts_c, vals_c, pts_f):
+        it = si.LinearNDInterpolator(pts_c, vals_c)
+        out = np.atleast_2d(np.asarray(it(pts_f)))
+        if out.shape[0] == 1 and pts_f.shape[0] != 1:
+            out = out.T
+        bad = ~np.isfinite(out).all(axis=1)
+        if bad.any():
+            _, idx = cKDTree(pts_c).query(pts_f[bad])
+            out[bad] = np.atleast_2d(vals_c)[idx] if vals_c.ndim > 1 else \
+                vals_c[idx][:, None]
+        return out
+
+    u_f = _interp(
+        spaces_coarse.velocity.node_coords, u_c,
+        spaces_fine.velocity.node_coords)
+    p_f = _interp(
+        spaces_coarse.pressure.node_coords, p_c[:, None],
+        spaces_fine.pressure.node_coords)[:, 0]
+    return spaces_fine.combine(u_f, p_f)
+
+
 def compute_recirculation_length(
     ctx: AssemblyContext,
     baseflow: np.ndarray,

@@ -68,8 +68,28 @@ if os.path.exists(WCACHE):
     t_base = 0.0
     print("baseflow loaded from cache", flush=True)
 else:
-    w = BaseFlowSolver(ctx, mesh, bcs, re=RE).solve(
-        ramp=True, steps=4, tol=1e-9, max_it=40,
+    solver = BaseFlowSolver(ctx, mesh, bcs, re=RE)
+    ramp = True
+    if os.path.exists("/tmp/w167k.npy"):
+        # mesh-sequenced continuation: the converged production-175k
+        # baseflow (same geometry, coarser resolution) interpolated as
+        # the Re=50 initial guess — skips the fine-mesh Stokes + ramp
+        from lsafw_tpu.solver.baseflow import interpolate_state
+
+        mesh_c = cylinder_flow_mesh(load_cylinder_flow_config(
+            os.path.join(cfg_dir, "geometry.toml")))
+        mark_boundary_facets(mesh_c, marker_fn)
+        spaces_c = define_spaces(mesh_c)
+        w_c = np.load("/tmp/w167k.npy")
+        if w_c.shape[0] == spaces_c.num_dofs:
+            guess = interpolate_state(w_c, spaces_c, spaces)
+            solver._initial_guess = np.where(
+                bcs.dirichlet_mask, bcs.dirichlet_values, guess)
+            ramp = False
+            print(f"mesh-sequenced guess from 175k ({time.time()-t0:.0f}s)",
+                  flush=True)
+    w = solver.solve(
+        ramp=ramp, steps=4, tol=1e-9, max_it=40,
         linear_solver="banded" if on_tpu else "lu",
     )
     np.save(WCACHE, np.asarray(w))

@@ -137,3 +137,40 @@ def test_ramp_resume_from_checkpoint(tmp_path):
         ramp=True, steps=3, tol=1e-9, max_it=30, cache=cache2, key="bf")
     np.testing.assert_allclose(np.asarray(w_res), np.asarray(w_full),
                                rtol=1e-8, atol=1e-10)
+
+
+def test_interpolate_state_mesh_sequencing():
+    """Mesh-sequenced continuation guess (solver/baseflow.py): the
+    coarse channel baseflow interpolates onto a finer mesh to
+    interpolation accuracy, and same-mesh transfer is exact."""
+    import numpy as np
+
+    from lsafw_tpu.fem.spaces import define_spaces
+    from lsafw_tpu.meshing.mesh import rectangle_mesh
+    from lsafw_tpu.meshing.tags import mark_boundary_facets
+    from lsafw_tpu.solver.baseflow import interpolate_state
+
+    def make(nx, ny):
+        mesh = rectangle_mesh((0.0, 0.0), (2.0, 1.0), nx, ny)
+        mark_boundary_facets(mesh, lambda x: np.ones(x.shape[0], np.int32))
+        return define_spaces(mesh)
+
+    sc, sf = make(8, 4), make(20, 10)
+    # analytic Poiseuille state: u = (4y(1-y), 0), p = 8(2-x)/Re-ish
+    def state(spaces):
+        y = spaces.velocity.node_coords[:, 1]
+        u = np.stack([4 * y * (1 - y), np.zeros_like(y)], axis=1)
+        p = 2.0 - spaces.pressure.node_coords[:, 0]
+        return spaces.combine(u, p)
+
+    wc = state(sc)
+    # same-mesh transfer is (near) exact
+    w_same = interpolate_state(wc, sc, sc)
+    np.testing.assert_allclose(w_same, wc, atol=1e-12)
+    # coarse -> fine: linear-in-p exact, quadratic-in-u to O(h^2)
+    wf = interpolate_state(wc, sc, sf)
+    ref = state(sf)
+    uf, pf = sf.split(wf)
+    ur, pr = sf.split(ref)
+    np.testing.assert_allclose(pf, pr, atol=1e-10)
+    assert np.abs(uf - ur).max() < 0.02  # h^2 interpolation error
