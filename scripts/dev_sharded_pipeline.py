@@ -204,8 +204,13 @@ for re in ramp:
         res = _newton_solve(data_ell, F, pc)
         dw = jnp.where(mask_j, 0.0, res.x[:npad])
         w = jnp.where(mask_j, bc_values_j, w + dw)
-        print(f"  Re={re}: it {it} |F|={nF:.3e} inner={float(res.residual):.1e}",
+        inner = float(res.residual)
+        print(f"  Re={re}: it {it} |F|={nF:.3e} inner={inner:.1e}",
               flush=True)
+        if inner > 1e-8:
+            # the frozen modified-Newton SPIKE factors went stale (the
+            # inner FGMRES missed tol); refactor at the next iteration
+            pc = None
     else:
         raise RuntimeError(f"baseflow Newton did not converge at Re={re}")
     print(f"Re={re}: converged |F|={nF:.3e}", flush=True)
