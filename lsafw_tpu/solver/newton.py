@@ -162,6 +162,16 @@ class NewtonSolver:
             res = _banded_mr(J, blu, b, Jop, tol=self._linear_tol)
             if bool(res.converged) and bool(np.isfinite(np.asarray(res.x)).all()):
                 return res.x
+            if float(res.residual) < 1e-3 and bool(
+                    np.isfinite(np.asarray(res.x)).all()):
+                # INEXACT Newton acceptance (forcing-term theory): the
+                # outer |F| criterion alone decides convergence, so a
+                # 1e-3-grade step is productive — rejecting it cost an
+                # 18-minute host LU per iteration at 500k
+                logger.info(
+                    "Accepting inexact banded Newton step (rel res %.1e).",
+                    float(res.residual))
+                return res.x
             if self._band_plan.band_dtype == "bf16":
                 # bf16 full-width factors go unstable under pivot-free
                 # elimination growth at production sizes (measured 500k:
@@ -181,6 +191,12 @@ class NewtonSolver:
                 res = _banded_mr(J, blu, b, Jop, tol=self._linear_tol)
                 if bool(res.converged) and bool(
                         np.isfinite(np.asarray(res.x)).all()):
+                    return res.x
+                if float(res.residual) < 1e-3 and bool(
+                        np.isfinite(np.asarray(res.x)).all()):
+                    logger.info(
+                        "Accepting inexact banded Newton step "
+                        "(rel res %.1e).", float(res.residual))
                     return res.x
             # pivot-free f32 factors can overflow or precondition badly
             # on unlucky operators; degrade to the host direct solve for
