@@ -105,14 +105,79 @@ t_asm = time.time() - t0
 print(f"assemble: {t_asm:.0f}s (nnz={A.pattern.nnz})", flush=True)
 
 t0 = time.time()
-es = EigenSolver(A, M, EigensolverConfig(num_eig=1, atol=1e-8, ncv=24))
-es.set_st_type(STType.SINVERT)
-es.set_target(TARGET)
-es.set_st_pc_type("banded")
-es.set_elements(ctx, A_el, M_el, np.asarray(bcs_pert.dirichlet_mask), dofs=dofs)
-pairs = es.solve()
+if os.environ.get("DEV500_KS"):
+    # legacy path: full Krylov-Schur on the truncated-band SI
+    es = EigenSolver(A, M, EigensolverConfig(num_eig=1, atol=1e-8, ncv=24))
+    es.set_st_type(STType.SINVERT)
+    es.set_target(TARGET)
+    es.set_st_pc_type("banded")
+    es.set_elements(ctx, A_el, M_el, np.asarray(bcs_pert.dirichlet_mask),
+                    dofs=dofs)
+    pairs = es.solve()
+    sigma = pairs[0][0]
+else:
+    # nested-mesh eigen path (the production design past the exact-
+    # factor memory wall): exact-band Krylov-Schur on the 175k coarse
+    # problem, eigenvector interpolated, Jacobi-Davidson refinement
+    # with eta-grade truncated-band GCR solves on the 500k operator
+    import gc
+
+    from lsafw_tpu.solver.baseflow import BaseFlowSolver as _BFS
+    from lsafw_tpu.solver.baseflow import interpolate_state
+    from lsafw_tpu.solver.eigen import ShiftInvertOperator, nested_eigenpair
+
+    mesh_c = cylinder_flow_mesh(load_cylinder_flow_config(
+        os.path.join(cfg_dir, "geometry.toml")))
+    mark_boundary_facets(mesh_c, marker_fn)
+    spaces_c = define_spaces(mesh_c)
+    bcs_c = define_bcs(mesh_c, spaces_c,
+                       load_bc_config(os.path.join(cfg_dir, "bcs.toml")))
+    bcs_pert_c = define_bcs(
+        mesh_c, spaces_c,
+        load_bc_config(os.path.join(cfg_dir, "bcs_perturbation.toml")))
+    ctx_c = AssemblyContext.build(spaces_c)
+    WC50 = "/tmp/w167k_re50.npy"
+    if os.path.exists(WC50):
+        w_c = np.load(WC50)
+    else:
+        solver_c = _BFS(ctx_c, mesh_c, bcs_c, re=RE)
+        if os.path.exists("/tmp/w167k.npy"):  # Re=47 baseflow as guess
+            solver_c._initial_guess = np.load("/tmp/w167k.npy")
+        w_c = solver_c.solve(ramp=False, tol=1e-9, max_it=30,
+                             linear_solver="banded" if on_tpu else "lu")
+        np.save(WC50, np.asarray(w_c))
+    print(f"coarse baseflow ready ({time.time()-t0:.0f}s)", flush=True)
+
+    asm_c = LinearizedNavierStokesAssembler(
+        jnp.asarray(w_c), ctx_c, RE, bcs_pert_c, mesh_c)
+    A_c, M_c = asm_c.assemble_eigensystem()
+    A_el_c, M_el_c, dofs_c = asm_c.element_matrices()
+    es_c = EigenSolver(A_c, M_c, EigensolverConfig(num_eig=1, atol=1e-9,
+                                                   ncv=16))
+    es_c.set_st_type(STType.SINVERT)
+    es_c.set_target(TARGET)
+    es_c.set_st_pc_type("banded")
+    es_c.set_elements(ctx_c, A_el_c, M_el_c,
+                      np.asarray(bcs_pert_c.dirichlet_mask), dofs=dofs_c)
+    lam_c, x_c = es_c.solve()[0]
+    print(f"coarse eigen: sigma={lam_c:.6f} ({time.time()-t0:.0f}s)",
+          flush=True)
+    # free the coarse band factor BEFORE the fine SI op builds
+    del es_c, asm_c, A_c, M_c, A_el_c, M_el_c
+    gc.collect()
+
+    v0 = (interpolate_state(np.real(x_c), spaces_c, spaces)
+          + 1j * interpolate_state(np.imag(x_c), spaces_c, spaces))
+    sio = ShiftInvertOperator(
+        A, M, TARGET, method="banded",
+        elements=(dofs, A_el, M_el, np.asarray(bcs_pert.dirichlet_mask)),
+        skip_calibration=True)
+    sigma, v, rel, n_outer = nested_eigenpair(
+        sio.device_op, v0, lam_c, tol=1e-8, inner_tol=1e-3, inner_its=300,
+        bc_mask=np.asarray(bcs_pert.dirichlet_mask))
+    pairs = [(sigma, v)]
+    print(f"nested refine: {n_outer} outer steps, rel {rel:.2e}", flush=True)
 t_eig = time.time() - t0
-sigma = pairs[0][0]
 resid = float(eigen_residuals(A, M, pairs)[0])
 print(
     f"RESULT n={n} sigma={sigma.real:+.5f}{sigma.imag:+.5f}j resid={resid:.2e} "

@@ -305,3 +305,40 @@ def test_fused_expand_oom_fallback(monkeypatch):
     assert calls["n"] == 1  # fused tried once, then permanently off
     got = np.sort([z.real for z in res.eigenvalues[:3]])
     np.testing.assert_allclose(got, [n - 2, n - 1, n], atol=1e-8)
+
+
+def test_nested_eigenpair_inexact_refinement():
+    """nested_eigenpair converges an interpolation-grade guess to
+    solver grade with DELIBERATELY inexact (1e-2) correction solves —
+    the 500k+ eigen path where no exact fine factor exists."""
+    import numpy as np
+
+    from lsafw_tpu.meshing.mesh import rectangle_mesh
+    from lsafw_tpu.models.membrane import assemble_membrane_evp
+    from lsafw_tpu.solver.eigen import (
+        EigenSolver, EigensolverConfig, STType, ShiftInvertOperator,
+        nested_eigenpair,
+    )
+
+    mesh = rectangle_mesh((0.0, 0.0), (1.0, 1.0), 12, 12)
+    K, M, mask = assemble_membrane_evp(mesh)
+    es = EigenSolver(K, M, EigensolverConfig(num_eig=1, atol=1e-10, ncv=12))
+    es.set_st_type(STType.SINVERT)
+    es.set_target(19.0)
+    es.set_st_pc_type("banded")
+    lam, x = es.solve()[0]
+
+    sio = ShiftInvertOperator(K, M, complex(lam) + 0.4, method="banded")
+    rng = np.random.default_rng(0)
+    v0 = x + 0.05 * (rng.standard_normal(x.shape) +
+                     1j * rng.standard_normal(x.shape))
+    th, v, rel, it = nested_eigenpair(
+        sio.device_op, v0, complex(lam) + 0.3,
+        tol=1e-10, inner_tol=1e-2, inner_its=40, max_outer=25,
+        bc_mask=mask)
+    assert abs(th - lam) / abs(lam) < 1e-9, (th, lam)
+    Ks, Ms = K.to_scipy(), M.to_scipy()
+    r = Ks @ v - th * (Ms @ v)
+    true_rel = np.linalg.norm(r) / np.linalg.norm(Ks @ v)
+    assert true_rel < 1e-9, true_rel
+    assert it <= 20, it
