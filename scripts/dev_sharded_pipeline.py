@@ -29,6 +29,14 @@ if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "")
         os.environ.get("XLA_FLAGS", "")
         + " --xla_force_host_platform_device_count=8"
     ).strip()
+# 8 virtual devices timeshare ONE physical core here: the default 40 s
+# collective-rendezvous termination kills the run whenever another
+# process squeezes the core mid-all-gather (observed twice at 43k)
+if "collective_call_terminate" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] += (
+        " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+    )
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import numpy as np

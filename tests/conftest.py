@@ -19,6 +19,13 @@ if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "")
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
     ).strip()
+# 8 virtual devices on one physical core: the default 40 s collective-
+# rendezvous termination aborts the process when the core is shared
+if "collective_call_terminate" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] += (
+        " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+    )
 
 import jax  # noqa: E402
 
