@@ -65,46 +65,52 @@ dim = (-sigma.imag) * M.data
 float(dre[0])  # sync
 
 results = []
-for nb in (128, 256):
-    for chunk in (128, 512, 4096):
-        os.environ["LSAFW_BAND_NB"] = str(nb)
-        try:
-            plan = plan_for_csr(A, nb=nb, chunk=chunk)
-        except Exception as e:
-            print(f"nb={nb} chunk={chunk}: plan failed {e}", flush=True)
-            continue
-        nblk_pad = plan.nblk_pad
-        bwidth = plan.B * nb
-        # factor flops: per block row ~ (inv + B*B Schur updates + B L
-        # products) * nb^3 MACs, complex pair = 4 real products
-        flops = plan.nblk_pad * (plan.B**2 + plan.B + 1) * nb**3 * 2 * 4
-        try:
-            t0 = time.time()
-            lu = BandedLU.factor(plan, dre, dim)
-            float(lu.dinv_r[0, 0, 0])
-            t_cold = time.time() - t0
-            t0 = time.time()
-            lu2 = BandedLU.factor(plan, dre, dim)
-            float(lu2.dinv_r[0, 0, 0])
-            t_warm = time.time() - t0
-            # solve timing (warm): pair substitution
-            b = jnp.asarray(np.random.default_rng(0).standard_normal(n))
-            xr, xi = lu2.solve_pair(b, b)
-            float(xr[0])
-            t0 = time.time()
-            xr, xi = lu2.solve_pair(b, b)
-            float(xr[0])
-            t_solve = time.time() - t0
-            del lu, lu2, xr, xi
-            row = dict(nb=nb, chunk=chunk, B=plan.B, bw=bwidth,
-                       t_cold=round(t_cold, 2), t_warm=round(t_warm, 2),
-                       t_solve=round(t_solve, 3),
-                       tflops=round(flops / t_warm / 1e12, 2))
-            results.append(row)
-            print("RESULT " + json.dumps(row), flush=True)
-        except Exception as e:
-            print(f"nb={nb} chunk={chunk}: factor failed {type(e).__name__} {e}",
-                  flush=True)
+# one config per process when FACTOR_NB/FACTOR_CHUNK are set: a
+# RESOURCE_EXHAUSTED config poisons subsequent allocations in-process
+# (measured: every config after the chunk=512 OOM failed its plan)
+if os.environ.get("FACTOR_NB"):
+    configs = [(int(os.environ["FACTOR_NB"]), int(os.environ["FACTOR_CHUNK"]))]
+else:
+    configs = [(nb, ch) for nb in (128, 256) for ch in (128, 512, 4096)]
+for nb, chunk in configs:
+    os.environ["LSAFW_BAND_NB"] = str(nb)
+    try:
+        plan = plan_for_csr(A, nb=nb, chunk=chunk)
+    except Exception as e:
+        print(f"nb={nb} chunk={chunk}: plan failed {e}", flush=True)
+        continue
+    nblk_pad = plan.nblk_pad
+    bwidth = plan.B * nb
+    # factor flops: per block row ~ (inv + B*B Schur updates + B L
+    # products) * nb^3 MACs, complex pair = 4 real products
+    flops = plan.nblk_pad * (plan.B**2 + plan.B + 1) * nb**3 * 2 * 4
+    try:
+        t0 = time.time()
+        lu = BandedLU.factor(plan, dre, dim)
+        float(lu.dinv_r[0, 0, 0])
+        t_cold = time.time() - t0
+        t0 = time.time()
+        lu2 = BandedLU.factor(plan, dre, dim)
+        float(lu2.dinv_r[0, 0, 0])
+        t_warm = time.time() - t0
+        # solve timing (warm): pair substitution
+        b = jnp.asarray(np.random.default_rng(0).standard_normal(n))
+        xr, xi = lu2.solve_pair(b, b)
+        float(xr[0])
+        t0 = time.time()
+        xr, xi = lu2.solve_pair(b, b)
+        float(xr[0])
+        t_solve = time.time() - t0
+        del lu, lu2, xr, xi
+        row = dict(nb=nb, chunk=chunk, B=plan.B, bw=bwidth,
+                   t_cold=round(t_cold, 2), t_warm=round(t_warm, 2),
+                   t_solve=round(t_solve, 3),
+                   tflops=round(flops / t_warm / 1e12, 2))
+        results.append(row)
+        print("RESULT " + json.dumps(row), flush=True)
+    except Exception as e:
+        print(f"nb={nb} chunk={chunk}: factor failed {type(e).__name__} {e}",
+              flush=True)
 
 with open("/tmp/factor_mfu.json", "w") as f:
     json.dump(results, f, indent=1)
