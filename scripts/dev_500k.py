@@ -35,18 +35,47 @@ from lsafw_tpu.utils.logging import setup_logging
 setup_logging(verbose=True)
 
 SCALE = float(os.environ.get("DEV500_SCALE", "0.58"))
+# mesh-sequencing source: "prod" = the production 175k geometry (its
+# baseflow/eigenpair computed in-script); a float = a previous
+# dev_500k run at that DEV500_SCALE whose /tmp caches seed this one
+# (e.g. the 1M run chains DEV500_SCALE=0.42 DEV500_COARSE=0.58)
+COARSE = os.environ.get("DEV500_COARSE", "prod")
 RE = 50.0
 TARGET = 0.018 + 0.7379601143282424j
 
 cfg_dir = os.path.join(os.path.dirname(__file__), "..", "config_files", "2D", "cylinder")
-geo = load_cylinder_flow_config(os.path.join(cfg_dir, "geometry.toml"))
+geo_full = load_cylinder_flow_config(os.path.join(cfg_dir, "geometry.toml"))
 import dataclasses
-geo = dataclasses.replace(
-    geo,
-    resolution=geo.resolution * SCALE,
-    resolution_around_cylinder=geo.resolution_around_cylinder * SCALE,
-)
+
+
+def _scaled(g, s):
+    return dataclasses.replace(
+        g, resolution=g.resolution * s,
+        resolution_around_cylinder=g.resolution_around_cylinder * s)
+
+
+geo = _scaled(geo_full, SCALE)
 marker_fn = load_facet_config(os.path.join(cfg_dir, "facets.toml"))
+
+_coarse_memo = {}
+
+
+def coarse_setup():
+    """Coarse mesh/spaces + cache paths for the mesh-sequencing chain."""
+    if _coarse_memo:
+        return _coarse_memo["v"]
+    if COARSE == "prod":
+        geo_c = geo_full
+        wpath, epath = "/tmp/w167k_re50.npy", "/tmp/eig_prod.npz"
+    else:
+        cs = float(COARSE)
+        geo_c = _scaled(geo_full, cs)
+        wpath, epath = f"/tmp/w500k_{cs}.npy", f"/tmp/eig500k_{cs}.npz"
+    mesh_c = cylinder_flow_mesh(geo_c)
+    mark_boundary_facets(mesh_c, marker_fn)
+    spaces_c = define_spaces(mesh_c)
+    _coarse_memo["v"] = (mesh_c, spaces_c, wpath, epath)
+    return _coarse_memo["v"]
 
 t0 = time.time()
 mesh = cylinder_flow_mesh(geo)
@@ -70,24 +99,23 @@ if os.path.exists(WCACHE):
 else:
     solver = BaseFlowSolver(ctx, mesh, bcs, re=RE)
     ramp = True
-    if os.path.exists("/tmp/w167k.npy"):
-        # mesh-sequenced continuation: the converged production-175k
-        # baseflow (same geometry, coarser resolution) interpolated as
-        # the Re=50 initial guess — skips the fine-mesh Stokes + ramp
+    mesh_c, spaces_c, wpath_c, _ = coarse_setup()
+    wsrc = wpath_c if os.path.exists(wpath_c) else (
+        "/tmp/w167k.npy" if COARSE == "prod" else None)
+    if wsrc is not None:
+        # mesh-sequenced continuation: a converged coarser-resolution
+        # baseflow interpolated as the Re=50 initial guess — skips the
+        # fine-mesh Stokes + ramp
         from lsafw_tpu.solver.baseflow import interpolate_state
 
-        mesh_c = cylinder_flow_mesh(load_cylinder_flow_config(
-            os.path.join(cfg_dir, "geometry.toml")))
-        mark_boundary_facets(mesh_c, marker_fn)
-        spaces_c = define_spaces(mesh_c)
-        w_c = np.load("/tmp/w167k.npy")
+        w_c = np.load(wsrc)
         if w_c.shape[0] == spaces_c.num_dofs:
             guess = interpolate_state(w_c, spaces_c, spaces)
             solver._initial_guess = np.where(
                 bcs.dirichlet_mask, bcs.dirichlet_values, guess)
             ramp = False
-            print(f"mesh-sequenced guess from 175k ({time.time()-t0:.0f}s)",
-                  flush=True)
+            print(f"mesh-sequenced guess from {wsrc} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
     w = solver.solve(
         ramp=ramp, steps=4, tol=1e-9, max_it=40,
         linear_solver="banded" if on_tpu else "lu",
@@ -126,45 +154,54 @@ else:
     from lsafw_tpu.solver.baseflow import interpolate_state
     from lsafw_tpu.solver.eigen import ShiftInvertOperator, nested_eigenpair
 
-    mesh_c = cylinder_flow_mesh(load_cylinder_flow_config(
-        os.path.join(cfg_dir, "geometry.toml")))
-    mark_boundary_facets(mesh_c, marker_fn)
-    spaces_c = define_spaces(mesh_c)
-    bcs_c = define_bcs(mesh_c, spaces_c,
-                       load_bc_config(os.path.join(cfg_dir, "bcs.toml")))
-    bcs_pert_c = define_bcs(
-        mesh_c, spaces_c,
-        load_bc_config(os.path.join(cfg_dir, "bcs_perturbation.toml")))
-    ctx_c = AssemblyContext.build(spaces_c)
-    WC50 = "/tmp/w167k_re50.npy"
-    if os.path.exists(WC50):
-        w_c = np.load(WC50)
+    mesh_c, spaces_c, wpath_c, epath_c = coarse_setup()
+    if os.path.exists(epath_c):
+        d = np.load(epath_c)
+        lam_c = complex(d["sig_re"], d["sig_im"])
+        x_c = d["v_re"] + 1j * d["v_im"]
+        print(f"coarse eigenpair loaded from {epath_c} "
+              f"(sigma={lam_c:.6f})", flush=True)
     else:
-        solver_c = _BFS(ctx_c, mesh_c, bcs_c, re=RE)
-        if os.path.exists("/tmp/w167k.npy"):  # Re=47 baseflow as guess
-            solver_c._initial_guess = np.load("/tmp/w167k.npy")
-        w_c = solver_c.solve(ramp=False, tol=1e-9, max_it=30,
-                             linear_solver="banded" if on_tpu else "lu")
-        np.save(WC50, np.asarray(w_c))
-    print(f"coarse baseflow ready ({time.time()-t0:.0f}s)", flush=True)
+        if COARSE != "prod":
+            raise RuntimeError(
+                f"chained coarse eigenpair {epath_c} missing — run "
+                f"DEV500_SCALE={COARSE} first")
+        bcs_c = define_bcs(mesh_c, spaces_c,
+                           load_bc_config(os.path.join(cfg_dir, "bcs.toml")))
+        bcs_pert_c = define_bcs(
+            mesh_c, spaces_c,
+            load_bc_config(os.path.join(cfg_dir, "bcs_perturbation.toml")))
+        ctx_c = AssemblyContext.build(spaces_c)
+        if os.path.exists(wpath_c):
+            w_c = np.load(wpath_c)
+        else:
+            solver_c = _BFS(ctx_c, mesh_c, bcs_c, re=RE)
+            if os.path.exists("/tmp/w167k.npy"):  # Re=47 baseflow as guess
+                solver_c._initial_guess = np.load("/tmp/w167k.npy")
+            w_c = solver_c.solve(ramp=False, tol=1e-9, max_it=30,
+                                 linear_solver="banded" if on_tpu else "lu")
+            np.save(wpath_c, np.asarray(w_c))
+        print(f"coarse baseflow ready ({time.time()-t0:.0f}s)", flush=True)
 
-    asm_c = LinearizedNavierStokesAssembler(
-        jnp.asarray(w_c), ctx_c, RE, bcs_pert_c, mesh_c)
-    A_c, M_c = asm_c.assemble_eigensystem()
-    A_el_c, M_el_c, dofs_c = asm_c.element_matrices()
-    es_c = EigenSolver(A_c, M_c, EigensolverConfig(num_eig=1, atol=1e-9,
-                                                   ncv=16))
-    es_c.set_st_type(STType.SINVERT)
-    es_c.set_target(TARGET)
-    es_c.set_st_pc_type("banded")
-    es_c.set_elements(ctx_c, A_el_c, M_el_c,
-                      np.asarray(bcs_pert_c.dirichlet_mask), dofs=dofs_c)
-    lam_c, x_c = es_c.solve()[0]
-    print(f"coarse eigen: sigma={lam_c:.6f} ({time.time()-t0:.0f}s)",
-          flush=True)
-    # free the coarse band factor BEFORE the fine SI op builds
-    del es_c, asm_c, A_c, M_c, A_el_c, M_el_c
-    gc.collect()
+        asm_c = LinearizedNavierStokesAssembler(
+            jnp.asarray(w_c), ctx_c, RE, bcs_pert_c, mesh_c)
+        A_c, M_c = asm_c.assemble_eigensystem()
+        A_el_c, M_el_c, dofs_c = asm_c.element_matrices()
+        es_c = EigenSolver(A_c, M_c, EigensolverConfig(num_eig=1, atol=1e-9,
+                                                       ncv=16))
+        es_c.set_st_type(STType.SINVERT)
+        es_c.set_target(TARGET)
+        es_c.set_st_pc_type("banded")
+        es_c.set_elements(ctx_c, A_el_c, M_el_c,
+                          np.asarray(bcs_pert_c.dirichlet_mask), dofs=dofs_c)
+        lam_c, x_c = es_c.solve()[0]
+        np.savez(epath_c, sig_re=lam_c.real, sig_im=lam_c.imag,
+                 v_re=np.real(x_c), v_im=np.imag(x_c))
+        print(f"coarse eigen: sigma={lam_c:.6f} ({time.time()-t0:.0f}s)",
+              flush=True)
+        # free the coarse band factor BEFORE the fine SI op builds
+        del es_c, asm_c, A_c, M_c, A_el_c, M_el_c
+        gc.collect()
 
     v0 = (interpolate_state(np.real(x_c), spaces_c, spaces)
           + 1j * interpolate_state(np.imag(x_c), spaces_c, spaces))
@@ -176,6 +213,8 @@ else:
         sio.device_op, v0, lam_c, tol=1e-8, inner_tol=1e-3, inner_its=300,
         bc_mask=np.asarray(bcs_pert.dirichlet_mask))
     pairs = [(sigma, v)]
+    np.savez(f"/tmp/eig500k_{SCALE}.npz", sig_re=sigma.real,
+             sig_im=sigma.imag, v_re=np.real(v), v_im=np.imag(v))
     print(f"nested refine: {n_outer} outer steps, rel {rel:.2e}", flush=True)
 t_eig = time.time() - t0
 resid = float(eigen_residuals(A, M, pairs)[0])
