@@ -208,6 +208,16 @@ else:
 
     v0 = (interpolate_state(np.real(x_c), spaces_c, spaces)
           + 1j * interpolate_state(np.imag(x_c), spaces_c, spaces))
+    # free every coarse-stage device array before the fine SI op builds
+    _coarse_memo.clear()
+    del mesh_c, spaces_c, x_c
+    gc.collect()
+    # the nested refinement tolerates a WEAK preconditioner by design:
+    # a smaller truncated f32 band (f32: the bf16 pair factor risks the
+    # non-finite growth seen on the real Newton factors) leaves HBM
+    # headroom for the GCR window and the refinement temps
+    os.environ["LSAFW_BAND_MEM_GB"] = "8"
+    os.environ["LSAFW_BAND_DTYPE"] = "f32"
     sio = ShiftInvertOperator(
         A, M, TARGET, method="banded",
         elements=(dofs, A_el, M_el, np.asarray(bcs_pert.dirichlet_mask)),
