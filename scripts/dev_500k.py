@@ -127,36 +127,17 @@ else:
     t_base = time.time() - t0
     print(f"baseflow: {t_base:.0f}s", flush=True)
 
-t0 = time.time()
-asm = LinearizedNavierStokesAssembler(jnp.asarray(w), ctx, RE, bcs_pert, mesh)
-A, M = asm.assemble_eigensystem()
-A_el, M_el, dofs = asm.element_matrices()
-A.data.block_until_ready()
-t_asm = time.time() - t0
-print(f"assemble: {t_asm:.0f}s (nnz={A.pattern.nnz})", flush=True)
-
-t0 = time.time()
-if os.environ.get("DEV500_KS"):
-    # legacy path: full Krylov-Schur on the truncated-band SI
-    es = EigenSolver(A, M, EigensolverConfig(num_eig=1, atol=1e-8, ncv=24))
-    es.set_st_type(STType.SINVERT)
-    es.set_target(TARGET)
-    es.set_st_pc_type("banded")
-    es.set_elements(ctx, A_el, M_el, np.asarray(bcs_pert.dirichlet_mask),
-                    dofs=dofs)
-    pairs = es.solve()
-    sigma = pairs[0][0]
-else:
-    # nested-mesh eigen path (the production design past the exact-
-    # factor memory wall): exact-band Krylov-Schur on the 175k coarse
-    # problem, eigenvector interpolated, Jacobi-Davidson refinement
-    # with eta-grade truncated-band GCR solves on the 500k operator
+# ---- coarse eigenpair for the nested path: computed BEFORE the fine
+# assembly so the 6.5 GB coarse band never coexists with the fine
+# operator arrays (the coexistence OOM'd the 500k rerun) ----
+if not os.environ.get("DEV500_KS"):
     import gc
 
     from lsafw_tpu.solver.baseflow import BaseFlowSolver as _BFS
     from lsafw_tpu.solver.baseflow import interpolate_state
     from lsafw_tpu.solver.eigen import ShiftInvertOperator, nested_eigenpair
 
+    t0 = time.time()
     mesh_c, spaces_c, wpath_c, epath_c = coarse_setup()
     if os.path.exists(epath_c):
         d = np.load(epath_c)
@@ -208,10 +189,33 @@ else:
 
     v0 = (interpolate_state(np.real(x_c), spaces_c, spaces)
           + 1j * interpolate_state(np.imag(x_c), spaces_c, spaces))
-    # free every coarse-stage device array before the fine SI op builds
+    # free every coarse-stage device array before the fine stages
     _coarse_memo.clear()
     del mesh_c, spaces_c, x_c
     gc.collect()
+    print(f"coarse eigenpair + interpolation ready ({time.time()-t0:.0f}s)",
+          flush=True)
+
+t0 = time.time()
+asm = LinearizedNavierStokesAssembler(jnp.asarray(w), ctx, RE, bcs_pert, mesh)
+A, M = asm.assemble_eigensystem()
+A_el, M_el, dofs = asm.element_matrices()
+A.data.block_until_ready()
+t_asm = time.time() - t0
+print(f"assemble: {t_asm:.0f}s (nnz={A.pattern.nnz})", flush=True)
+
+t0 = time.time()
+if os.environ.get("DEV500_KS"):
+    # legacy path: full Krylov-Schur on the truncated-band SI
+    es = EigenSolver(A, M, EigensolverConfig(num_eig=1, atol=1e-8, ncv=24))
+    es.set_st_type(STType.SINVERT)
+    es.set_target(TARGET)
+    es.set_st_pc_type("banded")
+    es.set_elements(ctx, A_el, M_el, np.asarray(bcs_pert.dirichlet_mask),
+                    dofs=dofs)
+    pairs = es.solve()
+    sigma = pairs[0][0]
+else:
     # the nested refinement tolerates a WEAK preconditioner by design:
     # a smaller truncated f32 band (f32: the bf16 pair factor risks the
     # non-finite growth seen on the real Newton factors) leaves HBM
