@@ -220,8 +220,13 @@ else:
     # a smaller truncated f32 band (f32: the bf16 pair factor risks the
     # non-finite growth seen on the real Newton factors) leaves HBM
     # headroom for the GCR window and the refinement temps
-    os.environ["LSAFW_BAND_MEM_GB"] = "8"
+    # 8 GB band + BCSR blocks put the refinement program at the HBM
+    # edge and the TPU worker hard-crashed (twice, same site); 6 GB +
+    # element-operator matvecs leave ~7 GB headroom — the nested
+    # refinement tolerates the weaker band by design
+    os.environ["LSAFW_BAND_MEM_GB"] = "6"
     os.environ["LSAFW_BAND_DTYPE"] = "f32"
+    os.environ["LSAFW_SI_MATVEC"] = "elements"
     sio = ShiftInvertOperator(
         A, M, TARGET, method="banded",
         elements=(dofs, A_el, M_el, np.asarray(bcs_pert.dirichlet_mask)),
