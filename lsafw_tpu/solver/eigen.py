@@ -294,19 +294,28 @@ def banded_solve_raw(
     return xr, xi
 
 
-@partial(jax.jit, static_argnames=("inner_tol", "inner_its", "m"))
-def _nested_step(op: BandedSIOp, vr, vi, th_re, th_im, *,
-                 inner_tol: float, inner_its: int, m: int):
-    """One inexact Jacobi-Davidson-style correction step (see
-    :func:`nested_eigenpair`)."""
+def _with_sigma(op: BandedSIOp, sr, si):
+    """Retarget the SI operator at a (traced) new shift.  Element-based
+    C operators bake sigma into their values and CANNOT be retargeted —
+    drop them so ``_si_apply_C`` falls back to the CSR pair (which
+    applies the traced ``sig_re/sig_im``)."""
     import dataclasses
 
-    def _with_sigma(op, sr, si):
-        Cop = op.Cop
-        if Cop is not None and hasattr(Cop, "sig_re"):
+    Cop = op.Cop
+    if Cop is not None:
+        if hasattr(Cop, "sig_re"):
             Cop = dataclasses.replace(Cop, sig_re=sr, sig_im=si)
-        return op._replace(sig_re=sr, sig_im=si, Cop=Cop)
+        else:
+            Cop = None
+    return op._replace(sig_re=sr, sig_im=si, Cop=Cop)
 
+
+@jax.jit
+def _nested_prepare(op: BandedSIOp, vr, vi, th_re, th_im):
+    """Normalize, Rayleigh-update, and form the residual (the small
+    program of one nested step; the correction solve is a SEPARATE jit
+    — one monolithic step program hard-crashed the TPU worker at 500k,
+    the same large-program class the non-fused Arnoldi policy avoids)."""
     # M-normalize
     Mvr, Mvi = _si_apply_M(op, vr, vi)
     nrm = jnp.sqrt(jnp.maximum(ddot(vr, Mvr) + ddot(vi, Mvi), 1e-300))
@@ -334,15 +343,22 @@ def _nested_step(op: BandedSIOp, vr, vi, th_re, th_im, *,
     scale = jnp.sqrt(
         rnorm**2 + (th_re**2 + th_im**2) * (ddot(Mvr, Mvr) + ddot(Mvi, Mvi)))
     rel = rnorm / jnp.maximum(scale, 1e-300)
-    # Jacobi-Davidson correction: solve the PROJECTED system against
-    # the SHRINKING residual (this is what makes eta-grade inner solves
-    # converge geometrically — and without the projection an exact
-    # solve returns t = v and the correction annihilates)
+    return vr, vi, Mvr, Mvi, rr, ri, th_re, th_im, rel
+
+
+@partial(jax.jit, static_argnames=("inner_tol", "inner_its", "m"))
+def _nested_correct(op: BandedSIOp, vr, vi, Mvr, Mvi, rr, ri,
+                    th_re, th_im, *, inner_tol: float, inner_its: int,
+                    m: int):
+    """Jacobi-Davidson correction: solve the PROJECTED system against
+    the SHRINKING residual (this is what makes eta-grade inner solves
+    converge geometrically — and without the projection an exact solve
+    returns t = v and the correction annihilates)."""
     opt = _with_sigma(op, th_re, th_im)
     tr, ti = banded_solve_raw(
         opt, (rr, ri), tol=inner_tol, max_its=inner_its, m=m,
         proj=(vr, vi, Mvr, Mvi))
-    return vr - tr, vi - ti, th_re, th_im, rel
+    return vr - tr, vi - ti
 
 
 def nested_eigenpair(
@@ -391,9 +407,8 @@ def nested_eigenpair(
     rel = np.inf
     it = 0
     for it in range(1, max_outer + 1):
-        vr, vi, th_re, th_im, rel_j = _nested_step(
-            op, vr, vi, th_re, th_im,
-            inner_tol=inner_tol, inner_its=inner_its, m=m)
+        vr, vi, Mvr, Mvi, rr, ri, th_re, th_im, rel_j = _nested_prepare(
+            op, vr, vi, th_re, th_im)
         rel = float(rel_j)
         logger.info("nested_eigenpair: outer %d rel resid %.2e theta %.6f%+.6fj",
                     it, rel, float(th_re), float(th_im))
@@ -401,6 +416,9 @@ def nested_eigenpair(
             raise FloatingPointError("nested refinement diverged")
         if rel < tol:
             break
+        vr, vi = _nested_correct(
+            op, vr, vi, Mvr, Mvi, rr, ri, th_re, th_im,
+            inner_tol=inner_tol, inner_its=inner_its, m=m)
     v = np.asarray(vr) + 1j * np.asarray(vi)
     v /= np.linalg.norm(v)
     return complex(float(th_re), float(th_im)), v, rel, it
