@@ -220,20 +220,25 @@ else:
     # a smaller truncated f32 band (f32: the bf16 pair factor risks the
     # non-finite growth seen on the real Newton factors) leaves HBM
     # headroom for the GCR window and the refinement temps
-    # 8 GB band + BCSR blocks put the refinement program at the HBM
-    # edge and the TPU worker hard-crashed (twice, same site); 6 GB +
-    # element-operator matvecs leave ~7 GB headroom — the nested
-    # refinement tolerates the weaker band by design
+    # 6 GB truncated f32 band (the nested refinement tolerates a weak
+    # band by design) + BCSR matvecs.  NEVER let the SI matvecs fall
+    # through to the element operator here: the CElementOperator inside
+    # a long jitted loop at >100k DOFs is the known TPU-worker
+    # kernel-fault trigger (three crashes at this site, all with the
+    # element path; the BCSR policy exists exactly for this).
     os.environ["LSAFW_BAND_MEM_GB"] = "6"
     os.environ["LSAFW_BAND_DTYPE"] = "f32"
-    os.environ["LSAFW_SI_MATVEC"] = "elements"
+    os.environ["LSAFW_SI_MATVEC"] = "bcsr"
     sio = ShiftInvertOperator(
         A, M, TARGET, method="banded",
         elements=(dofs, A_el, M_el, np.asarray(bcs_pert.dirichlet_mask)),
         skip_calibration=True)
+    # inner_its=100 keeps each correction DISPATCH under the tunnel's
+    # execution watchdog (~60 s kills: a 300-iteration GCR dispatch
+    # hard-crashed the worker; the outer loop absorbs the difference)
     sigma, v, rel, n_outer = nested_eigenpair(
-        sio.device_op, v0, lam_c, tol=1e-8, inner_tol=1e-3, inner_its=300,
-        bc_mask=np.asarray(bcs_pert.dirichlet_mask))
+        sio.device_op, v0, lam_c, tol=1e-8, inner_tol=1e-3, inner_its=100,
+        max_outer=30, bc_mask=np.asarray(bcs_pert.dirichlet_mask))
     pairs = [(sigma, v)]
     np.savez(f"/tmp/eig500k_{SCALE}.npz", sig_re=sigma.real,
              sig_im=sigma.imag, v_re=np.real(v), v_im=np.imag(v))
