@@ -198,6 +198,60 @@ def interpolate_state(
     return spaces_fine.combine(u_f, p_f)
 
 
+def point_interpolation_matrix(pts_c: np.ndarray, pts_f: np.ndarray):
+    """Sparse P1 barycentric interpolation matrix from one point cloud
+    to another (nearest source point outside the hull)."""
+    import scipy.sparse as sp
+    from scipy.spatial import Delaunay, cKDTree
+
+    tri = Delaunay(pts_c)
+    simp = tri.find_simplex(pts_f)
+    inside = simp >= 0
+    rows, cols, vals = [], [], []
+    if inside.any():
+        s = simp[inside]
+        X = tri.transform[s]  # (m, tdim+1, tdim)
+        d = pts_f[inside] - X[:, -1]
+        bary = np.einsum("mij,mj->mi", X[:, :-1], d)
+        w = np.concatenate([bary, 1.0 - bary.sum(axis=1, keepdims=True)],
+                           axis=1)
+        verts = tri.simplices[s]
+        idx = np.flatnonzero(inside)
+        rows.append(np.repeat(idx, verts.shape[1]))
+        cols.append(verts.ravel())
+        vals.append(w.ravel())
+    if (~inside).any():
+        _, nn = cKDTree(pts_c).query(pts_f[~inside])
+        rows.append(np.flatnonzero(~inside))
+        cols.append(nn)
+        vals.append(np.ones(nn.shape[0]))
+    return sp.csr_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(pts_f.shape[0], pts_c.shape[0]))
+
+
+def interpolation_matrix(spaces_coarse, spaces_fine):
+    """Sparse mixed-state prolongation P (fine_dofs x coarse_dofs):
+    the MATRIX form of :func:`interpolate_state` (P1 barycentric
+    weights through the coarse node clouds; nearest coarse node
+    outside the hull).  P is the building block of the two-grid
+    shift-invert preconditioner (coarse-mesh SI correction for the
+    500k+ eigen inner solves) and satisfies
+    ``P @ w_coarse == interpolate_state(w_coarse, ...)`` up to
+    roundoff.  Returns ``scipy.sparse.csr_matrix``."""
+    import scipy.sparse as sp
+
+    _block = point_interpolation_matrix
+    Pu = _block(spaces_coarse.velocity.node_coords,
+                spaces_fine.velocity.node_coords)
+    Pp = _block(spaces_coarse.pressure.node_coords,
+                spaces_fine.pressure.node_coords)
+    bs = spaces_fine.velocity.bs
+    return sp.block_diag(
+        [sp.kron(Pu, sp.identity(bs, format="csr"), format="csr"), Pp],
+        format="csr")
+
+
 def compute_recirculation_length(
     ctx: AssemblyContext,
     baseflow: np.ndarray,

@@ -342,3 +342,87 @@ def test_nested_eigenpair_inexact_refinement():
     true_rel = np.linalg.norm(r) / np.linalg.norm(Ks @ v)
     assert true_rel < 1e-9, true_rel
     assert it <= 20, it
+
+
+def test_two_grid_si_pc_beats_truncated_band():
+    """TwoGridSIPC (truncated fine band + coarse exact SI correction)
+    converges the nested refinement where the truncated band alone
+    stalls — the 500k+ device eigen design."""
+    import numpy as np
+
+    from lsafw_tpu.meshing.mesh import rectangle_mesh
+    from lsafw_tpu.models.membrane import assemble_membrane_evp
+    from lsafw_tpu.ops.bcsr import BCSRShiftedOp
+    from lsafw_tpu.solver.baseflow import point_interpolation_matrix
+    from lsafw_tpu.solver.band import factor_auto, plan_for_csr
+    from lsafw_tpu.solver.eigen import (
+        BandedSIOp, EigenSolver, EigensolverConfig, STType,
+        ShiftInvertOperator, TwoGridSIPC, ell_of_csr, nested_eigenpair,
+    )
+    from lsafw_tpu.fem.spaces import make_scalar_space
+    from lsafw_tpu.meshing.tags import mark_boundary_facets
+
+    def build(nx):
+        mesh = rectangle_mesh((0.0, 0.0), (1.0, 1.0), nx, nx)
+        K, M, mask = assemble_membrane_evp(mesh)
+        space = make_scalar_space(mesh, "p2")
+        return mesh, K, M, mask, space
+
+    _, K_c, M_c, mask_c, space_c = build(10)
+    _, K_f, M_f, mask_f, space_f = build(26)
+    sigma = 19.0 + 0.3j
+
+    # coarse: exact-band SI op
+    sio_c = ShiftInvertOperator(K_c, M_c, sigma, method="banded",
+                                skip_calibration=True)
+    # coarse eigenpair as the guess
+    es = EigenSolver(K_c, M_c, EigensolverConfig(num_eig=1, atol=1e-10,
+                                                 ncv=12))
+    es.set_st_type(STType.SINVERT)
+    es.set_target(19.0)
+    es.set_st_pc_type("banded")
+    lam_c, x_c = es.solve()[0]
+
+    P = point_interpolation_matrix(space_c.node_coords, space_f.node_coords)
+    v0 = P @ x_c
+
+    # fine: HARD-truncated band (the 500k regime in miniature)
+    Cf = (K_f.to_scipy().astype(np.complex128)
+          - sigma * M_f.to_scipy()).tocsr()
+    from lsafw_tpu.ops.sparse import CSRMatrix
+
+    Cf_re = CSRMatrix(K_f.pattern, K_f.data - sigma.real * M_f.data)
+    plan_f = plan_for_csr(Cf_re, max_bytes=600_000, nb=16, chunk=8)
+    assert plan_f.B * plan_f.nb < 100  # genuinely truncated
+    import jax.numpy as jnp
+
+    blu_f, _ = factor_auto(plan_f, Cf_re.data,
+                           (-sigma.imag) * M_f.data,
+                           diag_slots=K_f.pattern.diag_slots)
+    Cop_f = BCSRShiftedOp.from_csr(K_f, M_f, sigma, br=16, bc=16)
+
+    Pd, Pc = ell_of_csr(P)
+    Rd, Rc = ell_of_csr(P.T.tocsr())
+    pc2 = TwoGridSIPC(sio_c.device_op, blu_f, Pd, Pc, Rd, Rc,
+                      coarse_tol=1e-8, coarse_its=25)
+    op2 = BandedSIOp(K_f, M_f, pc2,
+                     jnp.asarray(sigma.real), jnp.asarray(sigma.imag),
+                     Cop_f, None)
+    th, v, rel, it = nested_eigenpair(
+        op2, v0, lam_c, tol=1e-9, inner_tol=1e-4, inner_its=60,
+        max_outer=15, bc_mask=mask_f)
+    Ks, Ms = K_f.to_scipy(), M_f.to_scipy()
+    r = Ks @ v - th * (Ms @ v)
+    true_rel = np.linalg.norm(r) / np.linalg.norm(Ks @ v)
+    assert true_rel < 1e-8, (true_rel, th)
+
+    # control: the truncated band ALONE as the PC stalls short of tol
+    op1 = BandedSIOp(K_f, M_f, blu_f,
+                     jnp.asarray(sigma.real), jnp.asarray(sigma.imag),
+                     Cop_f, None)
+    th1, v1, rel1, it1 = nested_eigenpair(
+        op1, P @ x_c, lam_c, tol=1e-9, inner_tol=1e-4, inner_its=60,
+        max_outer=15, bc_mask=mask_f)
+    r1 = Ks @ v1 - th1 * (Ms @ v1)
+    rel1_true = np.linalg.norm(r1) / np.linalg.norm(Ks @ v1)
+    assert true_rel < 1e-2 * max(rel1_true, 1e-30) or rel1_true < 1e-8

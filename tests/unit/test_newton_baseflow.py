@@ -174,3 +174,29 @@ def test_interpolate_state_mesh_sequencing():
     ur, pr = sf.split(ref)
     np.testing.assert_allclose(pf, pr, atol=1e-10)
     assert np.abs(uf - ur).max() < 0.02  # h^2 interpolation error
+
+
+def test_interpolation_matrix_matches_interpolate_state():
+    """P @ w == interpolate_state(w): the sparse prolongation used by
+    the two-grid shift-invert preconditioner."""
+    import numpy as np
+
+    from lsafw_tpu.fem.spaces import define_spaces
+    from lsafw_tpu.meshing.mesh import rectangle_mesh
+    from lsafw_tpu.meshing.tags import mark_boundary_facets
+    from lsafw_tpu.solver.baseflow import (
+        interpolate_state, interpolation_matrix,
+    )
+
+    def make(nx, ny):
+        mesh = rectangle_mesh((0.0, 0.0), (2.0, 1.0), nx, ny)
+        mark_boundary_facets(mesh, lambda x: np.ones(x.shape[0], np.int32))
+        return define_spaces(mesh)
+
+    sc, sf = make(7, 3), make(17, 9)
+    rng = np.random.default_rng(5)
+    w = rng.standard_normal(sc.num_dofs)
+    P = interpolation_matrix(sc, sf)
+    assert P.shape == (sf.num_dofs, sc.num_dofs)
+    np.testing.assert_allclose(
+        P @ w, interpolate_state(w, sc, sf), atol=1e-10)
