@@ -215,17 +215,67 @@ if os.environ.get("DEV500_KS"):
                     dofs=dofs)
     pairs = es.solve()
     sigma = pairs[0][0]
+elif os.environ.get("DEV500_TG"):
+    # TWO-GRID nested path: the truncated fine band alone has
+    # contraction 1.12 at 500k (every inner solve stalls ~1e-2);
+    # TwoGridSIPC adds the coarse exact-band SI correction through the
+    # barycentric P/R (lsafw_tpu.solver.eigen.TwoGridSIPC)
+    from lsafw_tpu.ops.bcsr import BCSRShiftedOp, plan_for_pattern
+    from lsafw_tpu.solver.band import factor_auto, plan_for_csr
+    from lsafw_tpu.solver.baseflow import interpolation_matrix
+    from lsafw_tpu.solver.eigen import BandedSIOp, TwoGridSIPC, ell_of_csr
+
+    mesh_c, spaces_c, _, _ = coarse_setup()
+    bcs_pert_c = define_bcs(
+        mesh_c, spaces_c,
+        load_bc_config(os.path.join(cfg_dir, "bcs_perturbation.toml")))
+    ctx_c = AssemblyContext.build(spaces_c)
+    w_c2 = np.load("/tmp/w167k_re50.npy")
+    asm_c = LinearizedNavierStokesAssembler(
+        jnp.asarray(w_c2), ctx_c, RE, bcs_pert_c, mesh_c)
+    A_c, M_c = asm_c.assemble_eigensystem()
+    A_el_c, M_el_c, dofs_c = asm_c.element_matrices()
+    os.environ["LSAFW_BAND_DTYPE"] = "f32"
+    sio_c = ShiftInvertOperator(
+        A_c, M_c, TARGET, method="banded",
+        elements=(dofs_c, A_el_c, M_el_c,
+                  np.asarray(bcs_pert_c.dirichlet_mask)),
+        skip_calibration=True)
+    P = interpolation_matrix(spaces_c, spaces)
+    Pd, Pc_ = ell_of_csr(P)
+    Rd, Rc_ = ell_of_csr(P.T.tocsr())
+    _coarse_memo.clear()
+    del mesh_c, spaces_c, ctx_c, asm_c, w_c2
+    gc.collect()
+
+    # truncated fine band: the high-frequency smoother of the PC
+    os.environ["LSAFW_BAND_MEM_GB"] = "3"
+    plan_f = plan_for_csr(A, force_f32=True)
+    blu_f, _ = factor_auto(
+        plan_f, A.data - TARGET.real * M.data, (-TARGET.imag) * M.data,
+        diag_slots=A.pattern.diag_slots)
+    Cop_f = BCSRShiftedOp.from_csr(
+        A, M, TARGET, plan_for_pattern(A, br=16, bc=8))
+    pc2 = TwoGridSIPC(sio_c.device_op, blu_f, Pd, Pc_, Rd, Rc_,
+                      coarse_tol=1e-6, coarse_its=16)
+    op2 = BandedSIOp(A, M, pc2, jnp.asarray(TARGET.real),
+                     jnp.asarray(TARGET.imag), Cop_f, None)
+    sigma, v, rel, n_outer = nested_eigenpair(
+        op2, v0, lam_c, tol=1e-8, inner_tol=1e-4, inner_its=50,
+        max_outer=20, bc_mask=np.asarray(bcs_pert.dirichlet_mask))
+    pairs = [(sigma, v)]
+    np.savez(f"/tmp/eig500k_{SCALE}.npz", sig_re=sigma.real,
+             sig_im=sigma.imag, v_re=np.real(v), v_im=np.imag(v))
+    print(f"two-grid nested refine: {n_outer} outer steps, rel {rel:.2e}",
+          flush=True)
 else:
     # the nested refinement tolerates a WEAK preconditioner by design:
     # a smaller truncated f32 band (f32: the bf16 pair factor risks the
     # non-finite growth seen on the real Newton factors) leaves HBM
-    # headroom for the GCR window and the refinement temps
-    # 6 GB truncated f32 band (the nested refinement tolerates a weak
-    # band by design) + BCSR matvecs.  NEVER let the SI matvecs fall
-    # through to the element operator here: the CElementOperator inside
-    # a long jitted loop at >100k DOFs is the known TPU-worker
-    # kernel-fault trigger (three crashes at this site, all with the
-    # element path; the BCSR policy exists exactly for this).
+    # headroom for the GCR window and the refinement temps.  NEVER let
+    # the SI matvecs fall through to the element operator here: the
+    # CElementOperator inside a long jitted loop at >100k DOFs
+    # hard-crashes the TPU worker (the BCSR policy exists for this).
     os.environ["LSAFW_BAND_MEM_GB"] = "6"
     os.environ["LSAFW_BAND_DTYPE"] = "f32"
     os.environ["LSAFW_SI_MATVEC"] = "bcsr"
