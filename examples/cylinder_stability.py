@@ -58,6 +58,10 @@ def main() -> int:
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(Path(__file__).resolve().parents[1] / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if args.platform:
         jax.config.update("jax_default_device", jax.devices(args.platform)[0])
 
@@ -137,6 +141,8 @@ def main() -> int:
             f"(target {target.real:+.3f} {target.imag:+.3f}j)  "
             f"L={L:.2f} Cd={cd:.3f}  [{dt:.1f}s]"
         )
+        if args.out:  # incremental: a timeout keeps the finished points
+            args.out.write_text(json.dumps(results, indent=1))
     if args.out:
         args.out.write_text(json.dumps(results, indent=1))
     return 0
