@@ -21,7 +21,9 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+import tempfile
 import time
 from pathlib import Path
 
@@ -142,10 +144,21 @@ def main() -> int:
             f"L={L:.2f} Cd={cd:.3f}  [{dt:.1f}s]"
         )
         if args.out:  # incremental: a timeout keeps the finished points
-            args.out.write_text(json.dumps(results, indent=1))
-    if args.out:
-        args.out.write_text(json.dumps(results, indent=1))
+            _atomic_write_json(args.out, results)
     return 0
+
+
+def _atomic_write_json(path: Path, obj) -> None:
+    """Write-then-rename so a kill mid-write never truncates ``path``."""
+    fd, tmp = tempfile.mkstemp(dir=str(path.parent), suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(obj, indent=1))
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
 
 
 if __name__ == "__main__":

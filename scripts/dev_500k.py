@@ -94,6 +94,35 @@ print(f"setup: {n} DOFs, {mesh.num_cells} cells ({time.time()-t0:.0f}s)", flush=
 
 t0 = time.time()
 on_tpu = jax.default_backend() == "tpu"
+
+
+def ensure_coarse_baseflow() -> str:
+    """Compute (and /tmp-cache) the coarse-mesh baseflow at RE if it is
+    missing — BEFORE the fine baseflow, so a fresh /tmp still gets the
+    mesh-sequenced fine guess instead of a full 500k+ ramp."""
+    mesh_c, spaces_c, wpath_c, _ = coarse_setup()
+    if os.path.exists(wpath_c):
+        return wpath_c
+    if COARSE != "prod":
+        raise RuntimeError(
+            f"chained coarse baseflow {wpath_c} missing — run "
+            f"DEV500_SCALE={COARSE} first")
+    bcs_c = define_bcs(mesh_c, spaces_c,
+                       load_bc_config(os.path.join(cfg_dir, "bcs.toml")))
+    ctx_c = AssemblyContext.build(spaces_c)
+    solver_c = BaseFlowSolver(ctx_c, mesh_c, bcs_c, re=RE)
+    ramp_c = True
+    if os.path.exists("/tmp/w167k.npy"):  # Re=47 baseflow as guess
+        solver_c._initial_guess = np.load("/tmp/w167k.npy")
+        ramp_c = False
+    tc = time.time()
+    w_c = solver_c.solve(ramp=ramp_c, steps=4, tol=1e-9, max_it=40,
+                         linear_solver="banded" if on_tpu else "lu")
+    np.save(wpath_c, np.asarray(w_c))
+    print(f"coarse baseflow computed ({time.time()-tc:.0f}s)", flush=True)
+    return wpath_c
+
+
 WCACHE = f"/tmp/w500k_{SCALE}.npy"
 if os.path.exists(WCACHE):
     w = np.load(WCACHE)
@@ -103,8 +132,7 @@ else:
     solver = BaseFlowSolver(ctx, mesh, bcs, re=RE)
     ramp = True
     mesh_c, spaces_c, wpath_c, _ = coarse_setup()
-    wsrc = wpath_c if os.path.exists(wpath_c) else (
-        "/tmp/w167k.npy" if COARSE == "prod" else None)
+    wsrc = ensure_coarse_baseflow()
     if wsrc is not None:
         # mesh-sequenced continuation: a converged coarser-resolution
         # baseflow interpolated as the Re=50 initial guess — skips the
@@ -156,15 +184,7 @@ if not os.environ.get("DEV500_KS"):
             mesh_c, spaces_c,
             load_bc_config(os.path.join(cfg_dir, "bcs_perturbation.toml")))
         ctx_c = AssemblyContext.build(spaces_c)
-        if os.path.exists(wpath_c):
-            w_c = np.load(wpath_c)
-        else:
-            solver_c = _BFS(ctx_c, mesh_c, bcs_c, re=RE)
-            if os.path.exists("/tmp/w167k.npy"):  # Re=47 baseflow as guess
-                solver_c._initial_guess = np.load("/tmp/w167k.npy")
-            w_c = solver_c.solve(ramp=False, tol=1e-9, max_it=30,
-                                 linear_solver="banded" if on_tpu else "lu")
-            np.save(wpath_c, np.asarray(w_c))
+        w_c = np.load(ensure_coarse_baseflow())
         print(f"coarse baseflow ready ({time.time()-t0:.0f}s)", flush=True)
 
         asm_c = LinearizedNavierStokesAssembler(
@@ -225,12 +245,28 @@ elif os.environ.get("DEV500_TG"):
     from lsafw_tpu.solver.baseflow import interpolation_matrix
     from lsafw_tpu.solver.eigen import BandedSIOp, TwoGridSIPC, ell_of_csr
 
-    mesh_c, spaces_c, _, _ = coarse_setup()
+    # the PC's coarse grid is independent of the GUESS chain: at 1M the
+    # guess comes from the 500k eigenpair (COARSE=0.58) but the coarse
+    # correction must ride an EXACT band — the prod 175k level
+    PCGRID = os.environ.get("DEV500_PCGRID", "prod")
+    if PCGRID == COARSE or (PCGRID == "prod" and COARSE == "prod"):
+        mesh_c, spaces_c, wpath_pc, _ = coarse_setup()
+        if not os.path.exists(wpath_pc):
+            ensure_coarse_baseflow()
+    else:
+        geo_pc = geo_full if PCGRID == "prod" else _scaled(geo_full, float(PCGRID))
+        wpath_pc = ("/tmp/w167k_re50.npy" if PCGRID == "prod"
+                    else f"/tmp/w500k_{float(PCGRID)}.npy")
+        if not os.path.exists(wpath_pc):
+            raise RuntimeError(f"PC-grid baseflow {wpath_pc} missing")
+        mesh_c = cylinder_flow_mesh(geo_pc)
+        mark_boundary_facets(mesh_c, marker_fn)
+        spaces_c = define_spaces(mesh_c)
     bcs_pert_c = define_bcs(
         mesh_c, spaces_c,
         load_bc_config(os.path.join(cfg_dir, "bcs_perturbation.toml")))
     ctx_c = AssemblyContext.build(spaces_c)
-    w_c2 = np.load("/tmp/w167k_re50.npy")
+    w_c2 = np.load(wpath_pc)
     asm_c = LinearizedNavierStokesAssembler(
         jnp.asarray(w_c2), ctx_c, RE, bcs_pert_c, mesh_c)
     A_c, M_c = asm_c.assemble_eigensystem()
@@ -249,7 +285,7 @@ elif os.environ.get("DEV500_TG"):
     gc.collect()
 
     # truncated fine band: the high-frequency smoother of the PC
-    os.environ["LSAFW_BAND_MEM_GB"] = "3"
+    os.environ.setdefault("LSAFW_BAND_MEM_GB", "3")
     plan_f = plan_for_csr(A, force_f32=True)
     blu_f, _ = factor_auto(
         plan_f, A.data - TARGET.real * M.data, (-TARGET.imag) * M.data,
