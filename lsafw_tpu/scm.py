@@ -53,8 +53,11 @@ eigensolve is the standard shift-invert Krylov-Schur.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -84,6 +87,84 @@ class SCMResult:
     amplitude_sl: float | None = None
     # second-harmonic field (solve_coupled with harmonics=2 only)
     q2: np.ndarray | None = None
+
+
+@partial(jax.jit, static_argnames=("tol", "max_its", "m"))
+def _bordered_gcr(K0, blu, c, r, f, g, Jop=None, *, tol: float,
+                  max_its: int = 400, m: int = 16):
+    """GCR(m) on the FULL bordered system [[K0, c], [r^T, 0]] with the
+    f32 banded factor of K0 (border passed through) as preconditioner.
+
+    K0 is nearly singular at the converged marginal point (that is why
+    the system is bordered), so Schur bordering through K0^-1 is
+    ill-conditioned; iterating on the full system instead keeps the
+    border's regularization in every step — the banded PC's ~2-dim
+    weak subspace (the marginal complex pair) costs GCR a couple of
+    extra directions, nothing more.  Device counterpart of the
+    reference-style host splu of the bordered matrix."""
+    from lsafw_tpu.ops.dots import ddot
+    from lsafw_tpu.ops.sparse import spmv
+    from lsafw_tpu.solver.linear import SolveResult
+
+    def kmv(x, y):
+        Kx = (Jop.matvec(x) if Jop is not None else spmv(K0, x)) + c * y
+        return Kx, ddot(r, x)
+
+    def psolve(u, s):
+        if hasattr(blu, "solve_vec"):
+            return blu.solve_vec(u), s
+        ur, _ = blu.solve_pair(u, jnp.zeros_like(u))
+        return ur, s
+
+    bnorm = jnp.maximum(jnp.sqrt(ddot(f, f) + g * g), 1e-300)
+    x, y = psolve(f, g)
+    Kx, kx = kmv(x, y)
+    rr, rs = f - Kx, g - kx
+    n = f.shape[0]
+    D = jnp.zeros((m, n))
+    Ds = jnp.zeros((m,))
+    CD = jnp.zeros((m, n))
+    CDs = jnp.zeros((m,))
+
+    def cond(st):
+        _, _, rr, rs, *_, k = st
+        rn = jnp.sqrt(ddot(rr, rr) + rs * rs)
+        return jnp.isfinite(rn) & (rn > tol * bnorm) & (k < max_its)
+
+    def body(st):
+        x, y, rr, rs, D, Ds, CD, CDs, k = st
+        d, ds = psolve(rr, rs)
+        Cd, cds = kmv(d, ds)
+        beta = CD @ Cd + CDs * cds
+        Cd = Cd - CD.T @ beta
+        cds = cds - CDs @ beta
+        d = d - D.T @ beta
+        ds = ds - Ds @ beta
+        nrm = jnp.maximum(jnp.sqrt(ddot(Cd, Cd) + cds * cds), 1e-300)
+        d, ds, Cd, cds = d / nrm, ds / nrm, Cd / nrm, cds / nrm
+        alpha = ddot(Cd, rr) + cds * rs
+        x = x + alpha * d
+        y = y + alpha * ds
+        rr = rr - alpha * Cd
+        rs = rs - alpha * cds
+        slot = jnp.mod(k, m)
+        D = jax.lax.dynamic_update_index_in_dim(D, d, slot, 0)
+        Ds = Ds.at[slot].set(ds)
+        CD = jax.lax.dynamic_update_index_in_dim(CD, Cd, slot, 0)
+        CDs = CDs.at[slot].set(cds)
+        return x, y, rr, rs, D, Ds, CD, CDs, k + 1
+
+    x, y, rr, rs, *_, k = jax.lax.while_loop(
+        cond, body, (x, y, rr, rs, D, Ds, CD, CDs, jnp.int32(0)))
+    res = jnp.sqrt(ddot(rr, rr) + rs * rs) / bnorm
+    return SolveResult(jnp.concatenate([x, y[None]]), k, res, res <= tol)
+
+
+def _scm_device_gate() -> bool:
+    env = os.environ.get("LSAFW_SCM_DEVICE")
+    if env is not None:
+        return env not in ("0", "false", "no")
+    return jax.default_backend() == "tpu"
 
 
 class _LoadedAssembler:
@@ -138,6 +219,8 @@ class SelfConsistentModel:
                 jnp.zeros(ctx.spaces.num_dofs), ctx, self.re, bcs_pert, mesh
             ).assemble_mass_matrix())
         self._Ms = self._Mmat.to_scipy()
+        # device bordered-solve cache (pattern, band plan, BCSR op plan)
+        self._bord_cache: dict | None = None
 
     # ------------------------------------------------------------------
     def unit_load(self, mode: np.ndarray) -> jnp.ndarray:
@@ -465,6 +548,58 @@ class SelfConsistentModel:
             format="csc",
         )
 
+    def _bordered_solve(self, K, F) -> np.ndarray:
+        """Solve the bordered coupled-Newton system K dz = F.
+
+        Device path (default on TPU; force with LSAFW_SCM_DEVICE=1):
+        banded f32 device factorization of the principal block K0 (its
+        pattern, RCM band plan and BCSR matvec plan are built once and
+        reused every Newton iteration — refactorization is one scatter
+        + the factor scan) driving :func:`_bordered_gcr` on the full
+        system.  Host scipy splu otherwise, and as the degradation
+        fallback (the reference's MUMPS -> SuperLU chain)."""
+        import scipy.sparse.linalg as spla
+
+        if _scm_device_gate():
+            from lsafw_tpu.ops.bcsr import operator_for_budget
+            from lsafw_tpu.ops.sparse import CSRMatrix
+            from lsafw_tpu.solver.band import factor_auto, plan_for_csr
+
+            K0 = K[:-1, :-1].tocsr()
+            K0.sort_indices()
+            c = np.asarray(K[:-1, -1].todense()).ravel()
+            r = np.asarray(K[-1, :-1].todense()).ravel()
+            cache = self._bord_cache
+            if cache is None or not np.array_equal(
+                    cache["indices"], K0.indices):
+                K0m = CSRMatrix.from_scipy(K0)
+                plan = plan_for_csr(K0m, real=True)
+                cache = self._bord_cache = {
+                    "indices": K0.indices.copy(),
+                    "pattern": K0m.pattern,
+                    "plan": plan,
+                }
+            K0m = CSRMatrix(cache["pattern"], jnp.asarray(K0.data))
+            # block refill rides the plan cached on the stable pattern
+            Jop = operator_for_budget(K0m)
+            blu, _ = factor_auto(cache["plan"], K0m.data,
+                                 diag_slots=K0m.pattern.diag_slots)
+            res = _bordered_gcr(
+                K0m, blu, jnp.asarray(c), jnp.asarray(r),
+                jnp.asarray(F[:-1]), jnp.asarray(float(F[-1])), Jop,
+                tol=1e-11)
+            dz = np.asarray(res.x)
+            if bool(res.converged) and np.isfinite(dz).all():
+                return dz
+            if float(res.residual) < 1e-8 and np.isfinite(dz).all():
+                logger.info("Accepting inexact device bordered solve "
+                            "(rel res %.1e).", float(res.residual))
+                return dz
+            logger.warning(
+                "Device bordered GCR stalled (rel res %.2e); degrading "
+                "to host splu for this step.", float(res.residual))
+        return spla.splu(K).solve(F)
+
     def solve_coupled(
         self,
         U0: np.ndarray,
@@ -560,7 +695,7 @@ class SelfConsistentModel:
             else:
                 K = self._hb2_matrix(
                     U, q1, q2, om, Aop, avec, bvec, zm, zp)
-            dz = spla.splu(K).solve(-F)
+            dz = self._bordered_solve(K, -F)
             accepted = False
             for alpha in (1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125):
                 Ut = U + alpha * dz[:n]

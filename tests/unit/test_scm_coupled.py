@@ -189,3 +189,37 @@ def test_coupled_residual_zero_at_eigenpair(tiny_model):
                    Ashift @ qi - sigma.imag * (Ms @ qr))
     scale = np.linalg.norm(Aop @ qr) + np.linalg.norm(Aop @ qi)
     assert np.linalg.norm(np.concatenate([F2r, F2i])) < 1e-6 * scale
+
+def test_device_bordered_solve_matches_splu(tiny_model, monkeypatch):
+    """The device bordered solve (banded f32 factor of K0 + full-system
+    GCR) must reproduce the host splu solution of the coupled Newton
+    system (VERDICT r4 item 9: zero host factorizations in
+    solve_coupled's inner loop)."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    model = tiny_model
+    n = model.ctx.spaces.num_dofs
+    rng = np.random.default_rng(3)
+    mask_m = np.asarray(model._base_asm.bc_mask, dtype=bool)
+    bcv_m = np.asarray(model._base_asm.bc_values, dtype=float)
+    mask_p = np.asarray(model.bcs_pert.dirichlet_mask, dtype=bool)
+    zm = sp.diags(np.where(mask_m, 0.0, 1.0))
+    zp = sp.diags(np.where(mask_p, 0.0, 1.0))
+    U = np.where(mask_m, bcv_m, 0.3 * rng.standard_normal(n))
+    qr = np.where(mask_p, 0.0, rng.standard_normal(n))
+    qi = np.where(mask_p, 0.0, rng.standard_normal(n))
+    avec = model._Ms.T @ qr
+    bvec = model._Ms.T @ qi
+    Aop = model._linearized_scipy(U)
+    K = model._coupled_matrix(U, qr, qi, 0.73, Aop, avec, bvec, zm, zp)
+    F = rng.standard_normal(3 * n + 1)
+
+    monkeypatch.setenv("LSAFW_SCM_DEVICE", "1")
+    dz_dev = model._bordered_solve(K, F)
+    dz_host = spla.splu(K).solve(F)
+    rel = np.linalg.norm(dz_dev - dz_host) / np.linalg.norm(dz_host)
+    assert rel < 1e-7, rel
+    # the full-system residual is the real acceptance criterion
+    res = np.linalg.norm(K @ dz_dev - F) / np.linalg.norm(F)
+    assert res < 1e-9, res
