@@ -500,6 +500,102 @@ def main() -> None:
     stage("pipeline", _pipeline,
           seconds=int(os.environ.get("BENCH_PIPELINE_TIMEOUT", "1300")))
 
+    # ---------------- 175k factor throughput (VERDICT r4 item 5) ------
+    def _factor175k():
+        """Complex-pair band factorization at production scale (n~175k,
+        bandwidth ~2k): driver-captured Tflop/s of the MUMPS-role
+        kernel.  A structured 175k Taylor-Hood operator stands in for
+        the production cylinder mesh (same n, same bandwidth class;
+        distmesh generation would eat the bench budget) — the factor's
+        flop count and schedule depend only on the band geometry."""
+        from lsafw_tpu.ops.sparse import CSRMatrix
+        from lsafw_tpu.solver.band import FACTOR_STATS, factor_auto, plan_for_csr
+
+        nx2 = 139  # ~175k TH DOFs
+        mesh2 = rectangle_mesh((0.0, 0.0), (1.0, 1.0), nx2, nx2)
+        spaces2 = define_spaces(mesh2)
+        ctx2 = AssemblyContext.build(spaces2)
+        n2 = spaces2.num_dofs
+        rng2 = np.random.default_rng(5)
+        w2 = jnp.asarray(rng2.standard_normal(n2) * 0.1)
+        from lsafw_tpu.fem.assembly import scatter_entries
+
+        data2 = scatter_entries(ctx2, linearized_ns_elements(ctx2, w2, 50.0))
+        A2 = CSRMatrix(ctx2.pattern, data2)
+        sig = 0.018 + 0.738j
+        dre = A2.data  # (A - Re(sigma) M) stand-in: values don't change flops
+        dim_ = 0.01 * A2.data
+        best_tf = 0.0
+        for nb_try in (128, 256):
+            os.environ["LSAFW_BAND_NB"] = str(nb_try)
+            try:
+                plan2 = plan_for_csr(A2, nb=nb_try, force_f32=True)
+                n_before = len(FACTOR_STATS)
+                blu, pivoted = factor_auto(
+                    plan2, dre, dim_, diag_slots=A2.pattern.diag_slots)
+                jax.block_until_ready(jax.tree_util.tree_leaves(blu)[0])
+                # warm rerun (first call may carry compile)
+                blu, pivoted = factor_auto(
+                    plan2, dre, dim_, diag_slots=A2.pattern.diag_slots)
+                jax.block_until_ready(jax.tree_util.tree_leaves(blu)[0])
+                st = min(FACTOR_STATS[n_before:],
+                         key=lambda d: d["seconds"] / d["flops"])
+                tf = st["flops"] / st["seconds"] / 1e12
+                log(f"factor175k nb={nb_try}: n={st['n']} B={st['B']} "
+                    f"{st['seconds']:.2f}s = {tf:.2f} Tflop/s "
+                    f"({100*tf/PEAK_TFLOPS:.1f}% MXU)"
+                    f"{' pivoted' if st['pivoted'] else ''}")
+                if tf > best_tf:
+                    best_tf = tf
+                    timings["factor175k_tflops"] = tf
+                    timings["factor175k_mfu_pct"] = 100 * tf / PEAK_TFLOPS
+                    timings["factor175k_seconds"] = st["seconds"]
+                    timings["factor175k_nb"] = nb_try
+                del blu
+            except Exception as e:
+                log(f"factor175k nb={nb_try} failed: {e!r}")
+            finally:
+                os.environ.pop("LSAFW_BAND_NB", None)
+
+    stage("factor175k", _factor175k,
+          seconds=int(os.environ.get("BENCH_FACTOR_TIMEOUT", "900")))
+
+    # ---------------- regression gate vs the previous round ----------
+    def _compare_prev():
+        """Assertion-style comparison against the last driver-captured
+        BENCH_r*.json (VERDICT r4 weak item 1: the 43k pipeline drifted
+        370 -> 500 s over three rounds unexamined).  Logs a loud
+        REGRESSION line when a stage is >25% slower than last round."""
+        import glob
+        import re as _re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        benches = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                         key=lambda p: int(_re.findall(r"r(\d+)", p)[-1]))
+        if not benches:
+            return
+        with open(benches[-1]) as f:
+            prev = json.load(f)
+        pdet = (prev.get("parsed") or {}).get("detail") or prev.get("detail") or {}
+        keys = ("pipeline_seconds", "pipeline_baseflow_s",
+                "pipeline_assemble_s", "pipeline_eigen_s",
+                "bcsr_spmv_f64_ms", "assembly_ms", "stencil_f32_ms")
+        regressions = []
+        for k in keys:
+            old, new = pdet.get(k), timings.get(k)
+            if old and new:
+                ratio = new / old
+                timings[f"vs_prev_{k}"] = round(ratio, 3)
+                if ratio > 1.25:
+                    regressions.append(f"{k}: {old:.1f} -> {new:.1f} ({ratio:.2f}x)")
+        if regressions:
+            log("REGRESSION vs " + os.path.basename(benches[-1]) + ": "
+                + "; ".join(regressions))
+        else:
+            log(f"regression gate vs {os.path.basename(benches[-1])}: clean")
+
+    stage("compare_prev", _compare_prev, seconds=30)
+
     # ---------------- result ----------------
     apply_times = [
         timings.get(k)

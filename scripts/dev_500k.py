@@ -284,20 +284,30 @@ elif os.environ.get("DEV500_TG"):
     del mesh_c, spaces_c, ctx_c, asm_c, w_c2
     gc.collect()
 
-    # truncated fine band: the high-frequency smoother of the PC
-    os.environ.setdefault("LSAFW_BAND_MEM_GB", "3")
+    # truncated fine band: the high-frequency smoother of the PC (the
+    # launch-time LSAFW_BAND_MEM_GB sized the COARSE band; the fine
+    # band must leave room for it).  Force the PLAIN factor: the
+    # pivoted one's ~1.5x extras OOM next to the resident 6.5 GB
+    # coarse band (observed RESOURCE_EXHAUSTED), and a smoother does
+    # not need pivoting robustness — regularized elimination is enough
+    os.environ["LSAFW_BAND_MEM_GB"] = os.environ.get("DEV500_FINE_BAND_GB", "3")
+    os.environ["LSAFW_PIVOT_MEM_GB"] = "0"
     plan_f = plan_for_csr(A, force_f32=True)
     blu_f, _ = factor_auto(
         plan_f, A.data - TARGET.real * M.data, (-TARGET.imag) * M.data,
         diag_slots=A.pattern.diag_slots)
+    # bc=16: the (16, 8) plan's NBR*NCB key overflows int32 at 500k
     Cop_f = BCSRShiftedOp.from_csr(
-        A, M, TARGET, plan_for_pattern(A, br=16, bc=8))
+        A, M, TARGET, plan_for_pattern(A, br=16, bc=16))
     pc2 = TwoGridSIPC(sio_c.device_op, blu_f, Pd, Pc_, Rd, Rc_,
                       coarse_tol=1e-6, coarse_its=16)
     op2 = BandedSIOp(A, M, pc2, jnp.asarray(TARGET.real),
                      jnp.asarray(TARGET.imag), Cop_f, None)
+    # each TG inner iteration costs ~coarse_its coarse band solves;
+    # cap the per-dispatch iteration count under the tunnel watchdog
+    tg_inner = int(os.environ.get("DEV500_TG_INNER", "30"))
     sigma, v, rel, n_outer = nested_eigenpair(
-        op2, v0, lam_c, tol=1e-8, inner_tol=1e-4, inner_its=50,
+        op2, v0, lam_c, tol=1e-8, inner_tol=1e-4, inner_its=tg_inner,
         max_outer=20, bc_mask=np.asarray(bcs_pert.dirichlet_mask))
     pairs = [(sigma, v)]
     np.savez(f"/tmp/eig500k_{SCALE}.npz", sig_re=sigma.real,

@@ -3,6 +3,16 @@ how fast are they vs the XLA gather — the decisive experiment for a
 VMEM-resident-x SpMV (ROADMAP round-3 item 6 / VERDICT item 3).
 
 Run on the real TPU:  python scripts/dev_pallas_gather.py
+
+CLOSED (round 3, negative; round 5 removed the dormant modules): the
+VMEM-resident-x Pallas SpMV (``ops/kernels.py``) and the two-pass
+take_along_axis rephrase (``ops/gather2.py``) were deleted — Mosaic
+supports gathers only along the LANE axis (no sublane/axis-0 gather,
+so the in-kernel two-pass is not compilable), the XLA lowering of the
+two-pass runs at the same ~32 ns/el as the generic gather, and the
+production answer is BCSR slice-gathers (``ops/bcsr.py``: the ~7-11 ns
+cost is per INDEX, not per element).  This probe and
+``dev_pallas_gather2.py`` hold the measurements.
 """
 import os, sys, time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
