@@ -59,6 +59,7 @@ logger = get_logger(__name__)
 
 _PLAN_CACHE: dict = {}
 _PLAN_CACHE_MAX = 8
+_WIDE_THRESHOLD = 2**31  # int32 plan-key ceiling (tests patch this down)
 
 
 # Host-CPU jitted planning arithmetic (pinned to the CPU backend by the
@@ -66,18 +67,22 @@ _PLAN_CACHE_MAX = 8
 # loops for elementwise integer/float passes, ~500x slower than XLA.
 
 
-@_partial(jax.jit, static_argnums=(3, 4, 5))
-def _plan_key(rows, cols, iperm, br, bc, NCB):
+@_partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _plan_key(rows, cols, iperm, br, bc, NCB, wide=False):
     pr = iperm[rows]
     pc = iperm[cols]
     gid = pr // jnp.int32(br)
-    key = gid * jnp.int32(NCB) + pc // jnp.int32(bc)
+    if wide:  # NBR*NCB crosses 2^31 past ~0.5M DOFs at small bc
+        key = gid.astype(jnp.int64) * jnp.int64(NCB) + (pc // jnp.int32(bc))
+    else:
+        key = gid * jnp.int32(NCB) + pc // jnp.int32(bc)
     return pr, pc, gid, key
 
 
 @_partial(jax.jit, static_argnums=(1,))
 def _split_key(uk, NCB):
-    return uk // jnp.int32(NCB), uk % jnp.int32(NCB)
+    d = uk.dtype.type(NCB)
+    return (uk // d).astype(jnp.int32), (uk % d).astype(jnp.int32)
 
 
 @jax.jit
@@ -171,14 +176,15 @@ class BCSRPlan:
         # this VM's numpy has no SIMD integer (or even f64) loops —
         # measured 31 s for one 15M-element multiply+floor vs 0.04 s
         # through XLA.
-        if NBR * NCB >= 2**31:
-            raise ValueError("pattern too large for int32 BCSR planning")
+        wide = NBR * NCB >= _WIDE_THRESHOLD  # int64 keys (1M+ at small bc)
+        if wide and not jax.config.jax_enable_x64:
+            raise ValueError("wide BCSR planning needs jax_enable_x64")
         rows_orig = np.repeat(np.arange(n, dtype=np.int32), np.diff(A.indptr))
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             pr_j, pc_j, gid_j, key_j = _plan_key(
                 jnp.asarray(rows_orig), jnp.asarray(A.indices.astype(np.int32)),
-                jnp.asarray(iperm), br, bc, NCB)
+                jnp.asarray(iperm), br, bc, NCB, wide)
             key = np.asarray(key_j)
 
         # per-group unique column blocks via one combined-key unique

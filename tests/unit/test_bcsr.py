@@ -163,3 +163,22 @@ def test_si_apply_m_dispatch():
     mr2, mi2 = _si_apply_M(op_plain, xr, xi)
     np.testing.assert_allclose(np.asarray(mr2) + 1j * np.asarray(mi2), Md @ z,
                                rtol=1e-12, atol=1e-12)
+
+
+def test_wide_plan_matches_narrow(monkeypatch):
+    """int64 plan keys (NBR*NCB past the int32 ceiling — 1M-DOF
+    patterns at small bc) must produce the identical plan."""
+    import scipy.sparse as sp
+
+    from lsafw_tpu.ops import bcsr as bcsr_mod
+
+    rng = np.random.default_rng(0)
+    n = 600
+    A = sp.random(n, n, density=0.02, format="csr", random_state=7)
+    A = A + sp.identity(n, format="csr")
+    p1 = bcsr_mod.BCSRPlan.build(A, br=8, bc=16)
+    monkeypatch.setattr(bcsr_mod, "_WIDE_THRESHOLD", 1)
+    p2 = bcsr_mod.BCSRPlan.build(A, br=8, bc=16)
+    assert p2.KB == p1.KB and p2.stored == p1.stored
+    np.testing.assert_array_equal(np.asarray(p2.pos), np.asarray(p1.pos))
+    np.testing.assert_array_equal(np.asarray(p2.colblk), np.asarray(p1.colblk))
