@@ -533,11 +533,18 @@ class BCSRShiftedOp(_PlanGeom):
 
     @classmethod
     def from_csr(cls, A, M, sigma: complex, plan: BCSRPlan | None = None, *,
-                 br: int = 16, bc: int = 128) -> "BCSRShiftedOp":
+                 br: int = 16, bc: int = 128,
+                 lo_channels: bool = True) -> "BCSRShiftedOp":
+        """``lo_channels=False`` stores only the hi (f32) channels —
+        HALF the memory, ~1e-7-grade applies: enough for eta-grade
+        inner correction solves (nested_eigenpair with a separate f64
+        ``resid_op``), not for final-residual evaluation."""
         if plan is None:
             plan = plan_for_pattern(A, br=br, bc=bc)
         ah, al = _fill_split(plan, A.data)
         mh, ml = _fill_split(plan, M.data)
+        if not lo_channels:
+            al = ml = None
         return cls(ah, al, mh, ml, plan.colblk, plan.perm_d, plan.iperm_d,
                    jnp.asarray(sigma.real, jnp.float64),
                    jnp.asarray(sigma.imag, jnp.float64),
@@ -556,8 +563,11 @@ class BCSRShiftedOp(_PlanGeom):
 
         def step(_, vx):
             ah, al, mh, ml, xr_, xi_ = vx
-            Va = ah.astype(jnp.float64) + al.astype(jnp.float64)
-            Vm = mh.astype(jnp.float64) + ml.astype(jnp.float64)
+            Va = ah.astype(jnp.float64)
+            Vm = mh.astype(jnp.float64)
+            if al is not None:
+                Va = Va + al.astype(jnp.float64)
+                Vm = Vm + ml.astype(jnp.float64)
             red = lambda V, X: (V * X[:, :, None, :]).sum(axis=(1, 3))
             return None, (red(Va, xr_), red(Va, xi_),
                           red(Vm, xr_), red(Vm, xi_))
@@ -580,7 +590,9 @@ class BCSRShiftedOp(_PlanGeom):
 
         def step(_, vx):
             mh, ml, xr_, xi_ = vx
-            Vm = mh.astype(jnp.float64) + ml.astype(jnp.float64)
+            Vm = mh.astype(jnp.float64)
+            if ml is not None:
+                Vm = Vm + ml.astype(jnp.float64)
             red = lambda X: (Vm * X[:, :, None, :]).sum(axis=(1, 3))
             return None, (red(xr_), red(xi_))
 

@@ -445,6 +445,7 @@ def nested_eigenpair(
     inner_its: int = 300,
     m: int = 8,
     bc_mask: np.ndarray | None = None,
+    resid_op: BandedSIOp | None = None,
 ):
     """Refine an eigenpair GUESS (typically interpolated from a coarser
     mesh) to solver grade with INEXACT correction solves — the
@@ -468,8 +469,15 @@ def nested_eigenpair(
     ``EPS.setInitialSpace`` warm starts (``Solver/eigen.py``), extended
     to WORK where no exact fine factor exists.
 
+    ``resid_op``: optional f64-grade operator for the once-per-outer
+    residual/Rayleigh evaluation (``_nested_prepare``) when ``op``
+    carries memory-reduced f32-grade matvecs (hi-only BCSR at 500k+:
+    eta-grade correction solves tolerate 1e-7 applies, the FINAL
+    residual does not).
+
     Returns ``(theta, v, rel_residual, n_outer)`` with ``v`` complex.
     """
+    rop = op if resid_op is None else resid_op
     v0 = np.asarray(v0, dtype=np.complex128)
     if bc_mask is not None:
         v0 = np.where(np.asarray(bc_mask), 0.0, v0)
@@ -481,7 +489,7 @@ def nested_eigenpair(
     it = 0
     for it in range(1, max_outer + 1):
         vr, vi, Mvr, Mvi, rr, ri, th_re, th_im, rel_j = _nested_prepare(
-            op, vr, vi, th_re, th_im)
+            rop, vr, vi, th_re, th_im)
         rel = float(rel_j)
         logger.info("nested_eigenpair: outer %d rel resid %.2e theta %.6f%+.6fj",
                     it, rel, float(th_re), float(th_im))

@@ -296,19 +296,26 @@ elif os.environ.get("DEV500_TG"):
     blu_f, _ = factor_auto(
         plan_f, A.data - TARGET.real * M.data, (-TARGET.imag) * M.data,
         diag_slots=A.pattern.diag_slots)
-    # bc=16: the (16, 8) plan's NBR*NCB key overflows int32 at 500k
+    # bc=16 (the (16, 8) plan overflowed int32 keys before the round-5
+    # widening); HI-ONLY channels: the full f64 pair blocks (4.3 GB)
+    # OOM'd next to the 6.5 GB coarse band — eta-grade correction
+    # solves tolerate 1e-7 applies, and the once-per-outer residual
+    # rides the f64 ELL resid_op below
     Cop_f = BCSRShiftedOp.from_csr(
-        A, M, TARGET, plan_for_pattern(A, br=16, bc=16))
+        A, M, TARGET, plan_for_pattern(A, br=16, bc=16), lo_channels=False)
     pc2 = TwoGridSIPC(sio_c.device_op, blu_f, Pd, Pc_, Rd, Rc_,
                       coarse_tol=1e-6, coarse_its=16)
     op2 = BandedSIOp(A, M, pc2, jnp.asarray(TARGET.real),
                      jnp.asarray(TARGET.imag), Cop_f, None)
+    rop2 = BandedSIOp(A, M, pc2, jnp.asarray(TARGET.real),
+                      jnp.asarray(TARGET.imag), None, None)
     # each TG inner iteration costs ~coarse_its coarse band solves;
     # cap the per-dispatch iteration count under the tunnel watchdog
     tg_inner = int(os.environ.get("DEV500_TG_INNER", "30"))
     sigma, v, rel, n_outer = nested_eigenpair(
         op2, v0, lam_c, tol=1e-8, inner_tol=1e-4, inner_its=tg_inner,
-        max_outer=20, bc_mask=np.asarray(bcs_pert.dirichlet_mask))
+        max_outer=20, bc_mask=np.asarray(bcs_pert.dirichlet_mask),
+        resid_op=rop2)
     pairs = [(sigma, v)]
     np.savez(f"/tmp/eig500k_{SCALE}.npz", sig_re=sigma.real,
              sig_im=sigma.imag, v_re=np.real(v), v_im=np.imag(v))

@@ -182,3 +182,35 @@ def test_wide_plan_matches_narrow(monkeypatch):
     assert p2.KB == p1.KB and p2.stored == p1.stored
     np.testing.assert_array_equal(np.asarray(p2.pos), np.asarray(p1.pos))
     np.testing.assert_array_equal(np.asarray(p2.colblk), np.asarray(p1.colblk))
+
+
+def test_shifted_op_hi_only_channels():
+    """lo_channels=False halves storage and keeps ~f32-grade applies
+    (the 500k+ nested-correction memory mode)."""
+    import scipy.sparse as sp
+
+    from lsafw_tpu.ops.bcsr import BCSRShiftedOp, plan_for_pattern
+    from lsafw_tpu.ops.sparse import CSRMatrix
+
+    rng = np.random.default_rng(1)
+    n = 400
+    S = sp.random(n, n, density=0.03, format="csr", random_state=3)
+    S = (S + sp.identity(n)).tocsr()
+    S.sort_indices()
+    A = CSRMatrix.from_scipy(S)
+    Mdata = rng.standard_normal(S.nnz)
+    M = CSRMatrix(A.pattern, jnp.asarray(Mdata))
+    Ms = sp.csr_matrix((Mdata, S.indices, S.indptr), shape=(n, n))
+    sigma = 0.3 + 0.7j
+    plan = plan_for_pattern(A, br=8, bc=16)
+    op = BCSRShiftedOp.from_csr(A, M, sigma, plan, lo_channels=False)
+    x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    yr, yi = op.matvec_pair(jnp.asarray(x.real), jnp.asarray(x.imag))
+    y = np.asarray(yr) + 1j * np.asarray(yi)
+    y_ref = (S - sigma * Ms) @ x
+    rel = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
+    assert rel < 1e-5, rel  # f32-grade
+    mr, mi = op.mass_pair(jnp.asarray(x.real), jnp.asarray(x.imag))
+    m_ref = Ms @ x
+    relm = np.linalg.norm((np.asarray(mr) + 1j * np.asarray(mi)) - m_ref)
+    assert relm / np.linalg.norm(m_ref) < 1e-5
