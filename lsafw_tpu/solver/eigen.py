@@ -349,6 +349,47 @@ class TwoGridSIPC:
         return z_r, z_i
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DiagSIPC:
+    """Regularized complex Jacobi of C = A - sigma M: a MEMORY-FREE
+    fine-grid term for :class:`TwoGridSIPC` when even a truncated band
+    does not fit next to the coarse factor (500k+: the B=2-of-30 band
+    cost 2.8 GB for 256 of 3768 bandwidth).  A pure coarse-grid PC is
+    structurally unable to converge (GCR search directions stay in
+    range(P)); Jacobi spans the full space and roughly scales the
+    high-frequency rows, which is all the additive fine term needs at
+    eta-grade inner tolerances."""
+
+    inv_re: jnp.ndarray
+    inv_im: jnp.ndarray
+
+    def tree_flatten(self):
+        return ((self.inv_re, self.inv_im), ())
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+    @classmethod
+    def from_pair(cls, A, M, sigma: complex) -> "DiagSIPC":
+        ds = A.pattern.diag_slots
+        dre = A.data[ds] - sigma.real * M.data[ds]
+        dim_ = (-sigma.imag) * M.data[ds]
+        mag2 = dre * dre + dim_ * dim_
+        scale = jnp.sqrt(jnp.maximum(jnp.mean(mag2), 1e-300))
+        # saddle rows (zero pressure diagonal): regularize like
+        # band.regularize_saddle_data so the inverse stays bounded
+        bad = mag2 < (1e-10 * scale) ** 2
+        dre = jnp.where(bad, -1e-3 * scale, dre)
+        mag2 = jnp.where(bad, (1e-3 * scale) ** 2, mag2)
+        return cls(dre / mag2, -dim_ / mag2)
+
+    def solve_pair(self, br, bi):
+        return (self.inv_re * br - self.inv_im * bi,
+                self.inv_re * bi + self.inv_im * br)
+
+
 def ell_of_csr(S):
     """Padded-ELL (data, cols) of a scipy CSR (helper for the P/R
     operators of :class:`TwoGridSIPC`)."""

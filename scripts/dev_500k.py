@@ -289,13 +289,24 @@ elif os.environ.get("DEV500_TG"):
     # band must leave room for it).  Force the PLAIN factor: the
     # pivoted one's ~1.5x extras OOM next to the resident 6.5 GB
     # coarse band (observed RESOURCE_EXHAUSTED), and a smoother does
-    # not need pivoting robustness — regularized elimination is enough
-    os.environ["LSAFW_BAND_MEM_GB"] = os.environ.get("DEV500_FINE_BAND_GB", "3")
-    os.environ["LSAFW_PIVOT_MEM_GB"] = "0"
-    plan_f = plan_for_csr(A, force_f32=True)
-    blu_f, _ = factor_auto(
-        plan_f, A.data - TARGET.real * M.data, (-TARGET.imag) * M.data,
-        diag_slots=A.pattern.diag_slots)
+    # not need pivoting robustness — regularized elimination is enough.
+    # DEV500_FINE_BAND_GB=0 (default) replaces the fine band with the
+    # memory-free regularized complex Jacobi (eigen.DiagSIPC): at 500k
+    # the budget truncates the band to B=2 of 30 — 256 of 3768
+    # bandwidth — and its 2.8 GB pushed the resident set past HBM (the
+    # r5c OOM at _nested_prepare) while buying almost no smoothing.
+    fine_gb = float(os.environ.get("DEV500_FINE_BAND_GB", "0"))
+    if fine_gb > 0:
+        os.environ["LSAFW_BAND_MEM_GB"] = str(fine_gb)
+        os.environ["LSAFW_PIVOT_MEM_GB"] = "0"
+        plan_f = plan_for_csr(A, force_f32=True)
+        blu_f, _ = factor_auto(
+            plan_f, A.data - TARGET.real * M.data, (-TARGET.imag) * M.data,
+            diag_slots=A.pattern.diag_slots)
+    else:
+        from lsafw_tpu.solver.eigen import DiagSIPC
+
+        blu_f = DiagSIPC.from_pair(A, M, TARGET)
     # bc=16 (the (16, 8) plan overflowed int32 keys before the round-5
     # widening); HI-ONLY channels: the full f64 pair blocks (4.3 GB)
     # OOM'd next to the 6.5 GB coarse band — eta-grade correction

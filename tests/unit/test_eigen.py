@@ -426,3 +426,62 @@ def test_two_grid_si_pc_beats_truncated_band():
     r1 = Ks @ v1 - th1 * (Ms @ v1)
     rel1_true = np.linalg.norm(r1) / np.linalg.norm(Ks @ v1)
     assert true_rel < 1e-2 * max(rel1_true, 1e-30) or rel1_true < 1e-8
+
+
+def test_two_grid_jacobi_smoother_hi_only_matvec():
+    """The 500k+ MEMORY mode of the two-grid nested eigen path in
+    miniature: DiagSIPC (regularized complex Jacobi) replaces the
+    truncated fine band, correction matvecs ride hi-only (f32) BCSR
+    blocks, and the once-per-outer residual rides a separate f64
+    ELL resid_op (scripts/dev_500k.py DEV500_TG default)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from lsafw_tpu.meshing.mesh import rectangle_mesh
+    from lsafw_tpu.models.membrane import assemble_membrane_evp
+    from lsafw_tpu.ops.bcsr import BCSRShiftedOp
+    from lsafw_tpu.solver.baseflow import point_interpolation_matrix
+    from lsafw_tpu.solver.eigen import (
+        BandedSIOp, DiagSIPC, EigenSolver, EigensolverConfig, STType,
+        ShiftInvertOperator, TwoGridSIPC, ell_of_csr, nested_eigenpair,
+    )
+    from lsafw_tpu.fem.spaces import make_scalar_space
+
+    def build(nx):
+        mesh = rectangle_mesh((0.0, 0.0), (1.0, 1.0), nx, nx)
+        K, M, mask = assemble_membrane_evp(mesh)
+        space = make_scalar_space(mesh, "p2")
+        return K, M, mask, space
+
+    K_c, M_c, mask_c, space_c = build(10)
+    K_f, M_f, mask_f, space_f = build(26)
+    sigma = 19.0 + 0.3j
+
+    sio_c = ShiftInvertOperator(K_c, M_c, sigma, method="banded",
+                                skip_calibration=True)
+    es = EigenSolver(K_c, M_c, EigensolverConfig(num_eig=1, atol=1e-10,
+                                                 ncv=12))
+    es.set_st_type(STType.SINVERT)
+    es.set_target(19.0)
+    es.set_st_pc_type("banded")
+    lam_c, x_c = es.solve()[0]
+    P = point_interpolation_matrix(space_c.node_coords, space_f.node_coords)
+    v0 = P @ x_c
+    Pd, Pc = ell_of_csr(P)
+    Rd, Rc = ell_of_csr(P.T.tocsr())
+
+    jac = DiagSIPC.from_pair(K_f, M_f, sigma)
+    Cop32 = BCSRShiftedOp.from_csr(K_f, M_f, sigma, br=16, bc=16,
+                                   lo_channels=False)
+    pc2 = TwoGridSIPC(sio_c.device_op, jac, Pd, Pc, Rd, Rc,
+                      coarse_tol=1e-8, coarse_its=25)
+    sr, si = jnp.asarray(sigma.real), jnp.asarray(sigma.imag)
+    op2 = BandedSIOp(K_f, M_f, pc2, sr, si, Cop32, None)
+    rop2 = BandedSIOp(K_f, M_f, pc2, sr, si, None, None)
+    th, v, rel, it = nested_eigenpair(
+        op2, v0, lam_c, tol=1e-9, inner_tol=1e-4, inner_its=60,
+        max_outer=15, bc_mask=mask_f, resid_op=rop2)
+    Ks, Ms = K_f.to_scipy(), M_f.to_scipy()
+    r = Ks @ v - th * (Ms @ v)
+    true_rel = np.linalg.norm(r) / np.linalg.norm(Ks @ v)
+    assert true_rel < 1e-8, (true_rel, th)
