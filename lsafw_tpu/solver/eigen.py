@@ -307,37 +307,43 @@ class TwoGridSIPC:
     ~175k + its own GCR refinement) corrects the smooth components the
     truncation destroys — the two failure modes are complementary
     (measured: the B=8/30 truncated band alone has contraction 1.12 at
-    500k and every inner solve stalls at ~1e-2).  ``P``/``R`` are the
-    barycentric mixed-state prolongation/restriction in padded ELL form
-    (``solver.baseflow.interpolation_matrix``).
+    500k and every inner solve stalls at ~1e-2).  ``P`` is the
+    barycentric mixed-state prolongation in padded ELL form over FINE
+    rows (``solver.baseflow.interpolation_matrix``); the restriction is
+    P^T applied as a scatter-add through the SAME narrow ELL — storing
+    P^T row-wise is (nc, ~600)-wide on production meshes and its gather
+    temporaries alone OOM'd the 500k correction program.
 
     Duck-typed as a ``blu``: ``BandedSIOp(blu=TwoGridSIPC(...))`` slots
     into :func:`banded_solve_raw` / :func:`nested_eigenpair` unchanged.
     """
 
     coarse_op: object  # BandedSIOp at the coarse mesh (exact band)
-    fine_blu: object  # truncated fine BandedLU (may be None)
+    fine_blu: object  # fine smoother: truncated BandedLU / DiagSIPC / None
     P_data: jnp.ndarray  # (nf, wp) f64
     P_cols: jnp.ndarray  # (nf, wp) int32 -> coarse indices
-    R_data: jnp.ndarray  # (nc, wr) f64
-    R_cols: jnp.ndarray  # (nc, wr) int32 -> fine indices
+    nc: int = 0  # coarse dimension (static)
     coarse_tol: float = 1e-6
     coarse_its: int = 20
 
     def tree_flatten(self):
         return (
-            (self.coarse_op, self.fine_blu, self.P_data, self.P_cols,
-             self.R_data, self.R_cols),
-            (self.coarse_tol, self.coarse_its),
+            (self.coarse_op, self.fine_blu, self.P_data, self.P_cols),
+            (self.nc, self.coarse_tol, self.coarse_its),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         return cls(*leaves, *aux)
 
+    def _restrict(self, v):
+        contrib = (self.P_data * v[:, None]).reshape(-1)
+        return jnp.zeros(self.nc, v.dtype).at[
+            self.P_cols.reshape(-1)].add(contrib)
+
     def solve_pair(self, br, bi):
-        rc_r = (self.R_data * br[self.R_cols]).sum(1)
-        rc_i = (self.R_data * bi[self.R_cols]).sum(1)
+        rc_r = self._restrict(br)
+        rc_i = self._restrict(bi)
         zc_r, zc_i = banded_solve_raw(
             self.coarse_op, (rc_r, rc_i),
             tol=self.coarse_tol, max_its=self.coarse_its)

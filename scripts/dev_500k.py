@@ -279,7 +279,7 @@ elif os.environ.get("DEV500_TG"):
         skip_calibration=True)
     P = interpolation_matrix(spaces_c, spaces)
     Pd, Pc_ = ell_of_csr(P)
-    Rd, Rc_ = ell_of_csr(P.T.tocsr())
+    nc_pc = P.shape[1]
     _coarse_memo.clear()
     del mesh_c, spaces_c, ctx_c, asm_c, w_c2
     gc.collect()
@@ -314,7 +314,7 @@ elif os.environ.get("DEV500_TG"):
     # rides the f64 ELL resid_op below
     Cop_f = BCSRShiftedOp.from_csr(
         A, M, TARGET, plan_for_pattern(A, br=16, bc=16), lo_channels=False)
-    pc2 = TwoGridSIPC(sio_c.device_op, blu_f, Pd, Pc_, Rd, Rc_,
+    pc2 = TwoGridSIPC(sio_c.device_op, blu_f, Pd, Pc_, nc=nc_pc,
                       coarse_tol=1e-6, coarse_its=16)
     op2 = BandedSIOp(A, M, pc2, jnp.asarray(TARGET.real),
                      jnp.asarray(TARGET.imag), Cop_f, None)

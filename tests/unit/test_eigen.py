@@ -402,8 +402,7 @@ def test_two_grid_si_pc_beats_truncated_band():
     Cop_f = BCSRShiftedOp.from_csr(K_f, M_f, sigma, br=16, bc=16)
 
     Pd, Pc = ell_of_csr(P)
-    Rd, Rc = ell_of_csr(P.T.tocsr())
-    pc2 = TwoGridSIPC(sio_c.device_op, blu_f, Pd, Pc, Rd, Rc,
+    pc2 = TwoGridSIPC(sio_c.device_op, blu_f, Pd, Pc, nc=P.shape[1],
                       coarse_tol=1e-8, coarse_its=25)
     op2 = BandedSIOp(K_f, M_f, pc2,
                      jnp.asarray(sigma.real), jnp.asarray(sigma.imag),
@@ -468,12 +467,11 @@ def test_two_grid_jacobi_smoother_hi_only_matvec():
     P = point_interpolation_matrix(space_c.node_coords, space_f.node_coords)
     v0 = P @ x_c
     Pd, Pc = ell_of_csr(P)
-    Rd, Rc = ell_of_csr(P.T.tocsr())
 
     jac = DiagSIPC.from_pair(K_f, M_f, sigma)
     Cop32 = BCSRShiftedOp.from_csr(K_f, M_f, sigma, br=16, bc=16,
                                    lo_channels=False)
-    pc2 = TwoGridSIPC(sio_c.device_op, jac, Pd, Pc, Rd, Rc,
+    pc2 = TwoGridSIPC(sio_c.device_op, jac, Pd, Pc, nc=P.shape[1],
                       coarse_tol=1e-8, coarse_its=25)
     sr, si = jnp.asarray(sigma.real), jnp.asarray(sigma.imag)
     op2 = BandedSIOp(K_f, M_f, pc2, sr, si, Cop32, None)
