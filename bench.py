@@ -340,6 +340,39 @@ def main() -> None:
         run(jnp.float32, "bcsr_spmv_f32_ms")
         run(jnp.float64, "bcsr_spmv_f64_ms")
 
+        # defect-corrected f64 channel (VERDICT r4 item 6): dominant
+        # v_hi*x_hi term in f64 accumulation, 2^-24 tails on the f32
+        # MXU.  Accuracy is verified against the full double-float
+        # apply; the effective-f64 line is the amortized cost of the
+        # solvers' actual protocol (7 hi-only f32 inner applies per
+        # accurate outer residual — the GCR window of the SI refinement).
+        xp64 = jnp.asarray(rng.standard_normal(n))
+
+        @jax.jit
+        def loop_dc(op, x, k):
+            def body(i, y):
+                y2 = op.matvec_permuted_dc(y)
+                return y2 / jnp.linalg.norm(y2)
+
+            y = lax.fori_loop(0, k, body, x)
+            return jnp.vdot(y, y)
+
+        t_dc = slope(loop_dc, (op, xp64, 1), (op, xp64, K + 1), K)
+        timings["bcsr_spmv_dc_ms"] = t_dc * 1e3
+        y_ref_ = op.matvec_permuted(xp64)
+        y_dc_ = op.matvec_permuted_dc(xp64)
+        dc_err = float(jnp.linalg.norm(y_dc_ - y_ref_)
+                       / jnp.linalg.norm(y_ref_))
+        timings["bcsr_spmv_dc_relerr"] = dc_err
+        best64 = min(t_dc, timings["bcsr_spmv_f64_ms"] / 1e3)
+        eff = (7 * timings["bcsr_spmv_f32_ms"] / 1e3 + best64) / 8
+        timings["bcsr_spmv_eff_f64_ms"] = eff * 1e3
+        bytes_dc = plan.stored * 4 * 2 + 3 * n * 4
+        log(f"bcsr_spmv_dc_ms: {t_dc*1e3:.3f} ms/iter (rel err {dc_err:.1e}"
+            f" vs double-float; {roofline(bytes_dc, 2.0*plan.stored*2, t_dc)})")
+        log(f"bcsr_spmv_eff_f64_ms: {eff*1e3:.3f} ms amortized "
+            f"(7x f32 + 1x accurate)")
+
     stage("bcsr_spmv", _bcsr)
 
     # ---------------- assembly loop ----------------

@@ -323,6 +323,18 @@ class _PlanGeom:
         G, KB = xg.shape[0], xg.shape[1]
         return xg.reshape(G // self.chunk, self.chunk, KB * self.bc // 128, 128)
 
+    def _xg_hilo(self, xp: jnp.ndarray):
+        """Gathered x blocks as SEPARATE hi/lo f32 grids (for the
+        defect-corrected apply: the lo channel only ever feeds an f32
+        correction einsum, so it never needs the f64 recombine)."""
+        hi, lo = _split_hi_lo(xp)
+        npad = self.NCB * self.bc
+        pad = lambda v: jnp.pad(v, (0, npad - self.n)).reshape(self.NCB, self.bc)
+        gh, gl = pad(hi)[self.colblk], pad(lo)[self.colblk]
+        G, KB = gh.shape[0], gh.shape[1]
+        shp = (G // self.chunk, self.chunk, KB * self.bc // 128, 128)
+        return gh.reshape(shp), gl.reshape(shp)
+
     def _unpad(self, y: jnp.ndarray) -> jnp.ndarray:
         return y.reshape(-1)[: self.n]
 
@@ -383,6 +395,28 @@ class BCSROperator(_PlanGeom):
             return None, _red(vh, vl, x_)
 
         _, y = jax.lax.scan(step, None, (self.v_hi, self.v_lo, xg))
+        return self._unpad(y)
+
+    def matvec_permuted_dc(self, xp: jnp.ndarray) -> jnp.ndarray:
+        """Defect-corrected f64 apply (VERDICT r4 item 6): only the
+        DOMINANT term v_hi*x_hi runs through the emulated-f64
+        multiply-reduce (f32xf32 products are exact in f64 — 24+24 <= 53
+        mantissa bits — so the accumulation is the only f64 work); the
+        two 2^-24-relative tails v_hi*x_lo and v_lo*x_hi ride f32
+        HIGHEST MXU einsums, bounding their error at ~1e-14 relative,
+        and v_lo*x_lo (~1e-21 relative) is dropped."""
+        xgh, xgl = self._xg_hilo(xp)
+        hp = jax.lax.Precision.HIGHEST
+
+        def step(_, vx):
+            vh, vl, xh, xl = vx
+            dom = (vh.astype(jnp.float64)
+                   * xh.astype(jnp.float64)[:, :, None, :]).sum(axis=(1, 3))
+            cor = (jnp.einsum("gkrc,gkc->gr", vh, xl, precision=hp)
+                   + jnp.einsum("gkrc,gkc->gr", vl, xh, precision=hp))
+            return None, dom + cor.astype(jnp.float64)
+
+        _, y = jax.lax.scan(step, None, (self.v_hi, self.v_lo, xgh, xgl))
         return self._unpad(y)
 
     def matvec_pair_permuted(self, xr: jnp.ndarray, xi: jnp.ndarray):
