@@ -378,17 +378,27 @@ class DiagSIPC:
         return cls(*leaves)
 
     @classmethod
-    def from_pair(cls, A, M, sigma: complex) -> "DiagSIPC":
+    def from_pair(cls, A, M, sigma: complex, *,
+                  press_reg: float = 1.0) -> "DiagSIPC":
+        """``press_reg``: regularized magnitude (in units of the RMS
+        diagonal) substituted on zero-diagonal saddle rows.  The band
+        factor uses 1e-3 (elimination only needs a nonzero pivot), but
+        as a JACOBI inverse that would AMPLIFY pressure residuals ~1e3x
+        relative to the typical row — and the NS mass matrix has a ZERO
+        pressure block, so neither the M-normalization nor the JD
+        projection of :func:`nested_eigenpair` can see (or control) the
+        injected pressure junk.  O(1) keeps pressure residuals on the
+        same footing as velocity rows (measured: the 1e-3 default sent
+        the 500k two-grid correction to rel ~1.0 in one step)."""
         ds = A.pattern.diag_slots
         dre = A.data[ds] - sigma.real * M.data[ds]
         dim_ = (-sigma.imag) * M.data[ds]
         mag2 = dre * dre + dim_ * dim_
         scale = jnp.sqrt(jnp.maximum(jnp.mean(mag2), 1e-300))
-        # saddle rows (zero pressure diagonal): regularize like
-        # band.regularize_saddle_data so the inverse stays bounded
+        # saddle rows (zero pressure diagonal): bounded inverse
         bad = mag2 < (1e-10 * scale) ** 2
-        dre = jnp.where(bad, -1e-3 * scale, dre)
-        mag2 = jnp.where(bad, (1e-3 * scale) ** 2, mag2)
+        dre = jnp.where(bad, -press_reg * scale, dre)
+        mag2 = jnp.where(bad, (press_reg * scale) ** 2, mag2)
         return cls(dre / mag2, -dim_ / mag2)
 
     def solve_pair(self, br, bi):
@@ -473,12 +483,13 @@ def _nested_correct(op: BandedSIOp, vr, vi, Mvr, Mvi, rr, ri,
     """Jacobi-Davidson correction: solve the PROJECTED system against
     the SHRINKING residual (this is what makes eta-grade inner solves
     converge geometrically — and without the projection an exact solve
-    returns t = v and the correction annihilates)."""
+    returns t = v and the correction annihilates).  Returns the raw
+    correction t; the caller owns the (possibly damped) update v - t."""
     opt = _with_sigma(op, th_re, th_im)
     tr, ti = banded_solve_raw(
         opt, (rr, ri), tol=inner_tol, max_its=inner_its, m=m,
         proj=(vr, vi, Mvr, Mvi))
-    return vr - tr, vi - ti
+    return tr, ti
 
 
 def nested_eigenpair(
@@ -532,21 +543,46 @@ def nested_eigenpair(
     vi = jnp.asarray(np.ascontiguousarray(v0.imag))
     th_re = jnp.asarray(float(np.real(sigma0)))
     th_im = jnp.asarray(float(np.imag(sigma0)))
-    rel = np.inf
+    prep = _nested_prepare(rop, vr, vi, th_re, th_im)
+    rel = float(prep[-1])
+    if not np.isfinite(rel):
+        raise FloatingPointError("nested refinement diverged")
     it = 0
     for it in range(1, max_outer + 1):
-        vr, vi, Mvr, Mvi, rr, ri, th_re, th_im, rel_j = _nested_prepare(
-            rop, vr, vi, th_re, th_im)
-        rel = float(rel_j)
+        vr, vi, Mvr, Mvi, rr, ri, th_re, th_im, _ = prep
         logger.info("nested_eigenpair: outer %d rel resid %.2e theta %.6f%+.6fj",
                     it, rel, float(th_re), float(th_im))
-        if not np.isfinite(rel):
-            raise FloatingPointError("nested refinement diverged")
         if rel < tol:
             break
-        vr, vi = _nested_correct(
+        tr, ti = _nested_correct(
             op, vr, vi, Mvr, Mvi, rr, ri, th_re, th_im,
             inner_tol=inner_tol, inner_its=inner_its, m=m)
+        # damped acceptance: an ill-conditioned correction solve (weak
+        # PC near the shift) can return a t that CORRUPTS v — e.g. the
+        # 500k saddle-point run where pressure junk (invisible to the
+        # M-norm and the JD projection) pinned the residual at ~1.
+        # Accept the largest damp in {1, 1/4, 1/16, 1/64} that reduces
+        # the true residual; if none does, keep the best iterate and
+        # stop instead of wandering.
+        damp, accepted = 1.0, False
+        for _ in range(4):
+            cand = _nested_prepare(rop, vr - damp * tr, vi - damp * ti,
+                                   th_re, th_im)
+            rel_c = float(cand[-1])
+            if np.isfinite(rel_c) and rel_c < rel:
+                prep, rel, accepted = cand, rel_c, True
+                break
+            logger.info(
+                "nested_eigenpair: correction rejected at damp %.3g "
+                "(rel %.2e -> %.2e)", damp, rel, rel_c)
+            damp *= 0.25
+        if not accepted:
+            logger.warning(
+                "nested_eigenpair: no damp improved the residual at outer "
+                "%d (rel %.2e); stopping with the best iterate", it, rel)
+            break
+    else:
+        vr, vi, *_, th_re, th_im, _ = prep
     v = np.asarray(vr) + 1j * np.asarray(vi)
     v /= np.linalg.norm(v)
     return complex(float(th_re), float(th_im)), v, rel, it
