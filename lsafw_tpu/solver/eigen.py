@@ -141,9 +141,13 @@ class BandedSIOp(NamedTuple):
 
 
 def _si_apply_C(op: BandedSIOp, xr, xi):
-    """(A - sigma M) x over a pair."""
-    if op.Cop is not None:
-        return op.Cop.matvec_pair(xr, xi)
+    """(A - sigma M) x over a pair.  When the fast C apply lives inside
+    a TwoGridSIPC ``blu`` (multiplicative composition), reuse it instead
+    of duplicating the multi-GB value blocks as a second pytree leaf
+    (XLA buffer assignment counts repeated leaves twice)."""
+    Cop = op.Cop if op.Cop is not None else getattr(op.blu, "Cop", None)
+    if Cop is not None:
+        return Cop.matvec_pair(xr, xi)
     Ar, Ai = spmv_pair(op.A, xr, xi)
     if op.M is not None:
         Mr, Mi = spmv_pair(op.M, xr, xi)
@@ -322,14 +326,19 @@ class TwoGridSIPC:
     fine_blu: object  # fine smoother: truncated BandedLU / DiagSIPC / None
     P_data: jnp.ndarray  # (nf, wp) f64
     P_cols: jnp.ndarray  # (nf, wp) int32 -> coarse indices
+    Cop: object | None = None  # fine C apply -> MULTIPLICATIVE composition
     nc: int = 0  # coarse dimension (static)
     coarse_tol: float = 1e-6
     coarse_its: int = 20
+    smooth_steps: int = 1
+    omega: float = 1.0
 
     def tree_flatten(self):
         return (
-            (self.coarse_op, self.fine_blu, self.P_data, self.P_cols),
-            (self.nc, self.coarse_tol, self.coarse_its),
+            (self.coarse_op, self.fine_blu, self.P_data, self.P_cols,
+             self.Cop),
+            (self.nc, self.coarse_tol, self.coarse_its, self.smooth_steps,
+             self.omega),
         )
 
     @classmethod
@@ -349,9 +358,25 @@ class TwoGridSIPC:
             tol=self.coarse_tol, max_its=self.coarse_its)
         z_r = (self.P_data * zc_r[self.P_cols]).sum(1)
         z_i = (self.P_data * zc_i[self.P_cols]).sum(1)
-        if self.fine_blu is not None:
+        if self.fine_blu is None:
+            return z_r, z_i
+        if self.Cop is None:
+            # additive: coarse + fine terms fight over the components
+            # both resolve (kept for PC-only fine terms w/o a C apply)
             f_r, f_i = self.fine_blu.solve_pair(br, bi)
-            z_r, z_i = z_r + f_r, z_i + f_i
+            return z_r + f_r, z_i + f_i
+        # multiplicative: smooth the POST-COARSE residual — the fine
+        # term only ever sees what the coarse correction left behind
+        # (measured on the 500k NS shift: additive corrections were
+        # rejected even at damp 1/16 with ~3%/outer contraction).
+        # ``Cop`` lives INSIDE this pytree so the caller's BandedSIOp
+        # must NOT duplicate it (XLA buffer assignment double-counts
+        # repeated multi-GB leaves); _si_apply_C falls back to blu.Cop.
+        for _ in range(self.smooth_steps):
+            Cz_r, Cz_i = self.Cop.matvec_pair(z_r, z_i)
+            s_r, s_i = self.fine_blu.solve_pair(br - Cz_r, bi - Cz_i)
+            z_r = z_r + self.omega * s_r
+            z_i = z_i + self.omega * s_i
         return z_r, z_i
 
 
@@ -437,7 +462,16 @@ def _with_sigma(op: BandedSIOp, sr, si):
             Cop = dataclasses.replace(Cop, sig_re=sr, sig_im=si)
         else:
             Cop = None
-    return op._replace(sig_re=sr, sig_im=si, Cop=Cop)
+    blu = op.blu
+    if (Cop is None and getattr(blu, "Cop", None) is not None
+            and hasattr(blu.Cop, "sig_re")):
+        # multiplicative TwoGridSIPC: the single shared C apply lives
+        # inside the PC — retarget it IN PLACE in the tree (promoting a
+        # retargeted copy to op.Cop would put the multi-GB value blocks
+        # in the program parameters twice)
+        blu = dataclasses.replace(
+            blu, Cop=dataclasses.replace(blu.Cop, sig_re=sr, sig_im=si))
+    return op._replace(sig_re=sr, sig_im=si, Cop=Cop, blu=blu)
 
 
 @jax.jit

@@ -60,6 +60,24 @@ def _scaled(g, s):
 geo = _scaled(geo_full, SCALE)
 marker_fn = load_facet_config(os.path.join(cfg_dir, "facets.toml"))
 
+
+def cached_cyl_mesh(geo_x, tag: str):
+    """/tmp-cached distmesh cylinder mesh (points/cells/facet_tags):
+    distmesh2d at 500k+ costs ~10 host-minutes per run on this 1-core
+    VM and the TG iteration loop re-enters this script many times."""
+    from lsafw_tpu.meshing.mesh import Mesh
+
+    p = f"/tmp/mesh500k_{tag}.npz"
+    if os.path.exists(p):
+        d = np.load(p)
+        return Mesh(points=d["points"], cells=d["cells"],
+                    facet_tags=d["ft"])
+    m = cylinder_flow_mesh(geo_x)
+    mark_boundary_facets(m, marker_fn)
+    np.savez(p, points=m.points, cells=m.cells, ft=m.facet_tags)
+    return m
+
+
 _coarse_memo = {}
 
 
@@ -74,15 +92,13 @@ def coarse_setup():
         cs = float(COARSE)
         geo_c = _scaled(geo_full, cs)
         wpath, epath = f"/tmp/w500k_{cs}.npy", f"/tmp/eig500k_{cs}.npz"
-    mesh_c = cylinder_flow_mesh(geo_c)
-    mark_boundary_facets(mesh_c, marker_fn)
+    mesh_c = cached_cyl_mesh(geo_c, "prod" if COARSE == "prod" else COARSE)
     spaces_c = define_spaces(mesh_c)
     _coarse_memo["v"] = (mesh_c, spaces_c, wpath, epath)
     return _coarse_memo["v"]
 
 t0 = time.time()
-mesh = cylinder_flow_mesh(geo)
-mark_boundary_facets(mesh, marker_fn)
+mesh = cached_cyl_mesh(geo, str(SCALE))
 spaces = define_spaces(mesh)
 bcs = define_bcs(mesh, spaces, load_bc_config(os.path.join(cfg_dir, "bcs.toml")))
 bcs_pert = define_bcs(
@@ -259,8 +275,8 @@ elif os.environ.get("DEV500_TG"):
                     else f"/tmp/w500k_{float(PCGRID)}.npy")
         if not os.path.exists(wpath_pc):
             raise RuntimeError(f"PC-grid baseflow {wpath_pc} missing")
-        mesh_c = cylinder_flow_mesh(geo_pc)
-        mark_boundary_facets(mesh_c, marker_fn)
+        mesh_c = cached_cyl_mesh(
+            geo_pc, "prod" if PCGRID == "prod" else PCGRID)
         spaces_c = define_spaces(mesh_c)
     bcs_pert_c = define_bcs(
         mesh_c, spaces_c,
@@ -314,18 +330,24 @@ elif os.environ.get("DEV500_TG"):
     # rides the f64 ELL resid_op below
     Cop_f = BCSRShiftedOp.from_csr(
         A, M, TARGET, plan_for_pattern(A, br=16, bc=16), lo_channels=False)
-    pc2 = TwoGridSIPC(sio_c.device_op, blu_f, Pd, Pc_, nc=nc_pc,
-                      coarse_tol=1e-6, coarse_its=16)
+    # MULTIPLICATIVE composition (coarse correction, then Jacobi
+    # smoothing of the post-coarse residual): the additive form's
+    # corrections were rejected even at damp 1/16 on this operator
+    # (contraction ~3%/outer, run r5b).  Cop_f lives INSIDE the PC and
+    # _si_apply_C/_with_sigma reuse it from there — op2 must NOT carry
+    # it as a second leaf (XLA buffer assignment counts aliases twice).
+    pc2 = TwoGridSIPC(sio_c.device_op, blu_f, Pd, Pc_, Cop=Cop_f,
+                      nc=nc_pc, coarse_tol=1e-6, coarse_its=16,
+                      smooth_steps=int(os.environ.get("DEV500_SMOOTH", "2")),
+                      omega=float(os.environ.get("DEV500_OMEGA", "0.7")))
     op2 = BandedSIOp(A, M, pc2, jnp.asarray(TARGET.real),
-                     jnp.asarray(TARGET.imag), Cop_f, None)
-    rop2 = BandedSIOp(A, M, pc2, jnp.asarray(TARGET.real),
+                     jnp.asarray(TARGET.imag), None, None)
+    rop2 = BandedSIOp(A, M, None, jnp.asarray(TARGET.real),
                       jnp.asarray(TARGET.imag), None, None)
-    # each TG inner iteration costs ~coarse_its coarse band solves;
-    # cap the per-dispatch iteration count under the tunnel watchdog
-    tg_inner = int(os.environ.get("DEV500_TG_INNER", "30"))
+    tg_inner = int(os.environ.get("DEV500_TG_INNER", "60"))
     sigma, v, rel, n_outer = nested_eigenpair(
         op2, v0, lam_c, tol=1e-8, inner_tol=1e-4, inner_its=tg_inner,
-        max_outer=20, bc_mask=np.asarray(bcs_pert.dirichlet_mask),
+        m=16, max_outer=20, bc_mask=np.asarray(bcs_pert.dirichlet_mask),
         resid_op=rop2)
     pairs = [(sigma, v)]
     np.savez(f"/tmp/eig500k_{SCALE}.npz", sig_re=sigma.real,
