@@ -65,16 +65,17 @@ def cached_cyl_mesh(geo_x, tag: str):
     """/tmp-cached distmesh cylinder mesh (points/cells/facet_tags):
     distmesh2d at 500k+ costs ~10 host-minutes per run on this 1-core
     VM and the TG iteration loop re-enters this script many times."""
-    from lsafw_tpu.meshing.mesh import Mesh
+    from lsafw_tpu.meshing.mesh import CellType, Mesh
 
     p = f"/tmp/mesh500k_{tag}.npz"
     if os.path.exists(p):
         d = np.load(p)
-        return Mesh(points=d["points"], cells=d["cells"],
-                    facet_tags=d["ft"])
+        return Mesh(vertices=d["vertices"], cells=d["cells"],
+                    cell_type=CellType(str(d["ct"])), facet_tags=d["ft"])
     m = cylinder_flow_mesh(geo_x)
     mark_boundary_facets(m, marker_fn)
-    np.savez(p, points=m.points, cells=m.cells, ft=m.facet_tags)
+    np.savez(p, vertices=m.vertices, cells=m.cells, ct=m.cell_type.value,
+             ft=m.facet_tags)
     return m
 
 

@@ -483,3 +483,20 @@ def test_two_grid_jacobi_smoother_hi_only_matvec():
     r = Ks @ v - th * (Ms @ v)
     true_rel = np.linalg.norm(r) / np.linalg.norm(Ks @ v)
     assert true_rel < 1e-8, (true_rel, th)
+
+    # MULTIPLICATIVE composition (the production 500k mode): the fine
+    # Jacobi smooths the post-coarse residual through the PC-held C
+    # apply; the operator's C apply is shared from blu.Cop (no second
+    # multi-GB leaf) and retargeted by _with_sigma inside the PC.
+    pc_m = TwoGridSIPC(sio_c.device_op, jac, Pd, Pc, Cop=Cop32,
+                       nc=P.shape[1], coarse_tol=1e-8, coarse_its=25,
+                       smooth_steps=2, omega=0.7)
+    op_m = BandedSIOp(K_f, M_f, pc_m, sr, si, None, None)
+    rop_m = BandedSIOp(K_f, M_f, None, sr, si, None, None)
+    th_m, v_m, rel_m, it_m = nested_eigenpair(
+        op_m, v0, lam_c, tol=1e-9, inner_tol=1e-4, inner_its=60,
+        max_outer=15, bc_mask=mask_f, resid_op=rop_m)
+    r_m = Ks @ v_m - th_m * (Ms @ v_m)
+    true_rel_m = np.linalg.norm(r_m) / np.linalg.norm(Ks @ v_m)
+    assert true_rel_m < 1e-8, (true_rel_m, th_m)
+    assert abs(th_m - th) < 1e-7, (th_m, th)
