@@ -327,6 +327,7 @@ class TwoGridSIPC:
     P_data: jnp.ndarray  # (nf, wp) f64
     P_cols: jnp.ndarray  # (nf, wp) int32 -> coarse indices
     Cop: object | None = None  # fine C apply -> MULTIPLICATIVE composition
+    cproj: tuple | None = None  # (xr, xi, Mxr, Mxi) coarse eigvec deflation
     nc: int = 0  # coarse dimension (static)
     coarse_tol: float = 1e-6
     coarse_its: int = 20
@@ -336,7 +337,7 @@ class TwoGridSIPC:
     def tree_flatten(self):
         return (
             (self.coarse_op, self.fine_blu, self.P_data, self.P_cols,
-             self.Cop),
+             self.Cop, self.cproj),
             (self.nc, self.coarse_tol, self.coarse_its, self.smooth_steps,
              self.omega),
         )
@@ -344,6 +345,27 @@ class TwoGridSIPC:
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         return cls(*leaves, *aux)
+
+    @staticmethod
+    def coarse_deflation(x_c, M_c):
+        """Build the ``cproj`` tuple from the coarse eigenvector and
+        coarse mass matrix: the coarse solve runs DEFLATED against its
+        own eigenpair.  C_c is factored ~|sigma - lambda_c| from its
+        eigenvalue, so an undeflated solve amplifies the x_c direction
+        by 1/|sigma - lambda_c| (~165x on the 500k flagship) — and what
+        that amplifies is the INTERPOLATION ERROR of P x_c, junk the JD
+        projection cannot remove (measured: corrections rejected even
+        at damp 1/64).  With x_c deflated the coarse correction returns
+        the smooth non-eigen components the truncated fine term cannot
+        represent, which is its actual job."""
+        x_c = np.asarray(x_c, dtype=np.complex128)
+        Mx = M_c.to_scipy() @ x_c
+        nrm = np.sqrt(max(np.real(np.vdot(x_c, Mx)), 1e-300))
+        x_c, Mx = x_c / nrm, Mx / nrm
+        return (jnp.asarray(np.ascontiguousarray(x_c.real)),
+                jnp.asarray(np.ascontiguousarray(x_c.imag)),
+                jnp.asarray(np.ascontiguousarray(Mx.real)),
+                jnp.asarray(np.ascontiguousarray(Mx.imag)))
 
     def _restrict(self, v):
         contrib = (self.P_data * v[:, None]).reshape(-1)
@@ -355,7 +377,7 @@ class TwoGridSIPC:
         rc_i = self._restrict(bi)
         zc_r, zc_i = banded_solve_raw(
             self.coarse_op, (rc_r, rc_i),
-            tol=self.coarse_tol, max_its=self.coarse_its)
+            tol=self.coarse_tol, max_its=self.coarse_its, proj=self.cproj)
         z_r = (self.P_data * zc_r[self.P_cols]).sum(1)
         z_i = (self.P_data * zc_i[self.P_cols]).sum(1)
         if self.fine_blu is None:
@@ -523,7 +545,18 @@ def _nested_correct(op: BandedSIOp, vr, vi, Mvr, Mvi, rr, ri,
     tr, ti = banded_solve_raw(
         opt, (rr, ri), tol=inner_tol, max_its=inner_its, m=m,
         proj=(vr, vi, Mvr, Mvi))
-    return tr, ti
+    # diagnostic: the achieved linear (projected) residual — the
+    # correction's quality is invisible without it (an eta-grade outer
+    # contraction REQUIRES roughly eta-grade inner solves)
+    Cr, Ci = _si_apply_C(opt, tr, ti)
+    c_re = ddot(vr, Cr) + ddot(vi, Ci)
+    c_im = ddot(vr, Ci) - ddot(vi, Cr)
+    Cr = Cr - (c_re * Mvr - c_im * Mvi)
+    Ci = Ci - (c_re * Mvi + c_im * Mvr)
+    lin = jnp.sqrt(ddot(rr - Cr, rr - Cr) + ddot(ri - Ci, ri - Ci))
+    lin = lin / jnp.maximum(jnp.sqrt(ddot(rr, rr) + ddot(ri, ri)), 1e-300)
+    tnorm = jnp.sqrt(ddot(tr, tr) + ddot(ti, ti))
+    return tr, ti, lin, tnorm
 
 
 def nested_eigenpair(
@@ -588,9 +621,12 @@ def nested_eigenpair(
                     it, rel, float(th_re), float(th_im))
         if rel < tol:
             break
-        tr, ti = _nested_correct(
+        tr, ti, lin, tnorm = _nested_correct(
             op, vr, vi, Mvr, Mvi, rr, ri, th_re, th_im,
             inner_tol=inner_tol, inner_its=inner_its, m=m)
+        logger.info(
+            "nested_eigenpair: inner solve rel %.2e, |t| %.2e",
+            float(lin), float(tnorm))
         # damped acceptance: an ill-conditioned correction solve (weak
         # PC near the shift) can return a t that CORRUPTS v — e.g. the
         # 500k saddle-point run where pressure junk (invisible to the

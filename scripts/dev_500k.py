@@ -297,6 +297,15 @@ elif os.environ.get("DEV500_TG"):
     P = interpolation_matrix(spaces_c, spaces)
     Pd, Pc_ = ell_of_csr(P)
     nc_pc = P.shape[1]
+    # deflate the PC-grid eigenpair inside the coarse correction solves
+    # (C_c is ~|sigma - lambda_c| from ITS eigenvalue: undeflated, the
+    # coarse solve amplifies P x_c's interpolation error ~165x and the
+    # corrections get rejected — runs r5b/r5c)
+    epath_pc = ("/tmp/eig_prod.npz" if PCGRID == "prod"
+                else f"/tmp/eig500k_{float(PCGRID)}.npz")
+    dpc = np.load(epath_pc)
+    cproj = TwoGridSIPC.coarse_deflation(
+        dpc["v_re"] + 1j * dpc["v_im"], M_c)
     _coarse_memo.clear()
     del mesh_c, spaces_c, ctx_c, asm_c, w_c2
     gc.collect()
@@ -338,8 +347,8 @@ elif os.environ.get("DEV500_TG"):
     # _si_apply_C/_with_sigma reuse it from there — op2 must NOT carry
     # it as a second leaf (XLA buffer assignment counts aliases twice).
     pc2 = TwoGridSIPC(sio_c.device_op, blu_f, Pd, Pc_, Cop=Cop_f,
-                      nc=nc_pc, coarse_tol=1e-6, coarse_its=16,
-                      smooth_steps=int(os.environ.get("DEV500_SMOOTH", "2")),
+                      cproj=cproj, nc=nc_pc, coarse_tol=1e-6, coarse_its=16,
+                      smooth_steps=int(os.environ.get("DEV500_SMOOTH", "1")),
                       omega=float(os.environ.get("DEV500_OMEGA", "0.7")))
     op2 = BandedSIOp(A, M, pc2, jnp.asarray(TARGET.real),
                      jnp.asarray(TARGET.imag), None, None)

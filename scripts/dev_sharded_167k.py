@@ -112,8 +112,15 @@ if __name__ == "__main__":
     env.pop("PALLAS_AXON_POOL_IPS", None)  # never touch the TPU client
     env.pop("JAX_COMPILATION_CACHE_DIR", None)
     env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count={N_DEV} "
-                        + env.get("XLA_FLAGS", ""))
+    # raise the collective-rendezvous timeouts: 8 virtual devices
+    # timeshare ONE core here and the reduced-SPIKE build runs for
+    # hours — the default 40 s termination killed the first 167k run
+    # at its first post-build all-gather
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={N_DEV} "
+        "--xla_cpu_collective_call_terminate_timeout_seconds=7200 "
+        "--xla_cpu_collective_call_warn_stuck_timeout_seconds=300 "
+        + env.get("XLA_FLAGS", ""))
     env["_SHARDED167K_IMPL"] = "1"
     env["PYTHONPATH"] = (os.path.join(HERE, "..") + os.pathsep
                          + env.get("PYTHONPATH", ""))
