@@ -287,74 +287,68 @@ elif os.environ.get("DEV500_TG"):
     asm_c = LinearizedNavierStokesAssembler(
         jnp.asarray(w_c2), ctx_c, RE, bcs_pert_c, mesh_c)
     A_c, M_c = asm_c.assemble_eigensystem()
-    A_el_c, M_el_c, dofs_c = asm_c.element_matrices()
+    # band factor of the ASSEMBLED coarse C_c(sigma): the PC of the
+    # coarse GALERKIN solves below (predictable bandwidth/memory; the
+    # Galerkin pattern's own band is an unknown quantity)
     os.environ["LSAFW_BAND_DTYPE"] = "f32"
-    sio_c = ShiftInvertOperator(
-        A_c, M_c, TARGET, method="banded",
-        elements=(dofs_c, A_el_c, M_el_c,
-                  np.asarray(bcs_pert_c.dirichlet_mask)),
-        skip_calibration=True)
+    plan_c = plan_for_csr(A_c, force_f32=True)
+    blu_c, _ = factor_auto(
+        plan_c, A_c.data - TARGET.real * M_c.data,
+        (-TARGET.imag) * M_c.data, diag_slots=A_c.pattern.diag_slots)
     P = interpolation_matrix(spaces_c, spaces)
     Pd, Pc_ = ell_of_csr(P)
     nc_pc = P.shape[1]
-    # deflate the PC-grid eigenpair inside the coarse correction solves
-    # (C_c is ~|sigma - lambda_c| from ITS eigenvalue: undeflated, the
-    # coarse solve amplifies P x_c's interpolation error ~165x and the
-    # corrections get rejected — runs r5b/r5c)
-    epath_pc = ("/tmp/eig_prod.npz" if PCGRID == "prod"
-                else f"/tmp/eig500k_{float(PCGRID)}.npz")
-    dpc = np.load(epath_pc)
-    cproj = TwoGridSIPC.coarse_deflation(
-        dpc["v_re"] + 1j * dpc["v_im"], M_c)
     _coarse_memo.clear()
     del mesh_c, spaces_c, ctx_c, asm_c, w_c2
     gc.collect()
 
-    # truncated fine band: the high-frequency smoother of the PC (the
-    # launch-time LSAFW_BAND_MEM_GB sized the COARSE band; the fine
-    # band must leave room for it).  Force the PLAIN factor: the
-    # pivoted one's ~1.5x extras OOM next to the resident 6.5 GB
-    # coarse band (observed RESOURCE_EXHAUSTED), and a smoother does
-    # not need pivoting robustness — regularized elimination is enough.
-    # DEV500_FINE_BAND_GB=0 (default) replaces the fine band with the
-    # memory-free regularized complex Jacobi (eigen.DiagSIPC): at 500k
-    # the budget truncates the band to B=2 of 30 — 256 of 3768
-    # bandwidth — and its 2.8 GB pushed the resident set past HBM (the
-    # r5c OOM at _nested_prepare) while buying almost no smoothing.
-    fine_gb = float(os.environ.get("DEV500_FINE_BAND_GB", "0"))
-    if fine_gb > 0:
-        os.environ["LSAFW_BAND_MEM_GB"] = str(fine_gb)
-        os.environ["LSAFW_PIVOT_MEM_GB"] = "0"
-        plan_f = plan_for_csr(A, force_f32=True)
-        blu_f, _ = factor_auto(
-            plan_f, A.data - TARGET.real * M.data, (-TARGET.imag) * M.data,
-            diag_slots=A.pattern.diag_slots)
-    else:
-        from lsafw_tpu.solver.eigen import DiagSIPC
+    # GALERKIN coarse operator G = P^T (A, M) P: its near-null
+    # direction under the shift IS the prolonged fine eigendirection,
+    # so the (amplified) coarse solution is the USEFUL correction.
+    # The re-assembled C_c's near-null direction differs from the fine
+    # one by DISCRETIZATION error, and the shift amplifies that error
+    # instead (scripts/dev_tg_repro.py: one exact Galerkin solve
+    # contracts the JD correction residual to 0.19 vs 1.49 assembled;
+    # deflation and post-Jacobi both HURT — q2/q3/q4).
+    t0g = time.time()
+    As_h, Ms_h = A.to_scipy(), M.to_scipy()
+    A_gs = (P.T @ (As_h @ P)).tocsr()
+    A_gs.sort_indices()
+    Z = A_gs * 0.0  # scalar multiply keeps the sparsity structure
+    M_gs = (Z + (P.T @ (Ms_h @ P))).tocsr()  # M pattern is a subset
+    M_gs.sort_indices()
+    assert np.array_equal(A_gs.indptr, M_gs.indptr) and \
+        np.array_equal(A_gs.indices, M_gs.indices), "pattern union failed"
+    from lsafw_tpu.ops.sparse import CSRMatrix
 
-        blu_f = DiagSIPC.from_pair(A, M, TARGET)
-    # bc=16 (the (16, 8) plan overflowed int32 keys before the round-5
-    # widening); HI-ONLY channels: the full f64 pair blocks (4.3 GB)
-    # OOM'd next to the 6.5 GB coarse band — eta-grade correction
-    # solves tolerate 1e-7 applies, and the once-per-outer residual
-    # rides the f64 ELL resid_op below
+    A_g = CSRMatrix.from_scipy(A_gs)
+    M_g = CSRMatrix(A_g.pattern, jnp.asarray(M_gs.data))
+    del As_h, Ms_h, Z, A_gs, M_gs
+    gc.collect()
+    print(f"Galerkin coarse op: nnz={A_g.pattern.nnz} "
+          f"({time.time()-t0g:.0f}s host triple products)", flush=True)
+    G_bcsr = BCSRShiftedOp.from_csr(
+        A_g, M_g, TARGET, plan_for_pattern(A_g, br=16, bc=16),
+        lo_channels=False)
+    coarse_op = BandedSIOp(A_g, M_g, blu_c, jnp.asarray(TARGET.real),
+                           jnp.asarray(TARGET.imag), G_bcsr, None)
+    # HI-ONLY fine channels: the full f64 pair blocks (4.3 GB) OOM'd
+    # next to the coarse band — eta-grade correction solves tolerate
+    # 1e-7 applies; the once-per-outer residual rides the f64 ELL
+    # resid_op below.  Cop_f lives INSIDE the PC (one pytree leaf);
+    # _si_apply_C/_with_sigma reuse and retarget it from there.
     Cop_f = BCSRShiftedOp.from_csr(
         A, M, TARGET, plan_for_pattern(A, br=16, bc=16), lo_channels=False)
-    # MULTIPLICATIVE composition (coarse correction, then Jacobi
-    # smoothing of the post-coarse residual): the additive form's
-    # corrections were rejected even at damp 1/16 on this operator
-    # (contraction ~3%/outer, run r5b).  Cop_f lives INSIDE the PC and
-    # _si_apply_C/_with_sigma reuse it from there — op2 must NOT carry
-    # it as a second leaf (XLA buffer assignment counts aliases twice).
-    pc2 = TwoGridSIPC(sio_c.device_op, blu_f, Pd, Pc_, Cop=Cop_f,
-                      cproj=cproj, nc=nc_pc, coarse_tol=1e-6, coarse_its=16,
-                      smooth_steps=int(os.environ.get("DEV500_SMOOTH", "1")),
-                      omega=float(os.environ.get("DEV500_OMEGA", "0.7")))
+    pc2 = TwoGridSIPC(coarse_op, None, Pd, Pc_, Cop=Cop_f,
+                      cproj=None, nc=nc_pc,
+                      coarse_tol=float(os.environ.get("DEV500_CTOL", "1e-3")),
+                      coarse_its=int(os.environ.get("DEV500_CITS", "24")),
+                      smooth_steps=0)
     op2 = BandedSIOp(A, M, pc2, jnp.asarray(TARGET.real),
                      jnp.asarray(TARGET.imag), None, None)
     rop2 = BandedSIOp(A, M, None, jnp.asarray(TARGET.real),
                       jnp.asarray(TARGET.imag), None, None)
-    tg_inner = int(os.environ.get("DEV500_TG_INNER", "60"))
+    tg_inner = int(os.environ.get("DEV500_TG_INNER", "30"))
     sigma, v, rel, n_outer = nested_eigenpair(
         op2, v0, lam_c, tol=1e-8, inner_tol=1e-4, inner_its=tg_inner,
         m=16, max_outer=20, bc_mask=np.asarray(bcs_pert.dirichlet_mask),
