@@ -205,7 +205,7 @@ def banded_si_apply(
 
 def banded_solve_raw(
     op: BandedSIOp, b: CVec, *, tol: float = 1e-9, max_its: int = 16,
-    m: int = 8, proj=None,
+    m: int = 8, proj=None, x0_zero: bool = False,
 ) -> CVec:
     """x ~= (A - sigma M)^-1 b for a RAW right-hand side (no M
     premultiply): the refinement core of :func:`banded_si_apply`,
@@ -252,9 +252,18 @@ def banded_solve_raw(
 
     bnorm = jnp.sqrt(ddot(br, br) + ddot(bi, bi))
     floor = jnp.maximum(bnorm, 1e-300)
-    xr, xi = _pright(*op.blu.solve_pair(br, bi))
-    Cr, Ci = _pleft(*_si_apply_C(op, xr, xi))
-    rr, ri = br - Cr, bi - Ci
+    if x0_zero:
+        # JD correction solves: a WEAK PC's first apply can have
+        # ||C x0 - b|| > ||b||, and GCR (monotone only from its own
+        # start) then never gets back under ||b|| within the window —
+        # start from zero so every iterate beats the zero correction
+        xr = jnp.zeros_like(br)
+        xi = jnp.zeros_like(bi)
+        rr, ri = br, bi
+    else:
+        xr, xi = _pright(*op.blu.solve_pair(br, bi))
+        Cr, Ci = _pleft(*_si_apply_C(op, xr, xi))
+        rr, ri = br - Cr, bi - Ci
     n = br.shape[0]
     Dr = jnp.zeros((m, n))
     Di = jnp.zeros((m, n))
@@ -471,6 +480,44 @@ def ell_of_csr(S):
     return jnp.asarray(dat), jnp.asarray(cols)
 
 
+def galerkin_pair(P, A, M):
+    """Galerkin coarse pair ``(P^T A P, P^T M P)`` as CSRMatrices on
+    ONE shared (union) pattern — the coarse operator of the two-grid
+    shift-invert (its near-null direction under the shift is the
+    prolonged fine eigendirection; the re-assembled coarse operator's
+    is discretization noise — ``scripts/dev_tg_repro.py``).  scipy
+    spgemm prunes explicit zeros, so the two products are merged onto
+    their union pattern by key search."""
+    import scipy.sparse as sp
+
+    P = P.tocsr()
+    Ag = (P.T @ (A.to_scipy() @ P)).tocsr()
+    Mg = (P.T @ (M.to_scipy() @ P)).tocsr()
+    # always include the diagonal: band/BCSR planning and the saddle
+    # regularization key on diag slots, and spgemm pruning can drop a
+    # structurally-zero diagonal (e.g. pressure rows)
+    U = (Ag + Mg + sp.identity(Ag.shape[0], format="csr")).tocsr()
+    U.sort_indices()
+    n, ncol = U.shape
+    rowsU = np.repeat(np.arange(n, dtype=np.int64), np.diff(U.indptr))
+    keyU = rowsU * ncol + U.indices
+
+    def put(S):
+        S = S.tocsr()
+        S.sort_indices()
+        rowsS = np.repeat(np.arange(n, dtype=np.int64), np.diff(S.indptr))
+        pos = np.searchsorted(keyU, rowsS * ncol + S.indices)
+        out = np.zeros(U.nnz)
+        out[pos] = S.data
+        return out
+
+    Au = sp.csr_matrix((put(Ag), U.indices.copy(), U.indptr.copy()),
+                       shape=U.shape)
+    A_g = CSRMatrix.from_scipy(Au)
+    M_g = CSRMatrix(A_g.pattern, jnp.asarray(put(Mg)))
+    return A_g, M_g
+
+
 def _with_sigma(op: BandedSIOp, sr, si):
     """Retarget the SI operator at a (traced) new shift.  Element-based
     C operators bake sigma into their values and CANNOT be retargeted —
@@ -544,7 +591,7 @@ def _nested_correct(op: BandedSIOp, vr, vi, Mvr, Mvi, rr, ri,
     opt = _with_sigma(op, th_re, th_im)
     tr, ti = banded_solve_raw(
         opt, (rr, ri), tol=inner_tol, max_its=inner_its, m=m,
-        proj=(vr, vi, Mvr, Mvi))
+        proj=(vr, vi, Mvr, Mvi), x0_zero=True)
     # diagnostic: the achieved linear (projected) residual — the
     # correction's quality is invisible without it (an eta-grade outer
     # contraction REQUIRES roughly eta-grade inner solves)

@@ -265,85 +265,72 @@ elif os.environ.get("DEV500_TG"):
     # the PC's coarse grid is independent of the GUESS chain: at 1M the
     # guess comes from the 500k eigenpair (COARSE=0.58) but the coarse
     # correction must ride an EXACT band — the prod 175k level
+    # the PC grid only provides the interpolation space for P: the
+    # coarse operator is GALERKIN-projected from the fine one (below),
+    # so no coarse baseflow or assembly is required
     PCGRID = os.environ.get("DEV500_PCGRID", "prod")
-    if PCGRID == COARSE or (PCGRID == "prod" and COARSE == "prod"):
-        mesh_c, spaces_c, wpath_pc, _ = coarse_setup()
-        if not os.path.exists(wpath_pc):
-            ensure_coarse_baseflow()
-    else:
-        geo_pc = geo_full if PCGRID == "prod" else _scaled(geo_full, float(PCGRID))
-        wpath_pc = ("/tmp/w167k_re50.npy" if PCGRID == "prod"
-                    else f"/tmp/w500k_{float(PCGRID)}.npy")
-        if not os.path.exists(wpath_pc):
-            raise RuntimeError(f"PC-grid baseflow {wpath_pc} missing")
-        mesh_c = cached_cyl_mesh(
-            geo_pc, "prod" if PCGRID == "prod" else PCGRID)
-        spaces_c = define_spaces(mesh_c)
-    bcs_pert_c = define_bcs(
-        mesh_c, spaces_c,
-        load_bc_config(os.path.join(cfg_dir, "bcs_perturbation.toml")))
-    ctx_c = AssemblyContext.build(spaces_c)
-    w_c2 = np.load(wpath_pc)
-    asm_c = LinearizedNavierStokesAssembler(
-        jnp.asarray(w_c2), ctx_c, RE, bcs_pert_c, mesh_c)
-    A_c, M_c = asm_c.assemble_eigensystem()
-    # band factor of the ASSEMBLED coarse C_c(sigma): the PC of the
-    # coarse GALERKIN solves below (predictable bandwidth/memory; the
-    # Galerkin pattern's own band is an unknown quantity)
-    os.environ["LSAFW_BAND_DTYPE"] = "f32"
-    plan_c = plan_for_csr(A_c, force_f32=True)
-    blu_c, _ = factor_auto(
-        plan_c, A_c.data - TARGET.real * M_c.data,
-        (-TARGET.imag) * M_c.data, diag_slots=A_c.pattern.diag_slots)
+    geo_pc = geo_full if PCGRID == "prod" else _scaled(geo_full, float(PCGRID))
+    mesh_c = cached_cyl_mesh(geo_pc, "prod" if PCGRID == "prod" else PCGRID)
+    spaces_c = define_spaces(mesh_c)
     P = interpolation_matrix(spaces_c, spaces)
     Pd, Pc_ = ell_of_csr(P)
     nc_pc = P.shape[1]
     _coarse_memo.clear()
-    del mesh_c, spaces_c, ctx_c, asm_c, w_c2
+    del mesh_c, spaces_c
     gc.collect()
 
     # GALERKIN coarse operator G = P^T (A, M) P: its near-null
     # direction under the shift IS the prolonged fine eigendirection,
-    # so the (amplified) coarse solution is the USEFUL correction.
-    # The re-assembled C_c's near-null direction differs from the fine
-    # one by DISCRETIZATION error, and the shift amplifies that error
-    # instead (scripts/dev_tg_repro.py: one exact Galerkin solve
-    # contracts the JD correction residual to 0.19 vs 1.49 assembled;
-    # deflation and post-Jacobi both HURT — q2/q3/q4).
+    # so the (amplified) coarse solution is the USEFUL correction; the
+    # re-assembled C_c's near-null direction differs from the fine one
+    # by DISCRETIZATION error, which the shift amplifies into junk
+    # (scripts/dev_tg_repro.py q0/q1: 1.49 assembled vs 0.19 Galerkin).
+    # No coarse assembly/baseflow is needed at all: the band PC of the
+    # coarse GCR is factored from the GALERKIN data too (the assembled
+    # factor preconditions G with the same mismatch and the coarse GCR
+    # stalls — repro2f/2h).
     t0g = time.time()
-    As_h, Ms_h = A.to_scipy(), M.to_scipy()
-    A_gs = (P.T @ (As_h @ P)).tocsr()
-    A_gs.sort_indices()
-    Z = A_gs * 0.0  # scalar multiply keeps the sparsity structure
-    M_gs = (Z + (P.T @ (Ms_h @ P))).tocsr()  # M pattern is a subset
-    M_gs.sort_indices()
-    assert np.array_equal(A_gs.indptr, M_gs.indptr) and \
-        np.array_equal(A_gs.indices, M_gs.indices), "pattern union failed"
-    from lsafw_tpu.ops.sparse import CSRMatrix
+    from lsafw_tpu.solver.eigen import galerkin_pair
 
-    A_g = CSRMatrix.from_scipy(A_gs)
-    M_g = CSRMatrix(A_g.pattern, jnp.asarray(M_gs.data))
-    del As_h, Ms_h, Z, A_gs, M_gs
+    A_g, M_g = galerkin_pair(P, A, M)
     gc.collect()
     print(f"Galerkin coarse op: nnz={A_g.pattern.nnz} "
           f"({time.time()-t0g:.0f}s host triple products)", flush=True)
+    os.environ["LSAFW_BAND_DTYPE"] = "f32"
+    os.environ["LSAFW_PIVOT_MEM_GB"] = "0"
+    os.environ["LSAFW_BAND_MEM_GB"] = os.environ.get("DEV500_CB_GB", "7")
+    plan_c = plan_for_csr(A_g, force_f32=True)
+    blu_c, _ = factor_auto(
+        plan_c, A_g.data - TARGET.real * M_g.data,
+        (-TARGET.imag) * M_g.data, diag_slots=A_g.pattern.diag_slots)
     G_bcsr = BCSRShiftedOp.from_csr(
         A_g, M_g, TARGET, plan_for_pattern(A_g, br=16, bc=16),
         lo_channels=False)
     coarse_op = BandedSIOp(A_g, M_g, blu_c, jnp.asarray(TARGET.real),
                            jnp.asarray(TARGET.imag), G_bcsr, None)
-    # HI-ONLY fine channels: the full f64 pair blocks (4.3 GB) OOM'd
-    # next to the coarse band — eta-grade correction solves tolerate
+    # budget-truncated FINE band: useless standalone (contraction ~1 at
+    # 500k) but as the multiplicative fine term it smooths the
+    # broadband interpolation noise the coarse grid cannot see — the
+    # missing piece that took the 43k miniature from a 0.9x/outer stall
+    # to 0.05x/outer geometric convergence (repro2h vs repro2i)
+    os.environ["LSAFW_BAND_MEM_GB"] = os.environ.get("DEV500_FB_GB", "2.5")
+    plan_f = plan_for_csr(A, force_f32=True)
+    blu_f, _ = factor_auto(
+        plan_f, A.data - TARGET.real * M.data, (-TARGET.imag) * M.data,
+        diag_slots=A.pattern.diag_slots)
+    # HI-ONLY fine channels: the full f64 pair blocks (4.3 GB) do not
+    # fit next to the bands — eta-grade correction solves tolerate
     # 1e-7 applies; the once-per-outer residual rides the f64 ELL
     # resid_op below.  Cop_f lives INSIDE the PC (one pytree leaf);
     # _si_apply_C/_with_sigma reuse and retarget it from there.
     Cop_f = BCSRShiftedOp.from_csr(
         A, M, TARGET, plan_for_pattern(A, br=16, bc=16), lo_channels=False)
-    pc2 = TwoGridSIPC(coarse_op, None, Pd, Pc_, Cop=Cop_f,
+    pc2 = TwoGridSIPC(coarse_op, blu_f, Pd, Pc_, Cop=Cop_f,
                       cproj=None, nc=nc_pc,
-                      coarse_tol=float(os.environ.get("DEV500_CTOL", "1e-3")),
-                      coarse_its=int(os.environ.get("DEV500_CITS", "24")),
-                      smooth_steps=0)
+                      coarse_tol=float(os.environ.get("DEV500_CTOL", "1e-2")),
+                      coarse_its=int(os.environ.get("DEV500_CITS", "12")),
+                      smooth_steps=int(os.environ.get("DEV500_SMOOTH", "1")),
+                      omega=float(os.environ.get("DEV500_OMEGA", "1.0")))
     op2 = BandedSIOp(A, M, pc2, jnp.asarray(TARGET.real),
                      jnp.asarray(TARGET.imag), None, None)
     rop2 = BandedSIOp(A, M, None, jnp.asarray(TARGET.real),

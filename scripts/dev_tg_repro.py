@@ -21,6 +21,7 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 os.environ["JAX_PLATFORMS"] = "cpu"  # the shell exports axon; setdefault is a no-op
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)  # plugin dials the pool at import
 
 import jax
 

@@ -12,6 +12,7 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 os.environ["JAX_PLATFORMS"] = "cpu"  # the shell exports axon; setdefault is a no-op
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)  # plugin dials the pool at import
 
 import jax
 
@@ -104,23 +105,27 @@ del lu_c
 
 # --- production object graph ---
 t0 = time.time()
-plan_c = plan_for_csr(A_c, force_f32=True)
-blu_c, _ = factor_auto(
-    plan_c, A_c.data - SIGMA.real * M_c.data, (-SIGMA.imag) * M_c.data,
-    diag_slots=A_c.pattern.diag_slots)
 P = interpolation_matrix(sp_c, sp_f)
 Pd, Pc_ = ell_of_csr(P)
 
-As_h, Ms_h = A_f.to_scipy(), M_f.to_scipy()
-A_gs = (P.T @ (As_h @ P)).tocsr()
-A_gs.sort_indices()
-Z = A_gs * 0.0
-M_gs = (Z + (P.T @ (Ms_h @ P))).tocsr()
-M_gs.sort_indices()
-assert np.array_equal(A_gs.indptr, M_gs.indptr) and \
-    np.array_equal(A_gs.indices, M_gs.indices)
-A_g = CSRMatrix.from_scipy(A_gs)
-M_g = CSRMatrix(A_g.pattern, jnp.asarray(M_gs.data))
+from lsafw_tpu.solver.eigen import galerkin_pair
+
+A_g, M_g = galerkin_pair(P, A_f, M_f)
+# coarse band PC: factor the GALERKIN data itself (CBAND=galerkin) or
+# the re-assembled coarse operator (CBAND=assembled).  The assembled
+# factor preconditions G with the same spectral mismatch that broke the
+# single-apply correction (q0) — the coarse GCR then stalls and the
+# whole inner solve sits at ~0.5.
+if os.environ.get("CBAND", "galerkin") == "galerkin":
+    plan_c = plan_for_csr(A_g, force_f32=True)
+    blu_c, _ = factor_auto(
+        plan_c, A_g.data - SIGMA.real * M_g.data, (-SIGMA.imag) * M_g.data,
+        diag_slots=A_g.pattern.diag_slots)
+else:
+    plan_c = plan_for_csr(A_c, force_f32=True)
+    blu_c, _ = factor_auto(
+        plan_c, A_c.data - SIGMA.real * M_c.data, (-SIGMA.imag) * M_c.data,
+        diag_slots=A_c.pattern.diag_slots)
 print(f"Galerkin nnz={A_g.pattern.nnz} (setup {time.time()-t0:.0f}s)",
       flush=True)
 
@@ -132,9 +137,33 @@ coarse_op = BandedSIOp(A_g, M_g, blu_c, jnp.asarray(SIGMA.real),
 Cop_f = BCSRShiftedOp.from_csr(A_f, M_f, SIGMA,
                                plan_for_pattern(A_f, br=16, bc=16),
                                lo_channels=False)
-pc2 = TwoGridSIPC(coarse_op, None, Pd, Pc_, Cop=Cop_f, cproj=None,
-                  nc=P.shape[1], coarse_tol=1e-3, coarse_its=24,
-                  smooth_steps=0)
+# fine term REQUIRED for span: with fine_blu=None every preconditioned
+# GCR direction lies in range(P) and the fine-complement error is never
+# searched (run r2d stalled at ~0.7 inner rel, 0.7x/outer).  The Jacobi
+# term rides the post-coarse residual at small omega — q3's single-apply
+# degradation does not bind inside GCR, which weights the direction set
+# optimally.
+from lsafw_tpu.solver.eigen import DiagSIPC
+
+if os.environ.get("FINE", "band") == "band":
+    # budget-TRUNCATED fine band (the 500k memory regime in miniature):
+    # nearly useless standalone (contraction ~1 at 500k) but as the
+    # multiplicative fine term it smooths the broadband interpolation
+    # noise the coarse grid cannot see
+    os.environ["LSAFW_PIVOT_MEM_GB"] = "0"
+    fbytes = int(float(os.environ.get("FBYTES_MB", "40")) * 1e6)
+    plan_f = plan_for_csr(A_f, max_bytes=fbytes, force_f32=True)
+    jac_f, _ = factor_auto(
+        plan_f, A_f.data - SIGMA.real * M_f.data, (-SIGMA.imag) * M_f.data,
+        diag_slots=A_f.pattern.diag_slots)
+else:
+    jac_f = DiagSIPC.from_pair(A_f, M_f, SIGMA)
+pc2 = TwoGridSIPC(coarse_op, jac_f, Pd, Pc_, Cop=Cop_f, cproj=None,
+                  nc=P.shape[1],
+                  coarse_tol=float(os.environ.get("CTOL", "1e-2")),
+                  coarse_its=int(os.environ.get("CITS", "12")),
+                  smooth_steps=int(os.environ.get("SMOOTH", "1")),
+                  omega=float(os.environ.get("OMEGA", "0.3")))
 op2 = BandedSIOp(A_f, M_f, pc2, jnp.asarray(SIGMA.real),
                  jnp.asarray(SIGMA.imag), None, None)
 rop2 = BandedSIOp(A_f, M_f, None, jnp.asarray(SIGMA.real),
