@@ -236,8 +236,15 @@ if not os.environ.get("DEV500_KS"):
 t0 = time.time()
 asm = LinearizedNavierStokesAssembler(jnp.asarray(w), ctx, RE, bcs_pert, mesh)
 A, M = asm.assemble_eigensystem()
-A_el, M_el, dofs = asm.element_matrices()
+if not os.environ.get("DEV500_TG"):
+    # element matrices feed the legacy/KS matrix-free paths only; the
+    # TG branch rides BCSR and must not carry the extra device arrays
+    A_el, M_el, dofs = asm.element_matrices()
 A.data.block_until_ready()
+del asm
+import gc as _gc
+
+_gc.collect()
 t_asm = time.time() - t0
 print(f"assemble: {t_asm:.0f}s (nnz={A.pattern.nnz})", flush=True)
 
@@ -296,18 +303,22 @@ elif os.environ.get("DEV500_TG"):
     gc.collect()
     print(f"Galerkin coarse op: nnz={A_g.pattern.nnz} "
           f"({time.time()-t0g:.0f}s host triple products)", flush=True)
+    # allocation order: every smaller block FIRST, the multi-GB coarse
+    # band factor LAST (its elimination temps ride on an emptier HBM —
+    # building blocks after the 6.9 GB band OOM'd, run r5g).  The
+    # Galerkin operator is NEVER materialized on device for application
+    # (its BCSR plan sat at 1.2% fill = 6.6 GB, run r5h): the coarse
+    # GCR applies G as the sandwich P^T C_f P through Cop_f, and only
+    # the band PC is factored from the host Galerkin data.
     os.environ["LSAFW_BAND_DTYPE"] = "f32"
     os.environ["LSAFW_PIVOT_MEM_GB"] = "0"
-    os.environ["LSAFW_BAND_MEM_GB"] = os.environ.get("DEV500_CB_GB", "7")
-    plan_c = plan_for_csr(A_g, force_f32=True)
-    blu_c, _ = factor_auto(
-        plan_c, A_g.data - TARGET.real * M_g.data,
-        (-TARGET.imag) * M_g.data, diag_slots=A_g.pattern.diag_slots)
-    G_bcsr = BCSRShiftedOp.from_csr(
-        A_g, M_g, TARGET, plan_for_pattern(A_g, br=16, bc=16),
-        lo_channels=False)
-    coarse_op = BandedSIOp(A_g, M_g, blu_c, jnp.asarray(TARGET.real),
-                           jnp.asarray(TARGET.imag), G_bcsr, None)
+    # HI-ONLY fine channels: the full f64 pair blocks (4.3 GB) do not
+    # fit next to the bands — eta-grade correction solves tolerate
+    # 1e-7 applies; the once-per-outer residual rides the f64 ELL
+    # resid_op below.  Cop_f lives INSIDE the PC (one pytree leaf);
+    # _si_apply_C/_with_sigma reuse and retarget it from there.
+    Cop_f = BCSRShiftedOp.from_csr(
+        A, M, TARGET, plan_for_pattern(A, br=16, bc=16), lo_channels=False)
     # budget-truncated FINE band: useless standalone (contraction ~1 at
     # 500k) but as the multiplicative fine term it smooths the
     # broadband interpolation noise the coarse grid cannot see — the
@@ -318,14 +329,16 @@ elif os.environ.get("DEV500_TG"):
     blu_f, _ = factor_auto(
         plan_f, A.data - TARGET.real * M.data, (-TARGET.imag) * M.data,
         diag_slots=A.pattern.diag_slots)
-    # HI-ONLY fine channels: the full f64 pair blocks (4.3 GB) do not
-    # fit next to the bands — eta-grade correction solves tolerate
-    # 1e-7 applies; the once-per-outer residual rides the f64 ELL
-    # resid_op below.  Cop_f lives INSIDE the PC (one pytree leaf);
-    # _si_apply_C/_with_sigma reuse and retarget it from there.
-    Cop_f = BCSRShiftedOp.from_csr(
-        A, M, TARGET, plan_for_pattern(A, br=16, bc=16), lo_channels=False)
-    pc2 = TwoGridSIPC(coarse_op, blu_f, Pd, Pc_, Cop=Cop_f,
+    os.environ["LSAFW_BAND_MEM_GB"] = os.environ.get("DEV500_CB_GB", "6")
+    plan_c = plan_for_csr(A_g, force_f32=True)
+    blu_c, _ = factor_auto(
+        plan_c, A_g.data - TARGET.real * M_g.data,
+        (-TARGET.imag) * M_g.data, diag_slots=A_g.pattern.diag_slots)
+    del A_g, M_g  # only the band factor holds Galerkin data now
+    gc.collect()
+    pc2 = TwoGridSIPC(blu_c, blu_f, Pd, Pc_, Cop=Cop_f,
+                      sig0_re=jnp.asarray(TARGET.real),
+                      sig0_im=jnp.asarray(TARGET.imag),
                       cproj=None, nc=nc_pc,
                       coarse_tol=float(os.environ.get("DEV500_CTOL", "1e-2")),
                       coarse_its=int(os.environ.get("DEV500_CITS", "12")),

@@ -129,14 +129,14 @@ else:
 print(f"Galerkin nnz={A_g.pattern.nnz} (setup {time.time()-t0:.0f}s)",
       flush=True)
 
-G_bcsr = BCSRShiftedOp.from_csr(A_g, M_g, SIGMA,
-                                plan_for_pattern(A_g, br=16, bc=16),
-                                lo_channels=False)
-coarse_op = BandedSIOp(A_g, M_g, blu_c, jnp.asarray(SIGMA.real),
-                       jnp.asarray(SIGMA.imag), G_bcsr, None)
+# the Galerkin operator is applied as the sandwich P^T C_f P through
+# Cop_f inside TwoGridSIPC (never materialized on device — its BCSR
+# plan sat at 1.2% fill at the production PC grid); only the band PC
+# is factored from the Galerkin data
 Cop_f = BCSRShiftedOp.from_csr(A_f, M_f, SIGMA,
                                plan_for_pattern(A_f, br=16, bc=16),
                                lo_channels=False)
+coarse_op = blu_c
 # fine term REQUIRED for span: with fine_blu=None every preconditioned
 # GCR direction lies in range(P) and the fine-complement error is never
 # searched (run r2d stalled at ~0.7 inner rel, 0.7x/outer).  The Jacobi
@@ -159,6 +159,8 @@ if os.environ.get("FINE", "band") == "band":
 else:
     jac_f = DiagSIPC.from_pair(A_f, M_f, SIGMA)
 pc2 = TwoGridSIPC(coarse_op, jac_f, Pd, Pc_, Cop=Cop_f, cproj=None,
+                  sig0_re=jnp.asarray(SIGMA.real),
+                  sig0_im=jnp.asarray(SIGMA.imag),
                   nc=P.shape[1],
                   coarse_tol=float(os.environ.get("CTOL", "1e-2")),
                   coarse_its=int(os.environ.get("CITS", "12")),

@@ -500,3 +500,34 @@ def test_two_grid_jacobi_smoother_hi_only_matvec():
     true_rel_m = np.linalg.norm(r_m) / np.linalg.norm(Ks @ v_m)
     assert true_rel_m < 1e-8, (true_rel_m, th_m)
     assert abs(th_m - th) < 1e-7, (th_m, th)
+
+
+def test_galerkin_pair_shared_union_pattern():
+    """galerkin_pair returns P^T A P and P^T M P on ONE shared pattern
+    (with forced diagonal) — the coarse operator of the production
+    two-grid shift-invert (scripts/dev_500k.py DEV500_TG)."""
+    import numpy as np
+
+    from lsafw_tpu.meshing.mesh import rectangle_mesh
+    from lsafw_tpu.models.membrane import assemble_membrane_evp
+    from lsafw_tpu.fem.spaces import make_scalar_space
+    from lsafw_tpu.solver.baseflow import point_interpolation_matrix
+    from lsafw_tpu.solver.eigen import galerkin_pair
+
+    mesh_c = rectangle_mesh((0.0, 0.0), (1.0, 1.0), 6, 6)
+    mesh_f = rectangle_mesh((0.0, 0.0), (1.0, 1.0), 14, 14)
+    K_f, M_f, _ = assemble_membrane_evp(mesh_f)
+    sc = make_scalar_space(mesh_c, "p2")
+    sf = make_scalar_space(mesh_f, "p2")
+    P = point_interpolation_matrix(sc.node_coords, sf.node_coords)
+
+    A_g, M_g = galerkin_pair(P, K_f, M_f)
+    assert A_g.pattern is M_g.pattern
+    # every diagonal entry is present (band planning requires it)
+    ds = A_g.pattern.diag_slots
+    assert ds.shape[0] == A_g.shape[0]
+    # values match the scipy triple products
+    ref_A = (P.T @ (K_f.to_scipy() @ P)).toarray()
+    ref_M = (P.T @ (M_f.to_scipy() @ P)).toarray()
+    assert np.allclose(A_g.to_scipy().toarray(), ref_A, atol=1e-12)
+    assert np.allclose(M_g.to_scipy().toarray(), ref_M, atol=1e-12)
