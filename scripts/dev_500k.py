@@ -297,9 +297,21 @@ elif os.environ.get("DEV500_TG"):
     # factor preconditions G with the same mismatch and the coarse GCR
     # stalls — repro2f/2h).
     t0g = time.time()
+    from lsafw_tpu.ops.sparse import CSRMatrix
     from lsafw_tpu.solver.eigen import galerkin_pair
 
-    A_g, M_g = galerkin_pair(P, A, M)
+    gcache = f"/tmp/galerkin_{SCALE}_{PCGRID}.npz"
+    if os.path.exists(gcache):
+        d_g = np.load(gcache)
+        import scipy.sparse as _sp
+
+        A_g = CSRMatrix.from_scipy(_sp.csr_matrix(
+            (d_g["a"], d_g["idx"], d_g["ptr"]), shape=(nc_pc, nc_pc)))
+        M_g = CSRMatrix(A_g.pattern, jnp.asarray(d_g["m"]))
+    else:
+        A_g, M_g = galerkin_pair(P, A, M)
+        np.savez(gcache, a=np.asarray(A_g.data), m=np.asarray(M_g.data),
+                 idx=A_g.pattern.indices, ptr=A_g.pattern.indptr)
     gc.collect()
     print(f"Galerkin coarse op: nnz={A_g.pattern.nnz} "
           f"({time.time()-t0g:.0f}s host triple products)", flush=True)
